@@ -1,0 +1,164 @@
+"""Tomogram / tilt-series loading + normalization, reference-compatible.
+
+Re-implements (vectorized, no per-slice Python loops) the semantics of
+reference cet_pick/utils/loader.py:16-179:
+
+* ``quantize``       — loader.py:16-25  (linear [mi,ma] -> uint8 with clipping)
+* ``load_rec``       — loader.py:27-88  (axis reorder to (z, x, y), optional
+                       z-compression by pairwise max, tilt per-slice / tomo
+                       global standardization)
+* ``preprocess``     — loader.py:90-121 (optional gaussian denoise, z-score,
+                       quantize, rescale to [0, 1])
+* list loaders       — loader.py:139-179
+
+All of this is host-side numpy: it runs once per tomogram at dataset-build
+time; the jitted compute path consumes the resulting float32 arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.ndimage import gaussian_filter
+
+from cet_pick_tpu.io.mrc import read_mrc
+
+
+def quantize(x, mi=-2.5, ma=2.0, dtype=np.uint8):
+    """Linear map [mi, ma] -> [0, 255] with clipping + rounding (loader.py:16-25)."""
+    if mi is None:
+        mi = x.min()
+    if ma is None:
+        ma = x.max()
+    r = ma - mi
+    x = 255 * (x - mi) / r
+    x = np.clip(x, 0, 255)
+    return np.round(x).astype(dtype)
+
+
+def _standardize(x, axis=None):
+    m = x.mean(axis=axis, keepdims=axis is not None)
+    s = x.std(axis=axis, keepdims=axis is not None)
+    return (x - m) / s
+
+
+def _compress_z(vol):
+    """Max over consecutive z-slice pairs; odd tails keep the single slice.
+
+    Matches loader.py:44-51 (``np.max(rec[..., i:i+2])`` for i in 0,2,...).
+    """
+    z = vol.shape[0]
+    even = vol[: z - (z % 2)]
+    out = np.maximum(even[0::2], even[1::2])
+    if z % 2:
+        out = np.concatenate([out, vol[-1:]], axis=0)
+    return out
+
+
+def load_rec(path, order="xyz", compress=False, is_tilt=False):
+    """Load an MRC volume -> float array of shape (z, x, y).
+
+    ``order`` names the semantic order of the raw array's axes. The reference
+    (loader.py:27-88) reorders so the output stacks z-slices of shape (x, y):
+
+    * ``xzy``: raw (x, z, y) -> swap axes 2,1 -> (x, y, z) -> transpose to (z, x, y)
+    * ``xyz``: raw (x, y, z) -> transpose to (z, x, y)
+    * ``yxz``: raw (y, x, z) -> swap axes 1,0 -> (x, y, z) -> (z, x, y)
+    * ``zxy``: raw already (z, x, y)
+
+    With ``compress``, consecutive z-slice pairs are max-merged. Tilt series
+    are standardized per slice; tomograms globally.
+    """
+    rec = np.asarray(read_mrc(path), dtype=np.float64)
+    if order in ("xzy", "xyz", "yxz"):
+        if order == "xzy":
+            rec = np.swapaxes(rec, 2, 1)
+        elif order == "yxz":
+            rec = np.swapaxes(rec, 1, 0)
+        # rec is now semantically (x, y, z); stack z-slices -> (z, x, y)
+        vol = np.moveaxis(rec, 2, 0)
+    elif order == "zxy":
+        vol = rec
+    else:
+        raise ValueError(f"unknown axis order {order!r}")
+
+    if compress:
+        vol = _compress_z(vol)
+    vol = np.ascontiguousarray(vol)
+
+    if is_tilt:
+        vol = _standardize(vol, axis=(1, 2))
+    else:
+        vol = _standardize(vol)
+    return vol
+
+
+def _minmax01(x, axis=None):
+    mn = x.min(axis=axis, keepdims=axis is not None)
+    mx = x.max(axis=axis, keepdims=axis is not None)
+    return (x - mn) / (mx - mn)
+
+
+def preprocess(vol, denoise=0, is_tilt=False):
+    """Standardize -> quantize to uint8 -> rescale to [0, 1] (loader.py:90-121).
+
+    Tomograms: global statistics; ``denoise`` > 0 applies a 3D gaussian filter
+    first and widens the quantization window to [-3, 3].
+    Tilt series: per-slice statistics and per-slice min-max (the reference
+    loops slices with cv2.normalize; equivalent to per-slice min-max to [0,1]).
+    """
+    vol = np.asarray(vol, dtype=np.float64)
+    if is_tilt:
+        if denoise > 0:
+            vol = np.stack([gaussian_filter(s, sigma=denoise) for s in vol])
+        vol = _standardize(vol, axis=(1, 2))
+        vol = quantize(vol).astype(np.float64)
+        return _minmax01(vol, axis=(1, 2))
+    if denoise > 0:
+        vol = gaussian_filter(vol, sigma=denoise)
+        vol = _standardize(vol)
+        vol = quantize(vol, mi=-3, ma=3).astype(np.float64)
+    else:
+        vol = _standardize(vol)
+        vol = quantize(vol).astype(np.float64)
+    return _minmax01(vol)
+
+
+def load_tlt(path):
+    """Read a .tlt tilt-angle file -> (n, 1) float array (loader.py:134-137)."""
+    return np.loadtxt(path, ndmin=1).reshape(-1, 1)
+
+
+def load_tomos_from_list(names, paths, order="xzy", compress=False, denoise=0, tilt=False):
+    """Load + preprocess tomograms keyed by name (loader.py:165-173)."""
+    images = {}
+    for name, path in zip(names, paths):
+        im = load_rec(path, order=order, compress=compress, is_tilt=tilt)
+        images[name] = preprocess(im, denoise=denoise, is_tilt=tilt).astype(np.float32)
+    return images
+
+
+def load_tomo_all_and_angles_from_list(
+    names, tilt_paths, rec_paths, angle_paths,
+    order_tilt="zxy", order_rec="xzy", compress=False, denoise=0,
+):
+    """Load matched tilt stacks + reconstructions + angles (loader.py:139-152)."""
+    tilt_ims, rec_ims, angles = {}, {}, {}
+    for name, tpath, rpath, apath in zip(names, tilt_paths, rec_paths, angle_paths):
+        tilt_im = load_rec(tpath, order=order_tilt, compress=False, is_tilt=True)
+        rec_im = load_rec(rpath, order=order_rec, compress=compress, is_tilt=False)
+        tilt_ims[name] = preprocess(tilt_im, denoise=denoise, is_tilt=True).astype(np.float32)
+        rec_ims[name] = preprocess(rec_im, denoise=denoise, is_tilt=False).astype(np.float32)
+        angles[name] = load_tlt(apath)
+    return tilt_ims, rec_ims, angles
+
+
+def load_tomos_and_angles_from_list(
+    names, tomo_paths, angle_paths, order="xzy", compress=False, denoise=0, tilt=False
+):
+    """Reconstruction + angles only (loader.py:154-163)."""
+    images, angles = {}, {}
+    for name, tpath, apath in zip(names, tomo_paths, angle_paths):
+        im = load_rec(tpath, order=order, compress=compress, is_tilt=tilt)
+        images[name] = preprocess(im, denoise=denoise, is_tilt=tilt).astype(np.float32)
+        angles[name] = load_tlt(apath)
+    return images, angles

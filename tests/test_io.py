@@ -1,0 +1,211 @@
+"""Tests for MRC I/O, loader normalization semantics, and coordinate tables."""
+
+import numpy as np
+import pytest
+
+from cet_pick_tpu.io import mrc as mrcio
+from cet_pick_tpu.io import loader, coords
+
+
+class TestMrc:
+    def test_roundtrip_float32(self, tmp_path, rng):
+        vol = rng.standard_normal((5, 7, 9)).astype(np.float32)
+        path = str(tmp_path / "t.mrc")
+        mrcio.write_mrc(path, vol)
+        back, hdr = mrcio.read_mrc(path, return_header=True)
+        np.testing.assert_array_equal(back, vol)
+        assert (hdr.nz, hdr.ny, hdr.nx) == (5, 7, 9)
+        assert hdr.mode == 2
+        assert hdr.dmin == pytest.approx(vol.min())
+        assert hdr.dmax == pytest.approx(vol.max())
+
+    def test_read_int16_mode(self, tmp_path, rng):
+        # hand-build a mode-1 file
+        import struct
+
+        vol = rng.integers(-100, 100, size=(3, 4, 5)).astype("<i2")
+        hdr = bytearray(1024)
+        struct.pack_into("<4i", hdr, 0, 5, 4, 3, 1)
+        hdr[208:212] = b"MAP "
+        hdr[212:216] = b"\x44\x44\x00\x00"
+        path = tmp_path / "i16.mrc"
+        path.write_bytes(bytes(hdr) + vol.tobytes())
+        back = mrcio.read_mrc(str(path))
+        np.testing.assert_array_equal(back, vol)
+
+    def test_extended_header_skipped(self, tmp_path, rng):
+        import struct
+
+        vol = rng.standard_normal((2, 3, 4)).astype("<f4")
+        ext = b"\x00" * 128
+        hdr = bytearray(1024)
+        struct.pack_into("<4i", hdr, 0, 4, 3, 2, 2)
+        struct.pack_into("<i", hdr, 92, len(ext))  # nsymbt
+        hdr[212:216] = b"\x44\x44\x00\x00"
+        path = tmp_path / "ext.mrc"
+        path.write_bytes(bytes(hdr) + ext + vol.tobytes())
+        back = mrcio.read_mrc(str(path))
+        np.testing.assert_array_equal(back, vol)
+
+
+class TestQuantize:
+    def test_matches_reference_formula(self):
+        # reference loader.py:16-25: 255*(x-mi)/(ma-mi), clip, round
+        x = np.array([-3.0, -2.5, 0.0, 2.0, 5.0])
+        q = loader.quantize(x)
+        expected = np.round(np.clip(255 * (x + 2.5) / 4.5, 0, 255)).astype(np.uint8)
+        np.testing.assert_array_equal(q, expected)
+
+    def test_none_bounds_use_minmax(self):
+        x = np.array([1.0, 2.0, 3.0])
+        q = loader.quantize(x, mi=None, ma=None)
+        assert q[0] == 0 and q[-1] == 255
+
+
+class TestLoadRec:
+    def _write(self, tmp_path, arr, name="v.mrc"):
+        path = str(tmp_path / name)
+        mrcio.write_mrc(path, arr.astype(np.float32))
+        return path
+
+    def test_zxy_identity_order_and_standardization(self, tmp_path, rng):
+        raw = rng.standard_normal((6, 8, 10))
+        path = self._write(tmp_path, raw)
+        out = loader.load_rec(path, order="zxy")
+        assert out.shape == (6, 8, 10)
+        assert abs(out.mean()) < 1e-10
+        assert abs(out.std() - 1) < 1e-10
+
+    def test_xyz_transposes_to_z_x_y(self, tmp_path, rng):
+        # raw semantic (x, y, z): output[j] == raw[:, :, j] (loader.py:52-59)
+        raw = rng.standard_normal((4, 5, 6))  # x=4, y=5, z=6
+        path = self._write(tmp_path, raw)
+        out = loader.load_rec(path, order="xyz")
+        assert out.shape == (6, 4, 5)
+        ref = np.moveaxis(raw, 2, 0)
+        ref = (ref - ref.mean()) / ref.std()
+        np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-9)
+
+    def test_xzy_swaps_then_transposes(self, tmp_path, rng):
+        raw = rng.standard_normal((4, 6, 5))  # x=4, z=6, y=5
+        path = self._write(tmp_path, raw)
+        out = loader.load_rec(path, order="xzy")
+        assert out.shape == (6, 4, 5)
+        sem = np.swapaxes(raw, 2, 1)  # (x, y, z)
+        ref = np.moveaxis(sem, 2, 0)
+        ref = (ref - ref.mean()) / ref.std()
+        np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-9)
+
+    def test_compress_pairwise_max(self, tmp_path):
+        raw = np.zeros((6, 2, 2), dtype=np.float32)
+        for i in range(6):
+            raw[i] = i
+        path = self._write(tmp_path, raw)
+        out = loader.load_rec(path, order="zxy", compress=True)
+        assert out.shape == (3, 2, 2)
+        # pairs (0,1),(2,3),(4,5) -> maxes 1,3,5 then standardized
+        vals = np.array([1.0, 3.0, 5.0])
+        ref = np.repeat((vals - vals.mean()) / vals.std(), 4).reshape(3, 2, 2)
+        np.testing.assert_allclose(out, ref, rtol=1e-6)
+
+    def test_compress_odd_keeps_tail(self, tmp_path):
+        raw = np.arange(5, dtype=np.float32).reshape(5, 1, 1) * np.ones((5, 2, 2), np.float32)
+        path = self._write(tmp_path, raw)
+        out = loader.load_rec(path, order="zxy", compress=True)
+        assert out.shape == (3, 2, 2)
+
+    def test_tilt_per_slice_standardization(self, tmp_path, rng):
+        raw = rng.standard_normal((4, 8, 8)) * np.array([1, 5, 10, 20]).reshape(4, 1, 1)
+        path = self._write(tmp_path, raw)
+        out = loader.load_rec(path, order="zxy", is_tilt=True)
+        for s in out:
+            assert abs(s.mean()) < 1e-9
+            assert abs(s.std() - 1) < 1e-9
+
+
+class TestPreprocess:
+    def test_tomo_output_range_and_dtype(self, rng):
+        vol = rng.standard_normal((8, 16, 16))
+        out = loader.preprocess(vol)
+        assert out.min() == 0.0 and out.max() == 1.0
+        # quantized to 256 levels then rescaled: values on a uniform grid
+        uniq = np.unique(out)
+        assert len(uniq) <= 256
+
+    def test_tilt_per_slice_minmax(self, rng):
+        vol = rng.standard_normal((3, 16, 16))
+        out = loader.preprocess(vol, is_tilt=True)
+        for s in out:
+            assert s.min() == pytest.approx(0.0)
+            assert s.max() == pytest.approx(1.0)
+
+    def test_denoise_smooths(self, rng):
+        vol = rng.standard_normal((8, 32, 32))
+        out_plain = loader.preprocess(vol)
+        out_dn = loader.preprocess(vol, denoise=2)
+        # denoised volume has smaller local variation
+        dv_plain = np.abs(np.diff(out_plain, axis=1)).mean()
+        dv_dn = np.abs(np.diff(out_dn, axis=1)).mean()
+        assert dv_dn < dv_plain
+
+
+class TestCoords:
+    def test_table_grouping_and_matching(self, tmp_path, rng):
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "image_name": ["a", "a", "b"],
+                "x_coord": [1, 2, 3],
+                "y_coord": [4, 5, 6],
+                "z_coord": [0, 1, 2],
+            }
+        )
+        images = {"a": np.zeros((4, 10, 12)), "b": np.zeros((4, 10, 12)), "c": np.zeros((4, 10, 12))}
+        matched = coords.match_coordinates_to_images(df, images)
+        assert matched["a"]["coord"].shape == (2, 3)
+        assert matched["c"]["coord"].shape == (0, 3)
+        # flat index: z*(w*h) + y*w + x with w=12, h=10
+        np.testing.assert_array_equal(
+            matched["a"]["inds"], [0 * 120 + 4 * 12 + 1, 1 * 120 + 5 * 12 + 2]
+        )
+
+    def test_order_conversion_roundtrip(self):
+        xyz = np.array([[1, 2, 3], [4, 5, 6]])
+        np.testing.assert_array_equal(coords.convert_coord_order(xyz, "xyz"), xyz)
+        np.testing.assert_array_equal(
+            coords.convert_coord_order(xyz, "xzy"), [[1, 3, 2], [4, 6, 5]]
+        )
+        np.testing.assert_array_equal(
+            coords.convert_coord_order(xyz, "zxy"), [[2, 3, 1], [5, 6, 4]]
+        )
+
+    def test_write_read_roundtrip(self, tmp_path):
+        rows = [("t1", 1, 2, 3), ("t2", 4, 5, 6)]
+        path = str(tmp_path / "c.txt")
+        coords.write_coord_table(path, rows)
+        df = coords.read_coord_table(path)
+        assert list(df.columns) == ["image_name", "x_coord", "y_coord", "z_coord"]
+        assert len(df) == 2
+
+
+class TestConfig:
+    def test_finalize_heads_semi(self):
+        from cet_pick_tpu.config import Config
+
+        c = Config(task="semi").finalize()
+        assert c.heads == {"hm": 1, "proj": 32}
+        assert c.head_conv == 32
+
+    def test_finalize_heads_simsiam(self):
+        from cet_pick_tpu.config import Config
+
+        c = Config(task="simsiam2d3d").finalize()
+        assert c.heads == {"proj": 128, "pred": 128}
+
+    def test_json_roundtrip(self):
+        from cet_pick_tpu.config import Config
+
+        c = Config(task="semi", bbox=16, tau=0.2).finalize()
+        c2 = Config.from_json(c.to_json())
+        assert c2.bbox == 16 and c2.tau == 0.2 and c2.lr_step == c.lr_step
