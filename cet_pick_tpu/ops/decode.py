@@ -1,0 +1,73 @@
+"""Fused heatmap -> particle coordinate decoding (the north-star kernel).
+
+TPU-native rebuild of reference cet_pick/models/decode.py:82-155: 3D NMS
+(max-pool keep-mask) followed by top-K over the flattened volume, 1D->3D index
+unraveling, and the +0.25 sub-voxel offset. Everything is one jitted function
+with static shapes; XLA fuses sigmoid + pooling + compare into a single pass
+over HBM, and ``lax.top_k`` runs on-device (no host round-trip, unlike the
+reference's ``.cpu().numpy()`` path).
+
+Layout convention: heatmaps are (D, H, W); detections are rows of
+(x, y, z, score, score) like the reference's ``tomo_decode`` output
+(decode.py:141-155).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from cet_pick_tpu.ops.nms import nms3d, nms3d_xy, nms3d_z, sigmoid_clamped
+
+
+def unravel_3d(inds, h, w):
+    """Flat index -> (z, y, x) for a (D, H, W) volume (decode.py:35-41)."""
+    z = inds // (h * w)
+    t = inds - z * (h * w)
+    y = t // w
+    x = t % w
+    return z, y, x
+
+
+@partial(jax.jit, static_argnames=("k",))
+def topk_3d(scores, k=900):
+    """Top-K over a (D, H, W) volume -> (scores, z, y, x, flat_inds) (decode.py:82-92)."""
+    d, h, w = scores.shape
+    flat = scores.reshape(-1)
+    top_scores, top_inds = jax.lax.top_k(flat, k)
+    z, y, x = unravel_3d(top_inds, h, w)
+    return top_scores, z, y, x, top_inds
+
+
+@partial(jax.jit, static_argnames=("kernel", "k", "if_fiber"))
+def tomo_decode(heat, kernel=3, k=900, if_fiber=False):
+    """NMS + top-K decode of a post-sigmoid heatmap (decode.py:123-155).
+
+    heat: (D, H, W) probabilities. Returns (k, 5) float32 rows
+    (x + 0.25, y + 0.25, z, score, score).
+    Fiber mode applies separable xy-then-z NMS (decode.py:126-128).
+    """
+    if if_fiber:
+        heat = nms3d_xy(heat, kernel=kernel)
+        heat = nms3d_z(heat, kernel=kernel)
+    else:
+        heat = nms3d(heat, kernel=kernel)
+    scores, z, y, x, _ = topk_3d(heat, k=k)
+    xs = x.astype(jnp.float32) + 0.25
+    ys = y.astype(jnp.float32) + 0.25
+    zs = z.astype(jnp.float32)
+    s = scores.astype(jnp.float32)
+    return jnp.stack([xs, ys, zs, s, s], axis=1)
+
+
+@partial(jax.jit, static_argnames=("kernel", "k", "if_fiber"))
+def decode_detections(hm_logits, kernel=3, k=900, if_fiber=False):
+    """Fused sigmoid-clamp + NMS + top-K from raw heatmap logits.
+
+    One jit region = one XLA program: the sigmoid, pooling, keep-mask and
+    masked scores all fuse; only the (k, 5) detection table leaves the device.
+    """
+    heat = sigmoid_clamped(hm_logits)
+    return tomo_decode(heat, kernel=kernel, k=k, if_fiber=if_fiber)

@@ -1,0 +1,294 @@
+"""Training objectives (jitted, batched, memory-bounded).
+
+Re-implements the refinement/exploration objectives of reference
+cet_pick/models/loss.py with identical math at batch composition time:
+
+* ``focal_loss``          — loss.py:378-411 (CornerNet penalty-reduced focal;
+                            voxels labeled -1 excluded from the negative term)
+* ``pu_focal_loss``       — loss.py:255-325 (non-negative positive-unlabeled
+                            focal: pos risk scaled by class prior tau, negative
+                            risk debiased by the positives' negative risk,
+                            clamped at -beta)
+* ``unbiased_con_loss``   — loss.py:571-699 (debiased pixel-level contrastive
+                            regularization over two augmented views)
+* ``consistency_loss``    — loss.py:701-712 (MSE between view heatmaps)
+* ``supcon_loss``         — loss.py:759-818 (supervised variant for --pn mode)
+* ``simsiam_loss``        — trains/tomo_simsiam_trainer.py:28-40 (symmetric
+                            negative cosine + collapse monitor)
+
+The contrastive losses never materialize the (2N, 2N) similarity matrix the
+reference allocates (loss.py:623): rows are processed in fixed-size blocks via
+``lax.map``, so HBM usage is O(block * 2N) while XLA fuses the exp/mask/reduce
+chain into each block matmul. This is what makes the loss fit on a TPU core at
+full reference resolution (2N = 24576 at batch 1).
+
+Data-dependent branches in the reference (``if num_soft > 0`` etc.) become
+``jnp.where`` with safe denominators — identical values, trace-compatible.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _safe_div(num, den):
+    return num / jnp.maximum(den, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# focal losses
+# ---------------------------------------------------------------------------
+
+def focal_loss(pred, gt):
+    """CornerNet modified focal loss (loss.py:378-411).
+
+    pred: probabilities in (0, 1) (already sigmoid-clamped); gt: targets where
+    1 = positive, [0, 1) = labeled negative with (1-gt)^4 down-weighting, and
+    -1 = unlabeled (ignored).
+    """
+    pred = pred.reshape(-1)
+    gt = gt.reshape(-1)
+    pos = (gt == 1).astype(pred.dtype)
+    neg = ((gt > -1) & (gt < 1)).astype(pred.dtype)
+    neg_weights = jnp.power(1 - gt, 4)
+
+    pos_loss = jnp.log(pred) * jnp.power(1 - pred, 2) * pos
+    neg_loss = jnp.log(1 - pred) * jnp.power(pred, 2) * neg_weights * neg
+
+    num_pos = pos.sum()
+    pos_sum = pos_loss.sum()
+    neg_sum = neg_loss.sum()
+    return jnp.where(
+        num_pos == 0, -neg_sum, -(pos_sum + neg_sum) / jnp.maximum(num_pos, 1.0)
+    )
+
+
+def pu_focal_loss(pred, gt, tau=0.1, beta=0.0):
+    """Non-negative positive-unlabeled focal loss (loss.py:255-308).
+
+    gt semantics: 1 = labeled positive, -1 = unlabeled, [0, 1) = soft
+    negatives (only present in fiber/pn-style targets).
+
+    Returns (loss, num_pos); the reference raises when num_pos == 0
+    (loss.py:275-276) — here the caller should check num_pos host-side.
+    """
+    pred = pred.reshape(-1)
+    gt = gt.reshape(-1)
+    true_pos = (gt == 1).astype(pred.dtype)
+    labeled = (gt > -1).astype(pred.dtype)
+    other = (gt < 1).astype(pred.dtype)
+    soft_pos = (labeled == other).astype(pred.dtype)  # labeled negatives
+    unlabeled = (gt == -1).astype(pred.dtype)
+
+    num_pos = true_pos.sum()
+    num_unlabeled = unlabeled.sum()
+    num_soft = soft_pos.sum()
+
+    soft_pow_w = jnp.power(1 - gt, 4)
+    soft_pow_neg_w = jnp.power(gt, 4)
+
+    pos_loss = jnp.log(pred) * jnp.power(1 - pred, 2) * true_pos
+    soft_pos_loss = jnp.log(1 - pred) * jnp.power(pred, 2) * soft_pow_w * soft_pos
+    pos_loss_tot = jnp.where(
+        num_soft > 0,
+        -_safe_div(pos_loss.sum(), num_pos) - _safe_div(soft_pos_loss.sum(), num_soft),
+        -_safe_div(pos_loss.sum(), num_pos),
+    )
+    pos_risk = pos_loss_tot * tau
+
+    neg_pos_loss = jnp.log(1 - pred) * jnp.power(pred, 2) * true_pos
+    neg_soft_pos_loss = jnp.log(pred) * jnp.power(1 - pred, 2) * soft_pow_neg_w * soft_pos
+    neg_pos_risk = jnp.where(
+        num_soft > 0,
+        -_safe_div(neg_pos_loss.sum(), num_pos)
+        - _safe_div(neg_soft_pos_loss.sum(), num_soft),
+        -_safe_div(neg_pos_loss.sum(), num_pos),
+    )
+
+    unlabeled_neg = jnp.power(pred, 2) * jnp.log(1 - pred) * unlabeled
+    unlabeled_risk = -_safe_div(unlabeled_neg.sum(), num_unlabeled)
+
+    neg_risk_total = -tau * neg_pos_risk + unlabeled_risk
+    loss = jnp.where(neg_risk_total < -beta, pos_risk, pos_risk + neg_risk_total)
+    return loss, num_pos
+
+
+# ---------------------------------------------------------------------------
+# debiased contrastive regularization
+# ---------------------------------------------------------------------------
+
+def _row_stats_blocked(feats_all, pos_mask, other_mask, temp, block):
+    """Per-row reductions of the exp-similarity matrix, in row blocks.
+
+    For every row i of exp((f_i . f_j - rowmax_i) / T * offdiag) returns:
+      pos_sum[i]    = sum_j exp_ij * pos_mask[j]
+      other_sum[i]  = sum_j exp_ij * other_mask[j]
+      total_sum[i]  = sum_j exp_ij          (including the exp(0)=1 diagonal)
+      partner[i]    = exp_i,partner(i)      (the augmented counterpart column)
+
+    Matches the reference order of operations (loss.py:623-631): logits are
+    divided by T, the row max is taken over the *unmasked* row (diagonal = 1/T
+    dominates for normalized features), logits are shifted, the diagonal is
+    zeroed (so it contributes exp(0) = 1 after exp).
+    """
+    m = feats_all.shape[0]
+    n = m // 2
+    pad = (-m) % block
+    row_idx_all = jnp.arange(m + pad)
+
+    fT = feats_all.T  # (C, 2N)
+
+    def one_block(start):
+        idx = start + jnp.arange(block)
+        valid = idx < m
+        rows = feats_all[jnp.clip(idx, 0, m - 1)]
+        sims = rows @ fT / temp                       # (block, 2N)
+        rowmax = jnp.max(sims, axis=1, keepdims=True)
+        logits = sims - jax.lax.stop_gradient(rowmax)
+        col = jnp.arange(m)[None, :]
+        offdiag = (col != idx[:, None]).astype(sims.dtype)
+        e = jnp.exp(logits * offdiag)                  # diag -> exp(0) = 1
+        pos_sum = e @ pos_mask
+        other_sum = e @ other_mask
+        total_sum = e.sum(axis=1)
+        partner_idx = jnp.where(idx < n, idx + n, idx - n)
+        partner = jnp.take_along_axis(
+            e, jnp.clip(partner_idx, 0, m - 1)[:, None], axis=1
+        )[:, 0]
+        z = jnp.where(valid, 1.0, 0.0)
+        return pos_sum * z, other_sum * z, total_sum * z, partner * z
+
+    starts = jnp.arange(0, m + pad, block)
+    pos_s, other_s, tot_s, part = jax.lax.map(one_block, starts)
+    flat = lambda a: a.reshape(-1)[:m]
+    return flat(pos_s), flat(other_s), flat(tot_s), flat(part)
+
+
+def _calc_g(pos_mean, neg_mean, class_prob, temp):
+    """Debiased negative estimate, clamped at e^(-1/T) (loss.py:588-592)."""
+    ng = (neg_mean - class_prob * pos_mean) / (1 - class_prob)
+    return jnp.maximum(ng, np.e ** (-1.0 / temp))
+
+
+@partial(jax.jit, static_argnames=("temp", "tau_plus", "thresh", "block"))
+def unbiased_con_loss(
+    labels, out_hm, out_hm_cr, feats, feats_cr,
+    temp=0.07, tau_plus=0.1, thresh=0.5, block=1024,
+):
+    """Debiased contrastive regularization (loss.py:571-699).
+
+    labels: (N,) gt heatmap values; out_hm/out_hm_cr: (N,) sigmoid heatmaps of
+    the two views; feats/feats_cr: (N, C) L2-normalized pixel features of the
+    two views (aug view un-flipped by the caller).
+
+    Returns (debiased_loss_sup, debiased_loss_unsup, num_pos).
+    """
+    n = labels.shape[0]
+    feats_all = jnp.concatenate([feats, feats_cr], axis=0)
+    all_labels = jnp.concatenate([labels, labels], axis=0)
+    all_preds = jnp.concatenate([out_hm, out_hm_cr], axis=0)
+
+    if thresh < 1:
+        pos_labels = (all_labels > thresh).astype(feats.dtype)
+    else:
+        pos_labels = (all_labels == 1).astype(feats.dtype)
+    un_labels = (all_labels < 0).astype(feats.dtype)
+    other_inds = (all_labels < thresh).astype(feats.dtype)
+
+    num_pos_total = pos_labels.sum()
+    num_pos = num_pos_total / 2
+    num_of_negatives = 2 * (n - num_pos)
+
+    pos_sum, other_sum, total_sum, partner = _row_stats_blocked(
+        feats_all, pos_labels, other_inds, temp, block
+    )
+
+    # --- supervised branch: rows with positive labels (loss.py:652-657)
+    pos_feat_mean = pos_sum / jnp.maximum(num_pos_total - 1, 1.0)
+    rem_feat_mean = other_sum / jnp.maximum(other_inds.sum(), 1.0)
+    ng = _calc_g(pos_feat_mean, rem_feat_mean, tau_plus, temp)
+    sup_rows = -jnp.log(pos_feat_mean / (pos_feat_mean + ng))
+    sup = _safe_div((sup_rows * pos_labels).sum(), num_pos_total)
+
+    # --- unlabeled branch (loss.py:660-695)
+    u_pos = partner                                     # counterpart similarity
+    u_rem = (total_sum - partner) / jnp.maximum(num_of_negatives, 1.0)
+    ng_pos = _calc_g(u_pos, u_rem, tau_plus, temp)
+    ng_neg = _calc_g(u_pos, u_rem, 1 - tau_plus, temp)
+    p = all_preds
+
+    l_pos = -jnp.log(u_pos / (u_pos + ng_pos)) * p
+    l_neg = -jnp.log(u_pos / (u_pos + ng_neg)) * (1 - p)
+
+    m_pseudo_pos = un_labels * (p > 0.99)
+    m_pseudo_neg = un_labels * (p < 0.01)
+    m_mid = un_labels * (p >= 0.01) * (p <= 0.99)
+
+    def masked_mean(x, m):
+        return _safe_div((x * m).sum(), m.sum())
+
+    n_pp, n_pn, n_mid = m_pseudo_pos.sum(), m_pseudo_neg.sum(), m_mid.sum()
+    term_pp = jnp.where(n_pp > 0, masked_mean(l_pos, m_pseudo_pos), 0.0)
+    term_pn = jnp.where(n_pn > 0, masked_mean(l_neg, m_pseudo_neg), 0.0)
+    term_mid = jnp.where(
+        n_mid > 0, masked_mean(l_pos, m_mid) + masked_mean(l_neg, m_mid), 0.0
+    )
+    unsup = term_pp + term_pn + term_mid
+    return sup, unsup, num_pos_total
+
+
+@partial(jax.jit, static_argnames=("temp", "thresh", "block"))
+def supcon_loss(labels, feats, feats_cr, temp=0.07, thresh=0.5, block=1024):
+    """Supervised pixel contrastive loss for --pn mode (loss.py:759-818).
+
+    Positive rows attract other positives; normalization by the standard
+    log-softmax over all off-diagonal pairs.
+    """
+    feats_all = jnp.concatenate([feats, feats_cr], axis=0)
+    all_labels = jnp.concatenate([labels, labels], axis=0)
+    pos_labels = (all_labels > thresh).astype(feats.dtype)
+    other_inds = (all_labels < thresh).astype(feats.dtype)
+    pos_sum, other_sum, total_sum, _ = _row_stats_blocked(
+        feats_all, pos_labels, other_inds, temp, block
+    )
+    num_pos_total = pos_labels.sum()
+    # mean positive-pair probability vs all pairs for positive anchors
+    pos_mean = pos_sum / jnp.maximum(num_pos_total - 1, 1.0)
+    denom = total_sum - 1.0  # exclude the exp(0)=1 diagonal
+    rows = -jnp.log(pos_mean / jnp.maximum(denom, 1e-12))
+    return _safe_div((rows * pos_labels).sum(), num_pos_total)
+
+
+# ---------------------------------------------------------------------------
+# consistency + simsiam
+# ---------------------------------------------------------------------------
+
+def consistency_loss(out_prob, out_prob_cr):
+    """MSE between the two views' heatmaps (loss.py:701-712)."""
+    return jnp.mean((out_prob - out_prob_cr) ** 2)
+
+
+def simsiam_loss(p1, z1, p2, z2):
+    """Symmetric negative cosine similarity with stop-gradient targets.
+
+    Matches TomoSimSiamLoss (trains/tomo_simsiam_trainer.py:28-40): the model
+    already detaches z (we stop_gradient here for safety), loss =
+    -(cos(p1, z2) + cos(p2, z1)) / 2. Also returns the output std collapse
+    monitor (mean over feature dims of per-dim std of normalized z1).
+    """
+    def _cos(a, b):
+        a = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-12)
+        b = b / jnp.maximum(jnp.linalg.norm(b, axis=-1, keepdims=True), 1e-12)
+        return (a * b).sum(axis=-1).mean()
+
+    z1 = jax.lax.stop_gradient(z1)
+    z2 = jax.lax.stop_gradient(z2)
+    loss = -(_cos(p1, z2) + _cos(p2, z1)) / 2
+
+    z1n = z1 / jnp.maximum(jnp.linalg.norm(z1, axis=-1, keepdims=True), 1e-12)
+    std_monitor = z1n.std(axis=0).mean()
+    return loss, std_monitor
