@@ -146,14 +146,18 @@ def _row_stats_blocked(feats_all, pos_mask, other_mask, temp, block):
         idx = start + jnp.arange(block)
         valid = idx < m
         rows = feats_all[jnp.clip(idx, 0, m - 1)]
-        sims = rows @ fT / temp                       # (block, 2N)
+        # full-precision gram: the debiasing terms are sensitive to sim error
+        # and this matmul is negligible FLOPs next to the model convs
+        sims = jnp.matmul(rows, fT, precision=jax.lax.Precision.HIGHEST) / temp
+
         rowmax = jnp.max(sims, axis=1, keepdims=True)
         logits = sims - jax.lax.stop_gradient(rowmax)
         col = jnp.arange(m)[None, :]
         offdiag = (col != idx[:, None]).astype(sims.dtype)
         e = jnp.exp(logits * offdiag)                  # diag -> exp(0) = 1
-        pos_sum = e @ pos_mask
-        other_sum = e @ other_mask
+        hp = jax.lax.Precision.HIGHEST
+        pos_sum = jnp.matmul(e, pos_mask, precision=hp)
+        other_sum = jnp.matmul(e, other_mask, precision=hp)
         total_sum = e.sum(axis=1)
         partner_idx = jnp.where(idx < n, idx + n, idx - n)
         partner = jnp.take_along_axis(

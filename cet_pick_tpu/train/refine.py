@@ -1,0 +1,209 @@
+"""Refinement training: PU focal + debiased contrastive + flip consistency.
+
+TPU-native rebuild of the reference's flagship train loop — ``main.py semi``
+with ``TomoCRSemiTrainer`` (reference: cet_pick/main.py:21-129,
+cet_pick/trains/tomo_cr_semi_trainer.py:17-121, trains/base_trainer.py:446-552):
+
+    loss = hm_loss + cr_weight * (debiased_sup + 0.1 * debiased_unsup) + consis
+    hm_loss = PU focal (default) | focal (--pn) (tomo_cr_semi_trainer.py:25-31)
+    both views forwarded through the model; the aug view's feature maps and
+    heatmap are un-flipped by flip_prob before the contrastive/consistency
+    terms (tomo_cr_semi_trainer.py:67-92)
+    validation uses plain focal on whole volumes (:57-60)
+
+The whole step (two forwards + all losses + Adam update) is a single jitted
+function. Unlike the reference (whose scalar ``flip_prob`` branch restricts it
+to batch size 1), samples carry per-sample flip flags and are un-flipped with
+a vectorized ``jnp.where`` — arbitrary batch sizes shard cleanly over a device
+mesh (see parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cet_pick_tpu.ops.nms import sigmoid_clamped
+from cet_pick_tpu.train import losses as L
+from cet_pick_tpu.train.state import TrainState
+
+
+def unflip_aug(x, flip_prob):
+    """Undo per-sample flips on (B, P, D, H, W, ...) view-2 outputs.
+
+    flip_prob > 0.5 means the aug view was flipped along H (ud), else along W
+    (lr) — mirror of particle_moco.py:145-154 / tomo_cr_semi_trainer.py:71-76.
+    """
+    ud = jnp.flip(x, axis=3)
+    lr = jnp.flip(x, axis=4)
+    cond = (flip_prob > 0.5).reshape((-1,) + (1,) * (x.ndim - 1))
+    return jnp.where(cond, ud, lr)
+
+
+def _forward_pair(model, params, batch_stats, x, train):
+    """Apply the model to (B, P, D, H, W) paired crops by folding P into batch."""
+    b, p, d, h, w = x.shape
+    out, updates = model.apply(
+        {"params": params, "batch_stats": batch_stats},
+        x.reshape(b * p, d, h, w),
+        train=train,
+        mutable=["batch_stats"] if train else [],
+    ) if train else (
+        model.apply({"params": params, "batch_stats": batch_stats}, x.reshape(b * p, d, h, w), train=False),
+        {"batch_stats": batch_stats},
+    )
+    # back to (B, P, D, H', W', C)
+    out = {
+        k: v.reshape((b, p) + v.shape[1:]) for k, v in out.items()
+    }
+    return out, updates["batch_stats"]
+
+
+def make_train_step(model, config):
+    """Build the jitted train step for this model/config."""
+    cr_weight = config.cr_weight
+    tau = config.tau
+    temp = config.temp
+    thresh = config.thresh
+    use_pn = config.pn
+    contrastive = config.contrastive
+
+    def loss_fn(params, batch_stats, batch):
+        out, bs1 = _forward_pair(model, params, batch_stats, batch["input"], True)
+        out_cr, bs2 = _forward_pair(model, params, bs1, batch["input_aug"], True)
+
+        hm = sigmoid_clamped(out["hm"][..., 0])        # (B, P, D, H', W')
+        hm_cr = sigmoid_clamped(out_cr["hm"][..., 0])
+        gt = batch["hm"]                               # (B, P, D, H', W')
+
+        if use_pn:
+            hm_loss = L.focal_loss(hm, gt)
+            num_pos = (gt == 1).sum()
+        else:
+            hm_loss, num_pos = L.pu_focal_loss(hm, gt, tau=tau)
+
+        metrics = {"hm_loss": hm_loss, "num_pos": num_pos}
+        loss = hm_loss
+
+        if contrastive:
+            flip = batch["flip_prob"]
+            proj_cr = unflip_aug(out_cr["proj"], flip)
+            hm_cr_unflipped = unflip_aug(hm_cr, flip)
+
+            c = out["proj"].shape[-1]
+            feats = out["proj"].reshape(-1, c)
+            feats_cr = proj_cr.reshape(-1, c)
+            labels = gt.reshape(-1)
+            hm_flat = hm.reshape(-1)
+            hm_cr_flat = hm_cr_unflipped.reshape(-1)
+
+            if use_pn:
+                cr = L.supcon_loss(labels, feats, feats_cr, temp=temp, thresh=thresh)
+                metrics["cr_loss"] = cr
+                loss = loss + cr * cr_weight
+            else:
+                sup, unsup, _ = L.unbiased_con_loss(
+                    labels, hm_flat, hm_cr_flat, feats, feats_cr,
+                    temp=temp, tau_plus=tau, thresh=thresh,
+                )
+                cr = sup + 0.1 * unsup
+                metrics["cr_loss"] = cr
+                loss = loss + cr * cr_weight
+
+            consis = L.consistency_loss(hm_flat, hm_cr_flat)
+            metrics["consis_loss"] = consis
+            loss = loss + consis
+
+        metrics["loss"] = loss
+        return loss, (bs2, metrics)
+
+    @jax.jit
+    def train_step(state: TrainState, batch):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (new_bs, metrics)), grads = grad_fn(state.params, state.batch_stats, batch)
+        state = state.apply_gradients(grads, batch_stats=new_bs)
+        return state, metrics
+
+    return train_step
+
+
+def make_val_step(model):
+    """Whole-volume validation loss: plain focal (tomo_cr_semi_trainer.py:57-60)."""
+
+    @jax.jit
+    def val_step(state: TrainState, volume, gt_hm):
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            volume, train=False,
+        )
+        hm = sigmoid_clamped(out["hm"][..., 0])
+        return L.focal_loss(hm, gt_hm)
+
+    return val_step
+
+
+def lr_at_epoch(config, epoch):
+    """Step decay: lr * decay^(#steps passed) (main.py:122-128)."""
+    lr = config.lr
+    for step_epoch in config.lr_step:
+        if epoch >= step_epoch:
+            lr *= config.lr_decay_rate
+    return lr
+
+
+def train_refine(config, dataset, val_dataset=None, num_epochs=None, log_fn=print):
+    """Full training loop (main.py:99-128): epochs, LR steps, periodic val/ckpt."""
+    import os
+
+    from cet_pick_tpu.models.detector import create_detector
+    from cet_pick_tpu.train.state import (
+        create_train_state, load_checkpoint, save_checkpoint, set_learning_rate,
+    )
+
+    model = create_detector(config)
+    rng = np.random.default_rng(config.seed)
+    init_rng = jax.random.PRNGKey(config.seed)
+
+    sample = dataset.sample_batch(rng, [0])
+    b, p, d, h, w = sample["input"].shape
+    state = create_train_state(model, config, init_rng, sample["input"].reshape(b * p, d, h, w))
+    if config.load_model:
+        state = load_checkpoint(config.load_model, state, resume=config.resume)
+        log_fn(f"loaded checkpoint from {config.load_model} (epoch {state.epoch})")
+
+    train_step = make_train_step(model, config)
+    val_step = make_val_step(model) if val_dataset is not None else None
+
+    num_epochs = num_epochs or config.num_epochs
+    start_epoch = state.epoch + 1
+    history = []
+    for epoch in range(start_epoch, num_epochs + 1):
+        state = set_learning_rate(state, lr_at_epoch(config, epoch))
+        epoch_metrics = []
+        for batch in dataset.epoch_batches(rng, config.batch_size):
+            state, metrics = train_step(state, jax.device_put(batch))
+            epoch_metrics.append({k: float(v) for k, v in metrics.items()})
+        state = state.replace(epoch=epoch)
+        means = {
+            k: float(np.mean([m[k] for m in epoch_metrics]))
+            for k in epoch_metrics[0]
+        }
+        history.append(means)
+        log_fn(f"epoch {epoch}: " + " ".join(f"{k}={v:.5f}" for k, v in means.items()))
+
+        save_checkpoint(os.path.join(config.save_dir, "model_last"), state, config)
+        if config.val_intervals > 0 and epoch % config.val_intervals == 0:
+            if val_step is not None:
+                vals = []
+                for i in range(len(val_dataset.names)):
+                    item = val_dataset.val_item(i)
+                    vals.append(float(val_step(state, item["input"], item["hm"])))
+                log_fn(f"epoch {epoch}: val_focal={np.mean(vals):.5f}")
+            save_checkpoint(
+                os.path.join(config.save_dir, f"model_{epoch}"), state, config
+            )
+    return state, history

@@ -1,0 +1,94 @@
+"""Shape/behavior tests for the refinement detector model."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cet_pick_tpu.config import Config
+from cet_pick_tpu.models import TomoPickNet, UNet2D, create_detector
+
+
+class TestUNet2D:
+    def test_shapes_preserved(self, rng):
+        model = UNet2D(n_blocks=3, start_filts=8, out_channels=16)
+        x = jnp.asarray(rng.standard_normal((2, 32, 32, 4)).astype(np.float32))
+        vars_ = model.init(jax.random.PRNGKey(0), x, train=False)
+        y = model.apply(vars_, x, train=False)
+        assert y.shape == (2, 32, 32, 16)
+
+    def test_odd_input_sizes(self, rng):
+        # ceil-mode pooling + crop on upsampling must handle odd dims
+        model = UNet2D(n_blocks=3, start_filts=8, out_channels=4)
+        x = jnp.asarray(rng.standard_normal((1, 37, 45, 2)).astype(np.float32))
+        vars_ = model.init(jax.random.PRNGKey(0), x, train=False)
+        y = model.apply(vars_, x, train=False)
+        assert y.shape == (1, 37, 45, 4)
+
+
+class TestTomoPickNet:
+    @pytest.fixture(scope="class")
+    def model_and_vars(self):
+        model = TomoPickNet(heads={"hm": 1, "proj": 8}, n_blocks=2, head_conv=8)
+        x = jnp.zeros((2, 4, 32, 32))
+        vars_ = model.init(jax.random.PRNGKey(0), x, train=False)
+        return model, vars_
+
+    def test_output_shapes_down_ratio_2(self, model_and_vars, rng):
+        model, vars_ = model_and_vars
+        x = jnp.asarray(rng.standard_normal((2, 4, 32, 32)).astype(np.float32))
+        out = model.apply(vars_, x, train=False)
+        assert out["hm"].shape == (2, 4, 16, 16, 1)
+        assert out["proj"].shape == (2, 4, 16, 16, 8)
+
+    def test_proj_l2_normalized(self, model_and_vars, rng):
+        model, vars_ = model_and_vars
+        x = jnp.asarray(rng.standard_normal((1, 4, 32, 32)).astype(np.float32))
+        out = model.apply(vars_, x, train=False)
+        norms = np.linalg.norm(np.asarray(out["proj"]), axis=-1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+    def test_train_mode_updates_batch_stats(self, model_and_vars, rng):
+        model, vars_ = model_and_vars
+        x = jnp.asarray(rng.standard_normal((1, 4, 32, 32)).astype(np.float32))
+        out, updates = model.apply(
+            vars_, x, train=True, mutable=["batch_stats"]
+        )
+        assert "batch_stats" in updates
+        # running stats changed from init zeros
+        leaves = jax.tree_util.tree_leaves(updates["batch_stats"])
+        assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)
+
+    def test_gradients_flow(self, model_and_vars, rng):
+        model, vars_ = model_and_vars
+        x = jnp.asarray(rng.standard_normal((1, 4, 32, 32)).astype(np.float32))
+
+        def loss_fn(params):
+            out = model.apply(
+                {"params": params, "batch_stats": vars_["batch_stats"]},
+                x, train=True, mutable=["batch_stats"],
+            )[0]
+            return jnp.sum(out["hm"] ** 2)
+
+        g = jax.grad(loss_fn)(vars_["params"])
+        gnorm = sum(np.abs(np.asarray(l)).sum() for l in jax.tree_util.tree_leaves(g))
+        assert gnorm > 0
+
+    def test_create_from_config(self):
+        c = Config(task="semi", arch="unet_4").finalize()
+        model = create_detector(c)
+        assert model.n_blocks == 4
+        assert model.heads == {"hm": 1, "proj": 32}
+
+    def test_bfloat16_compute_f32_outputs(self, rng):
+        model = TomoPickNet(
+            heads={"hm": 1, "proj": 8}, n_blocks=2, head_conv=8, dtype=jnp.bfloat16
+        )
+        x = jnp.asarray(rng.standard_normal((1, 4, 32, 32)).astype(np.float32))
+        vars_ = model.init(jax.random.PRNGKey(0), x, train=False)
+        out = model.apply(vars_, x, train=False)
+        assert out["hm"].dtype == jnp.float32
+        # params stored in f32
+        p = jax.tree_util.tree_leaves(vars_["params"])
+        assert all(l.dtype == jnp.float32 for l in p)
