@@ -1,0 +1,131 @@
+"""Device mesh + sharded training / inference.
+
+TPU-native replacement for the reference's two multi-device paths
+(reference: cet_pick/models/data_parallel.py:108-117 custom chunked
+DataParallel; cet_pick/main.py:24-41 + trains/base_trainer.py:229-238
+torch.distributed DDP over NCCL):
+
+* **Data parallelism** — one ``jax.sharding.Mesh`` with a ``data`` axis;
+  the global batch is sharded over it with ``NamedSharding``; parameters and
+  optimizer state are replicated. Because the jitted train step's outputs
+  (new params) are marked replicated, XLA's GSPMD partitioner inserts the
+  gradient ``all-reduce`` over ICI automatically — no NCCL, no scatter/gather
+  modules, no uneven chunk sizes (devices are homogeneous).
+* **Spatial parallelism** — the volume analog of sequence parallelism: a
+  whole-tomogram forward is sharded along H (and optionally W) across the
+  ``space`` axis. XLA inserts the convolution halo exchanges itself, so the
+  dilated 3D head's receptive field is handled without manual halo code.
+
+BatchNorm under DP: per-device batch statistics (the torch non-sync-BN
+default). The reference converts to SyncBatchNorm only for DDP
+(main.py:52-53); matching behavior exactly would need cross-device ``pmean``
+of batch moments — we instead keep BN local (identical to the reference's
+primary single-process multi-GPU path) and expose GroupNorm in the model for
+fully deterministic SPMD.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    shape: Sequence[int] = (),
+    axis_names: Sequence[str] = ("data",),
+    devices=None,
+) -> Mesh:
+    """Build a Mesh over the visible devices.
+
+    shape=() means "all devices on one data axis". For multi-axis meshes
+    (e.g. (4, 2) over ("data", "space")) the device count must factor
+    accordingly.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if not shape:
+        shape = (len(devices),)
+        axis_names = tuple(axis_names[:1])
+    n = int(np.prod(shape))
+    if n > len(devices):
+        raise ValueError(f"mesh shape {shape} needs {n} devices, have {len(devices)}")
+    arr = np.array(devices[:n]).reshape(shape)
+    return Mesh(arr, tuple(axis_names))
+
+
+def replicate(mesh: Mesh, tree):
+    """Place a pytree fully replicated on the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_batch(mesh: Mesh, batch, axis: str = "data"):
+    """Shard every leaf of a batch dict along its leading axis."""
+
+    def put(x):
+        spec = P(axis) if np.ndim(x) >= 1 else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def spatial_sharding(mesh: Mesh, axis: str = "space", h_dim: int = 2):
+    """NamedSharding for a (B, D, H, W) volume sharded along H.
+
+    This is the "context parallelism for volumes" design point from
+    SURVEY.md §5: XLA partitions the slice-wise 2D convs and the dilated 3D
+    head spatially and inserts halo exchanges over ICI.
+    """
+    spec = [None, None, None, None]
+    spec[h_dim] = axis
+    return NamedSharding(mesh, P(*spec))
+
+
+def make_dp_train_step(model, config, mesh: Mesh, axis: str = "data"):
+    """Data-parallel train step: batch sharded over `axis`, state replicated.
+
+    Returns (step_fn, place_state, place_batch). The grads all-reduce is
+    implicit: params come in replicated and must leave replicated, so GSPMD
+    emits a psum over the data axis — the TPU-native equivalent of DDP's
+    NCCL allreduce (base_trainer.py:229-238).
+    """
+    from cet_pick_tpu.train.refine import make_train_step
+
+    inner = make_train_step(model, config)
+    repl = NamedSharding(mesh, P())
+
+    def place_state(state):
+        return jax.device_put(state, repl)
+
+    def place_batch(batch):
+        return shard_batch(mesh, batch, axis=axis)
+
+    step = jax.jit(inner, donate_argnums=(0,))
+    return step, place_state, place_batch
+
+
+def make_spatial_infer(model, mesh: Mesh, axis: str = "space"):
+    """Whole-volume forward with the H axis sharded across the mesh.
+
+    For tomograms too large for one chip's HBM (SURVEY.md §5 "long-context"
+    analog): params replicated, activations spatially partitioned, halo
+    exchanges inserted by XLA for every conv window crossing a shard edge.
+    """
+    vol_sharding = spatial_sharding(mesh, axis=axis)
+    repl = NamedSharding(mesh, P())
+
+    @jax.jit
+    def forward(params, batch_stats, volume):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats}, volume, train=False
+        )
+
+    def run(params, batch_stats, volume):
+        params = jax.device_put(params, repl)
+        batch_stats = jax.device_put(batch_stats, repl)
+        volume = jax.device_put(volume, vol_sharding)
+        return forward(params, batch_stats, volume)
+
+    return run

@@ -94,23 +94,34 @@ def make_train_step(model, config):
             proj_cr = unflip_aug(out_cr["proj"], flip)
             hm_cr_unflipped = unflip_aug(hm_cr, flip)
 
+            # Per-sample contrastive grams via vmap: each sample's 2N x 2N
+            # similarity stays on its own device (no cross-device all-gather
+            # under data-parallel sharding) and matches the reference's
+            # batch-size-1 semantics (tomo_cr_semi_trainer.py:67-92) while
+            # scaling O(B * N^2) instead of O((B*N)^2).
             c = out["proj"].shape[-1]
-            feats = out["proj"].reshape(-1, c)
-            feats_cr = proj_cr.reshape(-1, c)
-            labels = gt.reshape(-1)
-            hm_flat = hm.reshape(-1)
-            hm_cr_flat = hm_cr_unflipped.reshape(-1)
+            bsz = gt.shape[0]
+            feats = out["proj"].reshape(bsz, -1, c)
+            feats_cr = proj_cr.reshape(bsz, -1, c)
+            labels = gt.reshape(bsz, -1)
+            hm_flat = hm.reshape(bsz, -1)
+            hm_cr_flat = hm_cr_unflipped.reshape(bsz, -1)
 
             if use_pn:
-                cr = L.supcon_loss(labels, feats, feats_cr, temp=temp, thresh=thresh)
+                cr = jax.vmap(
+                    lambda l, f, fc: L.supcon_loss(
+                        l, f, fc, temp=temp, thresh=thresh
+                    )
+                )(labels, feats, feats_cr).mean()
                 metrics["cr_loss"] = cr
                 loss = loss + cr * cr_weight
             else:
-                sup, unsup, _ = L.unbiased_con_loss(
-                    labels, hm_flat, hm_cr_flat, feats, feats_cr,
-                    temp=temp, tau_plus=tau, thresh=thresh,
-                )
-                cr = sup + 0.1 * unsup
+                sup, unsup, _ = jax.vmap(
+                    lambda l, h1, h2, f, fc: L.unbiased_con_loss(
+                        l, h1, h2, f, fc, temp=temp, tau_plus=tau, thresh=thresh
+                    )
+                )(labels, hm_flat, hm_cr_flat, feats, feats_cr)
+                cr = (sup + 0.1 * unsup).mean()
                 metrics["cr_loss"] = cr
                 loss = loss + cr * cr_weight
 
