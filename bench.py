@@ -1,0 +1,65 @@
+"""End-to-end picking benchmark: tutorial-size tomogram -> coordinates.
+
+Measures the full refinement-inference hot path on one chip — tiled
+slice-UNet + 3D-head forward, fused sigmoid/NMS/top-K decode — on a
+synthetic 256x512x512 volume (the reference tutorial's tomogram size,
+docs/quick_tutorial.md:13-14). Prints ONE JSON line.
+
+Baseline: the driver target of <10 s end-to-end for a 512^3 tomogram on a
+v5e-8 (BASELINE.json). Scaled to this volume on ONE chip, the target rate is
+512^3 voxels / 10 s / 8 chips = 1.678e6 voxels/s/chip; vs_baseline is the
+measured voxels/s/chip over that rate (>1 means beating the target).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from cet_pick_tpu.config import Config
+    from cet_pick_tpu.infer.detector import TomoDetector
+    from cet_pick_tpu.models.detector import create_detector
+    from cet_pick_tpu.train.state import create_train_state
+
+    D, H, W = 256, 512, 512
+    config = Config(task="semi", arch="unet_4", K=900, nms=3,
+                    dtype="bfloat16").finalize()
+    model = create_detector(config)
+    state = create_train_state(
+        model, config, jax.random.PRNGKey(0), np.zeros((1, 8, 64, 64), np.float32)
+    )
+    det = TomoDetector(config, params=state.params,
+                       batch_stats=state.batch_stats, tile_z=64)
+
+    rng = np.random.default_rng(0)
+    vol = rng.standard_normal((D, H, W)).astype(np.float32)
+
+    # warmup: compile both tile shapes + decode
+    hm, dets = det.process(vol)
+    jax.block_until_ready(dets)
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        hm, dets = det.process(vol)
+        jax.block_until_ready(dets)
+        np.asarray(dets)
+        times.append(time.perf_counter() - t0)
+    t = min(times)
+
+    voxels_per_s = D * H * W / t
+    target = 512 ** 3 / 10.0 / 8.0  # driver target, per chip
+    print(json.dumps({
+        "metric": "pick_voxels_per_sec_per_chip",
+        "value": round(voxels_per_s, 1),
+        "unit": "voxel/s",
+        "vs_baseline": round(voxels_per_s / target, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

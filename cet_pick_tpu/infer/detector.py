@@ -1,0 +1,186 @@
+"""Inference driver: checkpoint -> tiled forward -> decode -> coordinate files.
+
+Behavioral rebuild of reference cet_pick/detectors/base_detector.py:22-106 +
+detectors/tomo_det.py:18-95:
+
+* ``TomoDetector.run``     — forward (tiled, see infer/tiled.py) -> fused
+                             sigmoid+NMS+topK decode on device -> per-stage
+                             wall-clock dict (base_detector.py:62-106)
+* ``post_process``         — x,y scaled by down_ratio, grouped by z slice
+                             (tomo_det.py:42-51)
+* ``save_detection``       — writes ``{name}_hm.mrc`` (y/z axes swapped, NaN
+                             check) and ``{name}.txt`` rows ``x\tz\ty[\tscore]``
+                             after score/border filters; fiber/spike modes run
+                             the curve/group post-processing first
+                             (tomo_det.py:53-95)
+
+The whole hot path (forward + decode) stays on device; only the (K, 5)
+detection table and the final heatmap cross back to host.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from cet_pick_tpu.infer.tiled import TiledHeatmapInference
+from cet_pick_tpu.io.mrc import write_mrc
+from cet_pick_tpu.ops.decode import tomo_decode
+from cet_pick_tpu.utils.post_process import (
+    fiber_postprocess,
+    group_dets_by_z,
+    spike_group_postprocess,
+)
+
+
+class TomoDetector:
+    """Loads a trained refinement checkpoint and picks particles from volumes."""
+
+    def __init__(self, config, params=None, batch_stats=None, tile_z=64):
+        from cet_pick_tpu.models.detector import create_detector
+
+        self.config = config
+        self.model = create_detector(config)
+        if params is None:
+            from cet_pick_tpu.train.state import create_train_state, load_checkpoint
+            import jax.numpy as jnp
+
+            state = create_train_state(
+                self.model, config, jax.random.PRNGKey(0),
+                np.zeros((1, 8, 64, 64), np.float32),
+            )
+            state = load_checkpoint(config.load_model, state)
+            params, batch_stats = state.params, state.batch_stats
+        self.infer = TiledHeatmapInference(
+            self.model, params, batch_stats, tile_z=tile_z
+        )
+
+    # -- pipeline stages -----------------------------------------------------
+
+    def process(self, volume: np.ndarray):
+        """Tiled forward + fused decode; returns (hm probs, (K,5) dets)."""
+        cfg = self.config
+        hm = self.infer(volume)
+        dets = tomo_decode(hm, kernel=cfg.nms, k=cfg.K, if_fiber=cfg.fiber)
+        return hm, dets
+
+    def post_process(self, dets: np.ndarray, z_dim_tot: int):
+        """Scale xy back to input resolution and group rows by z
+        (tomo_det.py:42-51)."""
+        dets = np.asarray(dets, dtype=np.float32).copy()
+        dets[:, :2] *= self.config.down_ratio
+        return group_dets_by_z(dets, z_dim_tot)
+
+    def run(self, volume: np.ndarray, name: str = "tomo",
+            out_dir: Optional[str] = None) -> Dict:
+        """Full picking pipeline for one tomogram with per-stage timing."""
+        cfg = self.config
+        t0 = time.time()
+        hm, dets = self.process(volume)
+        dets = np.asarray(jax.block_until_ready(dets))
+        t_net = time.time()
+        hm = np.asarray(hm)
+        z_groups = self.post_process(dets, z_dim_tot=hm.shape[0])
+        t_post = time.time()
+        ret = {
+            "name": name,
+            "hm": hm,
+            "dets": dets,
+            "z_groups": z_groups,
+            "times": {"net+dec": t_net - t0, "post": t_post - t_net},
+        }
+        if out_dir is not None:
+            self.save_detection(hm, z_groups, out_dir, name)
+            ret["times"]["save"] = time.time() - t_post
+        ret["times"]["tot"] = time.time() - t0
+        return ret
+
+    # -- output writers ------------------------------------------------------
+
+    def save_detection(self, hm: np.ndarray, z_groups: Dict, path: str,
+                       name: str):
+        """Write ``{name}_hm.mrc`` + filtered ``{name}.txt`` (tomo_det.py:53-95)."""
+        cfg = self.config
+        os.makedirs(path, exist_ok=True)
+
+        max_z, max_y, max_x = hm.shape
+        max_x, max_y = max_x * cfg.down_ratio, max_y * cfg.down_ratio
+        if np.isnan(hm).any():
+            raise ValueError("Output contains NaN values")
+        # heatmap saved with y/z axes swapped, matching the reference's
+        # np.swapaxes(hm, 1, 0) before mrc write (tomo_det.py:60-67)
+        write_mrc(os.path.join(path, f"{name}_hm.mrc"),
+                  np.float32(np.swapaxes(hm, 1, 0)))
+
+        lines = []
+        pre_coords = []
+        for _, rows in z_groups.items():
+            for c in rows:
+                x, y, z = int(np.floor(c[0])), int(np.floor(c[1])), int(np.floor(c[2]))
+                score = float(c[3])
+                keep = (
+                    score > cfg.out_thresh
+                    and cfg.cutoff_z <= z <= max_z - cfg.cutoff_z
+                    and 20 < x < max_x - 20
+                    and 20 < y < max_y - 20
+                )
+                if not keep:
+                    continue
+                if cfg.compress:
+                    z = z * 2
+                if cfg.fiber or cfg.spike:
+                    pre_coords.append([x, y, z, score])
+                elif cfg.with_score:
+                    lines.append(f"{x}\t{z}\t{y}\t{score}")
+                else:
+                    lines.append(f"{x}\t{z}\t{y}")
+
+        if cfg.fiber and pre_coords:
+            post = fiber_postprocess(
+                [c[:3] for c in pre_coords],
+                distance_cutoff=cfg.distance_cutoff,
+                res_cutoff=cfg.r2_cutoff,
+                curvature_cutoff=cfg.curvature_cutoff,
+                scale=cfg.distance_scale,
+            )
+            lines += [f"{c[0]}\t{c[1]}\t{c[2]}" for c in post]
+        elif cfg.spike and pre_coords:
+            post = spike_group_postprocess(
+                pre_coords, distance_cutoff=cfg.distance_cutoff, min_per_group=5
+            )
+            for c in post:
+                if cfg.with_score:
+                    lines.append(f"{int(c[0])}\t{int(c[2])}\t{int(c[1])}\t{c[3]}")
+                else:
+                    lines.append(f"{int(c[0])}\t{int(c[2])}\t{int(c[1])}")
+
+        with open(os.path.join(path, f"{name}.txt"), "w") as f:
+            f.write("\n".join(lines) + ("\n" if lines else ""))
+        return lines
+
+
+def run_test(config, out_dir=None):
+    """test.py equivalent: run the detector over the test image list
+    (reference cet_pick/test.py:65-93)."""
+    from cet_pick_tpu.io.coords import read_image_list
+    from cet_pick_tpu.io.loader import load_tomos_from_list
+
+    il = read_image_list(os.path.join(config.data_dir, config.test_img_txt))
+    images = load_tomos_from_list(
+        il.image_name, il.rec_path,
+        order=config.order, compress=config.compress, denoise=config.gauss,
+    )
+    det = TomoDetector(config)
+    out_dir = out_dir or config.out_path
+    results = {}
+    for name, vol in images.items():
+        r = det.run(np.asarray(vol, np.float32), name=name, out_dir=out_dir)
+        print(f"{name}: " + " ".join(
+            f"{k} {v:.3f}s" for k, v in r["times"].items()
+        ))
+        results[name] = r["times"]
+    return results

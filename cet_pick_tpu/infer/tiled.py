@@ -1,0 +1,84 @@
+"""Whole-volume heatmap inference, tiled along z with halo overlap.
+
+The reference pushes entire 512x512x256 volumes through the net in one
+forward (reference: cet_pick/test.py:77-85, detectors/tomo_det.py:23-40) and
+relies on 32 GB GPUs plus ad-hoc validation crops when that OOMs
+(datasets/particle_moco.py:171-177). The TPU-native design instead streams
+fixed-shape z-tiles through a single compiled program:
+
+* the 2D UNet trunk is slice-wise (no z mixing), and the 3D head's z
+  receptive field is exactly +-3 (two k3/dil-1 convs + one k(3,1,1) head,
+  models/networks/unet_small.py:39-61), so a halo of 3 slices makes tiled
+  output bit-identical to the full-volume forward in the tile interior;
+* every tile has the same static shape -> ONE XLA compilation, double
+  buffering between HBM transfers and compute comes from jax async dispatch
+  (the next tile's host->device copy overlaps the current tile's compute);
+* NMS/top-K decode runs once on the stitched full heatmap, so tile
+  boundaries cannot split or duplicate peaks.
+
+Volumes whose z is not a multiple of the tile depth are zero-padded up (the
+model pads convolutions with zeros anyway); padded slices are cropped before
+decode so they can never produce detections.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Z_HALO = 3  # z receptive-field radius of the 3D head (unet_small.py:39-61)
+
+
+class TiledHeatmapInference:
+    """Jitted z-tiled `hm` forward for one model + params."""
+
+    def __init__(self, model, params, batch_stats, tile_z: int = 64,
+                 halo: int = Z_HALO):
+        self.model = model
+        self.variables = {"params": params, "batch_stats": batch_stats}
+        self.tile_z = int(tile_z)
+        self.halo = int(halo)
+
+        @functools.partial(jax.jit, static_argnames=())
+        def _tile_forward(variables, tile):
+            out = self.model.apply(
+                variables, tile[None], train=False, active_heads=("hm",)
+            )
+            # (1, tz, H', W', 1) logits -> (tz, H', W') probabilities
+            from cet_pick_tpu.ops.nms import sigmoid_clamped
+
+            return sigmoid_clamped(out["hm"][0, ..., 0])
+
+        self._tile_forward = _tile_forward
+
+    def __call__(self, volume: np.ndarray) -> jnp.ndarray:
+        """volume: (D, H, W) float32 -> stitched (D, H//2, W//2) heatmap
+        probabilities (device array).
+
+        Windows are shifted inward at the volume borders (never zero-padded),
+        so every core slice either has >= halo slices of real context inside
+        its window or sits at the true volume border where the convolutions'
+        own zero padding applies — the stitched result is bit-identical to a
+        single full-volume forward.
+        """
+        d, h, w = volume.shape
+        tz, halo = self.tile_z, self.halo
+        win = tz + 2 * halo
+        if d <= win:
+            # single window covers the volume; exact by construction
+            return self._tile_forward(self.variables, jnp.asarray(volume))
+
+        n_tiles = -(-d // tz)
+        cores = []
+        for t in range(n_tiles):
+            z0 = t * tz
+            z1 = min(z0 + tz, d)
+            s = min(max(z0 - halo, 0), d - win)
+            window = jnp.asarray(volume[s : s + win])
+            hm = self._tile_forward(self.variables, window)
+            cores.append(hm[z0 - s : z1 - s])
+        return jnp.concatenate(cores, axis=0)

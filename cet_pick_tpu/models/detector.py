@@ -66,7 +66,11 @@ class TomoPickNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, active_heads=None):
+        """active_heads: optional subset of self.heads to compute (e.g. only
+        'hm' for whole-volume picking — skips the proj conv and its
+        (D, H', W', C) output tensor). Params for skipped heads are simply
+        unused; flax tolerates the extra entries."""
         b, d, h, w = x.shape
         # fold z into batch: (B, D, H, W) -> (B*D, H, W, 1)
         x = x.reshape(b * d, h, w, 1).astype(self.dtype)
@@ -101,6 +105,8 @@ class TomoPickNet(nn.Module):
 
         out = {}
         for head, classes in self.heads.items():
+            if active_heads is not None and head not in active_heads:
+                continue
             y = nn.Conv(
                 classes, kernel_size=(3, 1, 1), padding="SAME", use_bias=False,
                 dtype=self.dtype, name=head,

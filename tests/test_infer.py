@@ -1,0 +1,119 @@
+"""Tiled inference, detector pipeline, and post-processing tests."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from cet_pick_tpu.config import Config
+from cet_pick_tpu.infer.detector import TomoDetector
+from cet_pick_tpu.infer.tiled import TiledHeatmapInference
+from cet_pick_tpu.models.detector import create_detector
+from cet_pick_tpu.ops.nms import sigmoid_clamped
+from cet_pick_tpu.train.state import create_train_state
+from cet_pick_tpu.utils.post_process import (
+    fiber_postprocess,
+    group_dets_by_z,
+    spike_group_postprocess,
+)
+
+
+@pytest.fixture(scope="module")
+def small_setup():
+    config = Config(task="semi", arch="unet_2", K=50, nms=3,
+                    out_thresh=0.0, cutoff_z=0).finalize()
+    model = create_detector(config)
+    state = create_train_state(
+        model, config, jax.random.PRNGKey(0), np.zeros((1, 8, 64, 64), np.float32)
+    )
+    return config, model, state
+
+
+def test_tiled_matches_full_volume(small_setup, rng):
+    """Shifted-window z-tiling must be bit-identical to one full forward."""
+    config, model, state = small_setup
+    vol = rng.standard_normal((20, 64, 64)).astype(np.float32)
+
+    tiled = TiledHeatmapInference(model, state.params, state.batch_stats, tile_z=6)
+    hm_tiled = np.asarray(tiled(vol))
+
+    out = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        vol[None], train=False, active_heads=("hm",),
+    )
+    hm_full = np.asarray(sigmoid_clamped(out["hm"][0, ..., 0]))
+
+    assert hm_tiled.shape == hm_full.shape
+    np.testing.assert_allclose(hm_tiled, hm_full, rtol=0, atol=1e-6)
+
+
+def test_active_heads_skips_proj(small_setup):
+    config, model, state = small_setup
+    x = np.zeros((1, 6, 32, 32), np.float32)
+    out = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        x, train=False, active_heads=("hm",),
+    )
+    assert set(out) == {"hm"}
+
+
+def test_detector_run_and_save(small_setup, tmp_path, rng):
+    config, model, state = small_setup
+    det = TomoDetector(config, params=state.params,
+                       batch_stats=state.batch_stats, tile_z=8)
+    vol = rng.standard_normal((16, 96, 96)).astype(np.float32)
+    r = det.run(vol, name="t1", out_dir=str(tmp_path))
+    assert r["hm"].shape == (16, 48, 48)
+    assert r["dets"].shape == (config.K, 5)
+    txt = (tmp_path / "t1.txt").read_text().strip().splitlines()
+    # all kept rows are x z y with 20 < x,y < 76 at input res
+    for line in txt:
+        x, z, y = map(int, line.split("\t"))
+        assert 20 < x < 76 and 20 < y < 76 and 0 <= z <= 16
+    from cet_pick_tpu.io.mrc import read_mrc
+
+    hm_saved = read_mrc(str(tmp_path / "t1_hm.mrc"))
+    # saved heatmap has y/z swapped (tomo_det.py:60-67)
+    assert hm_saved.shape == (48, 16, 48)
+    np.testing.assert_allclose(hm_saved, np.swapaxes(r["hm"], 1, 0), atol=1e-6)
+
+
+def test_group_dets_by_z():
+    dets = np.array([
+        [1, 2, 0, 0.9, 0.9],
+        [3, 4, 0, 0.8, 0.8],
+        [5, 6, 2, 0.7, 0.7],
+    ], dtype=np.float32)
+    g = group_dets_by_z(dets, z_dim_tot=4)
+    assert set(g) == {0, 2}
+    assert len(g[0]) == 2 and len(g[2]) == 1
+
+
+def test_spike_group_postprocess():
+    # 7-point tight cluster survives; 2-point cluster dropped
+    cluster = [[10 + i, 10, 10, 0.5] for i in range(7)]
+    stray = [[100, 100, 100, 0.9], [101, 100, 100, 0.9]]
+    out = spike_group_postprocess(cluster + stray, distance_cutoff=5,
+                                  min_per_group=5)
+    assert len(out) == 7
+    assert all(row[0] < 20 for row in out)
+
+
+def test_fiber_postprocess_straight_line():
+    # points along a straight line varying in x (the fit's parameter axis,
+    # post_process.py:71-75) -> accepted, resampled
+    xs = np.arange(0, 40, 2)
+    dets = [[x, 50, 30] for x in xs]
+    out = fiber_postprocess(dets, distance_cutoff=5, res_cutoff=30,
+                            curvature_cutoff=0.03, scale=2)
+    assert len(out) > 0
+    for x, z, y in out:
+        assert abs(y - 50) <= 1 and abs(z - 30) <= 1
+
+
+def test_fiber_postprocess_rejects_scatter(rng):
+    # random scatter in a ball: high residual -> rejected
+    pts = rng.uniform(0, 30, size=(12, 3)).tolist()
+    out = fiber_postprocess(pts, distance_cutoff=60, res_cutoff=1e-3,
+                            curvature_cutoff=1e-9, scale=2)
+    assert out == []
