@@ -1,0 +1,260 @@
+"""Exploration (SimSiam) datasets: DoG-mined patches from tomograms (+tilts).
+
+Host-side rebuild of the reference's exploration data layer
+(reference: cet_pick/datasets/tomo_pre_proj_angle_select_new2d3d.py:25-233 for
+the 2d3d mode, tomo_pre_proj_angle_select_new3d_vol.py for the 3d-only mode,
+and particle_pre_2d_proj_new2d3d.py:70-91 for sampling):
+
+* candidates come from the jitted DoG pyramid miner (ops/dog.py);
+* 2d3d mode: for every candidate, (a) a tilt-projection patch — the tomogram
+  coordinate is mapped into each tilt image with angle in [low, up] via
+  ``tilt_x = (x - cx) cos θ + ((D - z) - cz) sin θ + cx`` and the per-tilt
+  crops are summed then min-max normalized (:91-133); (b) a 2D z-slice patch
+  from the reconstruction, min-max normalized (:102-111);
+* 3d-only mode: just the z-slice patch;
+* each kept candidate gets an "aug set": patches at 4 neighboring voxel
+  offsets (+z, -z, -x-z, +y-z) (:191-215) — training pairs the anchor with a
+  random member;
+* dataset-level mean/std of the 2d and 3d patch populations are recorded for
+  normalization (:227-230), applied on device by ops/augment.py.
+
+Patch extraction is vectorized per tomogram: all candidate windows for all
+used tilts are gathered with one fancy-index per tilt instead of the
+reference's per-candidate python loops.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from cet_pick_tpu.ops.dog import dog_candidates_pyramid
+
+
+def tomo_to_tilt(coord, angle_deg, tomo_size):
+    """Map a tomogram (x, y, z) to tilt-image (x, y) at a given angle
+    (tomo_pre_proj_angle_select_new2d3d.py:91-96). tomo_size = (X, Y, Z)."""
+    a = angle_deg * np.pi / 180.0
+    x, y, z = coord[0], coord[1], tomo_size[2] - coord[2]
+    tilt_x = (
+        (x - tomo_size[0] // 2) * np.cos(a)
+        + (z - tomo_size[2] // 2) * np.sin(a)
+        + tomo_size[0] // 2
+    )
+    return int(tilt_x), int(y)
+
+
+def _minmax(p):
+    lo, hi = np.min(p), np.max(p)
+    if hi == lo:
+        return None
+    return (p - lo) / (hi - lo)
+
+
+class ExploreDataset:
+    """Candidate patches for SimSiam training / embedding extraction.
+
+    mode '2d3d' needs tilt stacks + angles; mode '3d' works from
+    reconstructions alone. split 'train' builds aug sets; 'test' keeps one
+    patch per candidate (plus its coord + name) for embedding extraction.
+    """
+
+    AUG_OFFSETS = ((0, 0, 1), (0, 0, -1), (-1, 0, -1), (0, 1, -1))
+
+    def __init__(self, config, split="train", low=-20.0, up=20.0,
+                 images=None, tilts=None, angles=None):
+        self.config = config
+        self.split = split
+        self.mode = "2d3d" if "2d3d" in config.task or "2d3d" in config.arch else "3d"
+        self.bbox = int(config.bbox)
+        self.low, self.up = low, up
+
+        if images is None:
+            images, tilts, angles = self._load_from_lists()
+
+        sig = config.dog
+        self.sigmas = tuple(sig) if np.ndim(sig) else (float(sig), float(sig) * 2)
+
+        self.patches_2d: List[np.ndarray] = []   # anchor tilt (2d3d) patches
+        self.patches_3d: List[np.ndarray] = []   # anchor slice patches
+        self.aug_sets_2d: List[List[np.ndarray]] = []
+        self.aug_sets_3d: List[List[np.ndarray]] = []
+        self.coords: List[np.ndarray] = []
+        self.names: List[str] = []
+        for name in images:
+            self._mine_tomogram(
+                name, images[name],
+                tilts.get(name) if tilts else None,
+                angles.get(name) if angles else None,
+            )
+
+        if self.patches_3d:
+            stack3d = np.stack(self.patches_3d)
+            self.mean_3d, self.std_3d = float(stack3d.mean()), float(stack3d.std())
+        else:
+            self.mean_3d = 0.0
+            self.std_3d = 1.0
+        if self.mode == "2d3d" and self.patches_2d:
+            stack2d = np.stack(self.patches_2d)
+            self.mean_2d, self.std_2d = float(stack2d.mean()), float(stack2d.std())
+        else:
+            self.mean_2d, self.std_2d = self.mean_3d, self.std_3d
+        self.num_samples = len(self.patches_3d)
+
+    # -- loading -------------------------------------------------------------
+
+    def _load_from_lists(self):
+        from cet_pick_tpu.io.coords import read_image_list
+        from cet_pick_tpu.io.loader import (
+            load_tomo_all_and_angles_from_list,
+            load_tomos_from_list,
+        )
+
+        cfg = self.config
+        txt = cfg.train_img_txt if self.split == "train" else cfg.test_img_txt
+        il = read_image_list(os.path.join(cfg.data_dir, txt))
+        if self.mode == "2d3d":
+            tilts, recs, angles = load_tomo_all_and_angles_from_list(
+                il.image_name, il.tilt_path, il.rec_path, il.angle_path,
+                compress=cfg.compress, denoise=cfg.gauss,
+            )
+            return recs, tilts, {k: v.ravel() for k, v in angles.items()}
+        recs = load_tomos_from_list(
+            il.image_name, il.rec_path,
+            order=cfg.order, compress=cfg.compress, denoise=cfg.gauss,
+        )
+        return recs, None, None
+
+    # -- patch extraction ----------------------------------------------------
+
+    def _extract_slice(self, rec, coord):
+        """2D z-slice crop, min-max normalized (extract_3d_tomo, :102-111)."""
+        half = self.bbox // 2
+        x, y, z = coord
+        if self.config.compress:
+            z = int(z) // 2
+        patch = rec[z, y - half : y + half, x - half : x + half]
+        if patch.shape != (self.bbox, self.bbox):
+            return None
+        return _minmax(patch.astype(np.float32))
+
+    def _extract_tilt_sum(self, tilt, used_angles, coord, tomo_size):
+        """Sum of per-tilt crops at the projected coordinate, min-max
+        normalized (extract_patches, :113-133)."""
+        half = self.bbox // 2
+        margin = self.bbox // 1.8
+        acc = None
+        for idx in range(len(used_angles)):
+            tx, ty = tomo_to_tilt(coord, used_angles[idx], tomo_size)
+            if (tx <= margin or tx >= tomo_size[0] - margin
+                    or ty <= margin or ty >= tomo_size[1] - margin):
+                continue
+            patch = tilt[idx, ty - half : ty + half, tx - half : tx + half]
+            if patch.shape != (self.bbox, self.bbox):
+                continue
+            acc = patch.copy() if acc is None else acc + patch
+        if acc is None:
+            return None
+        return _minmax(acc.astype(np.float32))
+
+    def _mine_tomogram(self, name, rec, tilt, angle):
+        cfg = self.config
+        d, h, w = rec.shape
+        tomo_size = (w, h, d * 2 if cfg.compress else d)
+        scores, positions = dog_candidates_pyramid(rec, sigmas=self.sigmas)
+
+        if self.mode == "2d3d":
+            used = np.where((angle >= self.low) & (angle <= self.up))[0]
+            used_angles = angle[used]
+            used_tilt = tilt[used]
+
+        margin = self.bbox // 1.8
+        for p in range(positions.shape[0]):
+            x, y, z = (int(v) for v in positions[p])
+            if cfg.compress:
+                z_full = z * 2
+            else:
+                z_full = z
+            if not (margin < x < tomo_size[0] - margin
+                    and margin <= y <= tomo_size[1] - margin):
+                continue
+            coord = (x, y, z_full)
+            patch3d = self._extract_slice(rec, coord)
+            if patch3d is None:
+                continue
+            if self.mode == "2d3d":
+                patch2d = self._extract_tilt_sum(used_tilt, used_angles, coord, tomo_size)
+                if patch2d is None:
+                    continue
+            else:
+                patch2d = None
+
+            if self.split == "train":
+                set3d, set2d = [patch3d], [patch2d]
+                for dx, dy, dz in self.AUG_OFFSETS:
+                    c2 = (x + dx, y + dy, z_full + dz)
+                    p3 = self._extract_slice(rec, c2)
+                    if p3 is None:
+                        continue
+                    if self.mode == "2d3d":
+                        p2 = self._extract_tilt_sum(used_tilt, used_angles, c2, tomo_size)
+                        if p2 is None:
+                            continue
+                        set2d.append(p2)
+                    set3d.append(p3)
+                if len(set3d) < 2:
+                    continue
+                self.aug_sets_3d.append(set3d)
+                self.aug_sets_2d.append(set2d)
+            self.patches_3d.append(patch3d)
+            if patch2d is not None:
+                self.patches_2d.append(patch2d)
+            self.coords.append(np.array([x, y, positions[p][2]], dtype=np.float32))
+            self.names.append(name)
+
+    # -- sampling ------------------------------------------------------------
+
+    def __len__(self):
+        return self.num_samples
+
+    def sample_batch(self, rng: np.random.Generator, indices):
+        """Raw (un-augmented) anchor + aug-set-member patch stacks.
+
+        Returns dict of (B, C, bbox, bbox) float32 with C=2 for 2d3d
+        ((tilt, slice) stacked, sharing spatial augs like the reference's
+        2-channel Compose) or C=1 for 3d. On-device augmentation
+        (ops/augment.py) consumes these.
+        """
+        anchors, augs = [], []
+        for i in indices:
+            i = int(i)
+            set3d = self.aug_sets_3d[i]
+            pick = int(rng.integers(1, len(set3d)))
+            if self.mode == "2d3d":
+                set2d = self.aug_sets_2d[i]
+                anchors.append(np.stack([set2d[0], set3d[0]]))
+                augs.append(np.stack([set2d[pick], set3d[pick]]))
+            else:
+                anchors.append(set3d[0][None])
+                augs.append(set3d[pick][None])
+        return {
+            "anchor": np.stack(anchors).astype(np.float32),
+            "aug": np.stack(augs).astype(np.float32),
+        }
+
+    def epoch_batches(self, rng: np.random.Generator, batch_size, drop_last=True):
+        order = rng.permutation(self.num_samples)
+        n_full = len(order) // batch_size
+        for b in range(n_full):
+            yield self.sample_batch(rng, order[b * batch_size : (b + 1) * batch_size])
+        if not drop_last and len(order) % batch_size:
+            yield self.sample_batch(rng, order[n_full * batch_size :])
+
+    def test_items(self):
+        """Per-candidate (patch2d, patch3d, name, coord) for embedding
+        extraction (simsiam_test_hm_2d3d.py:33-71)."""
+        for i in range(self.num_samples):
+            p2 = self.patches_2d[i] if self.mode == "2d3d" else None
+            yield self.names[i], self.coords[i], p2, self.patches_3d[i]

@@ -1,0 +1,91 @@
+"""Embedding extraction for the exploration module.
+
+Rebuild of reference cet_pick/simsiam_test_hm_2d3d.py:151-245 (2d3d) and
+simsiam_test_hm_3d.py (3d): re-mine the DoG candidates, normalize each patch
+with the dataset statistics (test-time transforms are CenterCrop + Normalize
+only, simsiam_test_hm_2d3d.py:47-53), run ``forward_test`` in large batches,
+and dump ``all_output_info.npz`` with the reference's exact keys:
+
+    proj, pred, name, coords, subvol          (3d mode)
+    proj, pred, name, coords, subvol, subvols_2d   (2d3d mode)
+
+so plot_2d / phoenix visualization tooling is drop-in compatible
+(:230-232 / simsiam_test_hm_3d.py:193-195).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def extract_embeddings(config, dataset, params, batch_stats, batch_size=256):
+    """Run forward_test over every candidate patch; returns the npz dict."""
+    from cet_pick_tpu.models.simsiam import create_simsiam
+
+    model = create_simsiam(config)
+    mode = model.mode
+
+    @jax.jit
+    def fwd(x2d, x3d):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x2d, x3d, method=model.forward_test,
+        )
+
+    @jax.jit
+    def fwd_2donly(x2d):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x2d, None, method=model.forward_test,
+        )
+
+    names, coords, p2s, p3s = [], [], [], []
+    for name, coord, p2, p3 in dataset.test_items():
+        names.append(name)
+        coords.append(coord)
+        p3s.append(p3)
+        if mode == "2d3d":
+            p2s.append(p2)
+
+    n = len(p3s)
+    projs, preds = [], []
+    pad = (-n) % batch_size
+    sub3 = np.stack(p3s).astype(np.float32)
+    x3_all = (sub3 - dataset.mean_3d) / dataset.std_3d
+    if mode == "2d3d":
+        sub2 = np.stack(p2s).astype(np.float32)
+        x2_all = (sub2 - dataset.mean_2d) / dataset.std_2d
+    for start in range(0, n, batch_size):
+        end = min(start + batch_size, n)
+        x3 = jnp.asarray(x3_all[start:end])[..., None]
+        if mode == "2d3d":
+            x2 = jnp.asarray(x2_all[start:end])[..., None]
+            out = fwd(x2, x3)
+        else:
+            out = fwd_2donly(x3)
+        projs.append(np.asarray(out["proj"]))
+        preds.append(np.asarray(out["pred"]))
+
+    result = {
+        "proj": np.concatenate(projs),
+        "pred": np.concatenate(preds),
+        "name": np.array(names),
+        "coords": np.stack(coords),
+        "subvol": sub3,
+    }
+    if mode == "2d3d":
+        result["subvols_2d"] = sub2
+    return result
+
+
+def save_embeddings(config, result, out_dir=None):
+    """Write all_output_info.npz (simsiam_test_hm_2d3d.py:230-232)."""
+    out_dir = out_dir or config.save_dir
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "all_output_info.npz")
+    np.savez(path, **result)
+    return path

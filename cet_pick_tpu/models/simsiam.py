@@ -1,0 +1,173 @@
+"""SimSiam exploration encoders (flax).
+
+Behavioral equivalents of the reference's exploration models
+(reference: cet_pick/models/networks/simsiam_model_2d3d.py:560-892 arch
+``simsiam2d3d_18``, and simsiam_model_2d.py:617-932 arch ``simsiam2d_18``):
+
+* trunk: ResNet-18-style — conv 1->64 k3 s1 (no maxpool), BasicBlock stages
+  [2, 2, 2] at 64/128/256 channels (layer4 dropped), global average pool
+  (simsiam_model_2d3d.py:567-574)
+* 2d3d mode: the 2D tilt patch and the 3D slice patch run through the SAME
+  trunk concatenated along batch (shared weights + shared BN statistics,
+  :737-738), then their pooled features concatenate channel-wise -> fc to
+  head_conv (:755-766)
+* SimSiam heads: proj = 3-layer MLP with BN (final BN affine-free), pred =
+  2-layer MLP (:588-607); the returned 'proj' is stop-gradient'd — the
+  reference's ``.detach()`` (:769-779)
+
+TPU-first: channels-last NHWC convs, one fused batch for both views where
+the caller wants it, bfloat16-capable, static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class BasicBlock(nn.Module):
+    features: int
+    strides: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        conv = lambda f, s, name: nn.Conv(
+            f, (3, 3), strides=(s, s), padding="SAME", use_bias=False,
+            dtype=self.dtype, name=name,
+        )
+        bn = lambda name: nn.BatchNorm(
+            momentum=0.9, epsilon=1e-5, dtype=self.dtype, name=name
+        )
+        residual = x
+        y = conv(self.features, self.strides, "conv1")(x)
+        y = bn("bn1")(y, use_running_average=not train)
+        y = nn.relu(y)
+        y = conv(self.features, 1, "conv2")(y)
+        y = bn("bn2")(y, use_running_average=not train)
+        if residual.shape[-1] != self.features or self.strides != 1:
+            residual = nn.Conv(
+                self.features, (1, 1), strides=(self.strides, self.strides),
+                use_bias=False, dtype=self.dtype, name="downsample_conv",
+            )(x)
+            residual = bn("downsample_bn")(residual, use_running_average=not train)
+        return nn.relu(y + residual)
+
+
+class ResNetTrunk(nn.Module):
+    """conv1 (1->64 k3 s1) + stages [2,2,2] @ 64/128/256 + global avg pool."""
+
+    stage_sizes: Sequence[int] = (2, 2, 2)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        # x: (B, H, W, 1)
+        x = nn.Conv(64, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        x = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                         name="bn1")(x, use_running_average=not train)
+        x = nn.relu(x)
+        for stage, (blocks, feats) in enumerate(
+            zip(self.stage_sizes, (64, 128, 256))
+        ):
+            for b in range(blocks):
+                strides = 2 if (stage > 0 and b == 0) else 1
+                x = BasicBlock(feats, strides, dtype=self.dtype,
+                               name=f"layer{stage + 1}_{b}")(x, train)
+        return jnp.mean(x, axis=(1, 2))  # global average pool -> (B, 256)
+
+
+class ProjMLP(nn.Module):
+    """3-layer projection MLP, final BN affine-free (simsiam_model_2d3d.py:590-598)."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        for i in range(2):
+            x = nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                         name=f"fc{i}")(x)
+            x = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                             name=f"bn{i}")(x, use_running_average=not train)
+            x = nn.relu(x)
+        x = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="fc2")(x)
+        x = nn.BatchNorm(momentum=0.9, epsilon=1e-5, use_bias=False,
+                         use_scale=False, dtype=self.dtype, name="bn2")(
+            x, use_running_average=not train
+        )
+        return x
+
+
+class PredMLP(nn.Module):
+    """2-layer prediction MLP (simsiam_model_2d3d.py:600-605)."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="fc0")(x)
+        x = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                         name="bn0")(x, use_running_average=not train)
+        x = nn.relu(x)
+        return nn.Dense(self.dim, dtype=self.dtype, name="fc1")(x)
+
+
+class SimSiamEncoder(nn.Module):
+    """Shared trunk + fc + proj/pred heads; handles both 2d3d and 2d modes.
+
+    mode '2d3d': inputs are (patch_2d, patch_3d) pairs -> features concat to
+    512 before fc. mode '2d': single patch -> 256 -> fc.
+    """
+
+    head_conv: int = 128
+    mode: str = "2d3d"
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.trunk = ResNetTrunk(dtype=self.dtype)
+        self.fc = nn.Dense(self.head_conv, dtype=self.dtype)
+        self.proj = ProjMLP(self.head_conv, dtype=self.dtype)
+        self.pred = PredMLP(self.head_conv, dtype=self.dtype)
+
+    def encode(self, x2d, x3d, train: bool):
+        """Pooled feature for one view. x2d/x3d: (B, H, W, 1); x3d may be None
+        in 2d mode."""
+        if self.mode == "2d3d":
+            b = x2d.shape[0]
+            both = jnp.concatenate([x2d, x3d], axis=0)  # batch-concat, shared BN
+            feat = self.trunk(both, train)
+            feat = jnp.concatenate([feat[:b], feat[b:]], axis=1)  # (B, 512)
+        else:
+            feat = self.trunk(x2d, train)
+        return self.fc(feat)
+
+    def heads_of(self, feat, train: bool):
+        z = self.proj(feat, train)
+        p = self.pred(z, train)
+        return {"proj": jax.lax.stop_gradient(z), "pred": p}
+
+    def __call__(self, x1_2d, x1_3d, x2_2d, x2_3d, train: bool = True):
+        """Two augmented views -> [ret1, ret2] with stop-grad proj targets
+        (simsiam_model_2d3d.py:728-782)."""
+        f1 = self.encode(x1_2d, x1_3d, train)
+        f2 = self.encode(x2_2d, x2_3d, train)
+        return [self.heads_of(f1, train), self.heads_of(f2, train)]
+
+    def forward_test(self, x1_2d, x1_3d=None):
+        """Single-view embeddings (simsiam_model_2d3d.py:697-726)."""
+        f = self.encode(x1_2d, x1_3d, train=False)
+        return self.heads_of(f, train=False)
+
+
+def create_simsiam(config, dtype=None):
+    """arch 'simsiam2d3d_18' / 'simsiam2d_18' -> SimSiamEncoder
+    (reference models/model.py:32-70 arch parsing)."""
+    mode = "2d3d" if "2d3d" in config.arch else "2d"
+    dtype = dtype or {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[config.dtype]
+    return SimSiamEncoder(head_conv=config.head_conv, mode=mode, dtype=dtype)

@@ -1,0 +1,155 @@
+"""Jitted, batched image augmentations for exploration training.
+
+TPU-native rebuild of the reference's torchvision transform pipelines
+(reference: cet_pick/datasets/tomo_pre_proj_angle_select_new2d3d.py:49-82 and
+cet_pick/utils/image.py:195-324). The reference runs these per-sample on CPU
+DataLoader workers; here every augmentation is a pure jax function of
+(image, PRNG key), vmapped over the batch and fused into the training step —
+the augmentations execute on the VPU between the host transfer and the conv
+stack, costing ~nothing.
+
+All functions take (C, H, W) images (the 2d/3d patch pair is stacked along C
+so both receive identical spatial randomness, exactly like torchvision's
+Compose over a 2-channel tensor). Shapes are static; randomness flows through
+explicit keys.
+
+Pipelines (matching the reference's strong/weak compositions):
+  strong: hflip(.5) -> vflip(.5) -> rotate(±30°) -> center-crop ->
+          corner-erase(.5) -> rot90(k~U{0..3}) -> normalize
+  weak:   same without the continuous rotation
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def random_hflip(img, key, p=0.5):
+    return jnp.where(jax.random.uniform(key) < p, img[:, :, ::-1], img)
+
+
+def random_vflip(img, key, p=0.5):
+    return jnp.where(jax.random.uniform(key) < p, img[:, ::-1, :], img)
+
+
+def rot90_random(img, key):
+    """Rotate by k*90° with k ~ U{0..3} (image.py:195-201)."""
+    k = jax.random.randint(key, (), 0, 4)
+    branches = [lambda x, kk=kk: jnp.rot90(x, k=kk, axes=(1, 2)) for kk in range(4)]
+    return jax.lax.switch(k, branches, img)
+
+
+def _bilinear_sample(img, ys, xs):
+    """Sample (C, H, W) at float coords (H', W') grids, zero padding."""
+    c, h, w = img.shape
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y1, x1 = y0 + 1, x0 + 1
+    wy = ys - y0
+    wx = xs - x0
+
+    def gather(yi, xi):
+        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        yc = jnp.clip(yi, 0, h - 1)
+        xc = jnp.clip(xi, 0, w - 1)
+        vals = img[:, yc, xc]  # (C, H', W')
+        return vals * valid[None].astype(img.dtype)
+
+    out = (
+        gather(y0, x0) * ((1 - wy) * (1 - wx))[None]
+        + gather(y0, x1) * ((1 - wy) * wx)[None]
+        + gather(y1, x0) * (wy * (1 - wx))[None]
+        + gather(y1, x1) * (wy * wx)[None]
+    )
+    return out
+
+
+def random_rotate(img, key, max_deg=30.0):
+    """Continuous rotation about the image center, bilinear, zero fill
+    (torchvision RandomRotation(30) semantics)."""
+    c, h, w = img.shape
+    theta = jax.random.uniform(key, (), minval=-max_deg, maxval=max_deg)
+    theta = theta * jnp.pi / 180.0
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    yy, xx = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+    yr = yy - cy
+    xr = xx - cx
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    ys = cos * yr - sin * xr + cy
+    xs = sin * yr + cos * xr + cx
+    return _bilinear_sample(img, ys, xs)
+
+
+def center_crop(img, out_h, out_w):
+    c, h, w = img.shape
+    top = (h - out_h) // 2
+    left = (w - out_w) // 2
+    return img[:, top : top + out_h, left : left + out_w]
+
+
+def corner_erase(img, key, p=0.5, scale=(0.01, 0.02), ratio=(0.5, 1.5), value=1.0):
+    """Erase one random rectangle placed off-center (image.py:249-324).
+
+    The reference rejects rectangles overlapping the central ±6 px band and
+    retries up to 10x; here the placement is sampled directly in the allowed
+    off-center quadrants (same distribution family, no rejection loop —
+    rejection loops don't trace)."""
+    c, h, w = img.shape
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+    mid_h, mid_w = h // 2, w // 2
+    area = h * w
+    erase_area = jax.random.uniform(k1, (), minval=scale[0], maxval=scale[1]) * area
+    log_r = jnp.log(jnp.asarray(ratio))
+    aspect = jnp.exp(jax.random.uniform(k2, (), minval=log_r[0], maxval=log_r[1]))
+    eh = jnp.clip(jnp.round(jnp.sqrt(erase_area * aspect)), 1, max(mid_h - 7, 1)).astype(jnp.int32)
+    ew = jnp.clip(jnp.round(jnp.sqrt(erase_area / aspect)), 1, max(mid_w - 7, 1)).astype(jnp.int32)
+
+    # top-left corner: either in [0, mid-h-6) or [mid+6, H-h)
+    def side(kk, m, size, extent):
+        ku, ka, kb = jax.random.split(kk, 3)
+        hi1 = jnp.maximum(m - size - 6, 1)
+        lo2 = m + 6
+        hi2 = jnp.maximum(extent - size, lo2 + 1)
+        u = jax.random.randint(ku, (), 0, 2)
+        a = jax.random.randint(ka, (), 0, hi1)
+        b = jax.random.randint(kb, (), lo2, hi2)
+        return jnp.where(u == 0, a, b)
+
+    i = side(k3, mid_h, eh, h)
+    j = side(k4, mid_w, ew, w)
+
+    yy = jnp.arange(h)[:, None]
+    xx = jnp.arange(w)[None, :]
+    mask = (yy >= i) & (yy < i + eh) & (xx >= j) & (xx < j + ew)
+    erased = jnp.where(mask[None], jnp.asarray(value, img.dtype), img)
+    return jnp.where(jax.random.uniform(k5) < p, erased, img)
+
+
+def normalize(img, mean, std):
+    """Per-channel (C,) mean/std normalization."""
+    mean = jnp.asarray(mean, img.dtype).reshape(-1, 1, 1)
+    std = jnp.asarray(std, img.dtype).reshape(-1, 1, 1)
+    return (img - mean) / std
+
+
+@partial(jax.jit, static_argnames=("out_size", "strong"))
+def simsiam_augment(imgs, keys, mean, std, out_size, strong=True):
+    """Batched strong/weak pipeline: imgs (B, C, H, W), keys (B, 2) uint32.
+
+    Returns (B, C, out_size, out_size)."""
+
+    def one(img, key):
+        ks = jax.random.split(key, 5)
+        x = random_hflip(img, ks[0])
+        x = random_vflip(x, ks[1])
+        if strong:
+            x = random_rotate(x, ks[2], max_deg=30.0)
+        x = center_crop(x, out_size, out_size)
+        x = corner_erase(x, ks[3], p=0.5, scale=(0.01, 0.02), ratio=(0.5, 1.5))
+        x = rot90_random(x, ks[4])
+        return normalize(x, mean, std)
+
+    return jax.vmap(one)(imgs, keys)

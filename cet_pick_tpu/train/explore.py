@@ -1,0 +1,163 @@
+"""Exploration (SimSiam) training: on-device augs + negative-cosine objective.
+
+Rebuild of reference cet_pick/simsiam_main.py:25-166 +
+trains/tomo_simsiam_trainer.py:17-55:
+
+* optimizer: plain SGD(lr) (simsiam_main.py:65 — the lr*bs/256 value is
+  computed there but unused);
+* per-epoch LR: cosine with eta_min = lr * decay^3, or step decay
+  (utils/utils.py:58-70);
+* loss: symmetric negative cosine -(cos(p1, z2) + cos(p2, z1))/2 with
+  stop-gradient z, plus the output-std collapse monitor
+  (tomo_simsiam_trainer.py:28-40);
+* the strong/weak augmentation pipelines run INSIDE the jitted train step
+  (ops/augment.py), vmapped over the batch on the VPU — the reference burns
+  CPU DataLoader workers on per-sample torchvision transforms.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import core
+
+from cet_pick_tpu.ops.augment import simsiam_augment
+from cet_pick_tpu.train.losses import simsiam_loss
+from cet_pick_tpu.train.state import TrainState
+
+
+def create_simsiam_state(model, config, rng, sample_batch, lr=None):
+    """Init SimSiam variables + SGD optimizer."""
+    anchor = jnp.asarray(sample_batch["anchor"])
+    b, c = anchor.shape[:2]
+    x2d = anchor[:, 0, :, :, None]
+    x3d = anchor[:, 1, :, :, None] if c == 2 else None
+    variables = model.init(rng, x2d, x3d, x2d, x3d, train=False)
+    tx = optax.inject_hyperparams(optax.sgd)(
+        learning_rate=lr if lr is not None else config.lr
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", core.FrozenDict())
+    return TrainState(
+        step=0, epoch=0, params=params, batch_stats=batch_stats,
+        opt_state=tx.init(params), tx=tx,
+    )
+
+
+def simsiam_lr_at_epoch(config, epoch):
+    """Cosine or step LR (utils/utils.py:58-70)."""
+    lr = config.lr
+    if config.cosine:
+        eta_min = lr * config.lr_decay_rate ** 3
+        return eta_min + (lr - eta_min) * (
+            1 + np.cos(np.pi * epoch / config.num_epochs)
+        ) / 2
+    steps = int(np.sum(epoch > np.asarray(config.lr_step)))
+    return lr * config.lr_decay_rate ** steps if steps > 0 else lr
+
+
+def make_simsiam_train_step(model, config, mode: str):
+    """Jitted step: device augs -> two-view forward -> neg-cosine -> SGD."""
+    out_size = config.bbox
+    two_channel = mode == "2d3d"
+
+    def split_views(x):
+        # (B, C, H, W) -> NHWC single-channel 2d / 3d inputs
+        x2d = x[:, 0, :, :, None]
+        x3d = x[:, 1, :, :, None] if two_channel else None
+        return x2d, x3d
+
+    def loss_fn(params, batch_stats, v1, v2):
+        x1_2d, x1_3d = split_views(v1)
+        x2_2d, x2_3d = split_views(v2)
+        (ret1, ret2), updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x1_2d, x1_3d, x2_2d, x2_3d, train=True,
+            mutable=["batch_stats"],
+        )
+        loss, std = simsiam_loss(
+            ret1["pred"], ret1["proj"], ret2["pred"], ret2["proj"]
+        )
+        return loss, (updates["batch_stats"], {"loss": loss, "std": std})
+
+    @jax.jit
+    def train_step(state: TrainState, batch, key):
+        k1, k2 = jax.random.split(key)
+        # per-channel normalization constants travel in the batch dict
+        m = batch["norm_mean"]
+        s = batch["norm_std"]
+        keys1 = jax.random.split(k1, batch["anchor"].shape[0])
+        keys2 = jax.random.split(k2, batch["aug"].shape[0])
+        v1 = simsiam_augment(batch["anchor"], keys1, m, s, out_size, strong=True)
+        v2 = simsiam_augment(batch["aug"], keys2, m, s, out_size, strong=False)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (new_bs, metrics)), grads = grad_fn(
+            state.params, state.batch_stats, v1, v2
+        )
+        state = state.apply_gradients(grads, batch_stats=new_bs)
+        return state, metrics
+
+    return train_step
+
+
+def train_explore(config, dataset, num_epochs=None, log_fn=print):
+    """Full exploration training loop (simsiam_main.py:108-166)."""
+    from cet_pick_tpu.models.simsiam import create_simsiam
+    from cet_pick_tpu.train.state import (
+        load_checkpoint, save_checkpoint, set_learning_rate,
+    )
+
+    model = create_simsiam(config)
+    rng = np.random.default_rng(config.seed)
+    init_rng = jax.random.PRNGKey(config.seed)
+
+    sample = dataset.sample_batch(rng, [0])
+    state = create_simsiam_state(model, config, init_rng, sample)
+    if config.load_model:
+        state = load_checkpoint(config.load_model, state, resume=config.resume)
+        log_fn(f"loaded checkpoint from {config.load_model} (epoch {state.epoch})")
+
+    step = make_simsiam_train_step(model, config, model.mode)
+    norm_mean = (
+        np.array([dataset.mean_2d, dataset.mean_3d], np.float32)
+        if model.mode == "2d3d" else np.array([dataset.mean_3d], np.float32)
+    )
+    norm_std = (
+        np.array([dataset.std_2d, dataset.std_3d], np.float32)
+        if model.mode == "2d3d" else np.array([dataset.std_3d], np.float32)
+    )
+
+    num_epochs = num_epochs or config.num_epochs
+    start_epoch = state.epoch + 1
+    history = []
+    key = jax.random.PRNGKey(config.seed + 1)
+    for epoch in range(start_epoch, num_epochs + 1):
+        state = set_learning_rate(state, simsiam_lr_at_epoch(config, epoch))
+        epoch_metrics = []
+        for batch in dataset.epoch_batches(rng, config.batch_size):
+            batch["norm_mean"] = norm_mean
+            batch["norm_std"] = norm_std
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, jax.device_put(batch), sub)
+            epoch_metrics.append({k: float(v) for k, v in metrics.items()})
+        if not epoch_metrics:
+            raise ValueError(
+                f"no training batches: {len(dataset)} samples < batch_size "
+                f"{config.batch_size} with drop_last — lower batch_size"
+            )
+        state = state.replace(epoch=epoch)
+        means = {
+            k: float(np.mean([m[k] for m in epoch_metrics]))
+            for k in epoch_metrics[0]
+        }
+        history.append(means)
+        log_fn(f"epoch {epoch}: " + " ".join(f"{k}={v:.5f}" for k, v in means.items()))
+        save_checkpoint(os.path.join(config.save_dir, "model_last"), state, config)
+        if config.val_intervals > 0 and epoch % config.val_intervals == 0:
+            save_checkpoint(os.path.join(config.save_dir, f"model_{epoch}"), state, config)
+    return state, history

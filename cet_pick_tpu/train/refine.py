@@ -198,6 +198,11 @@ def train_refine(config, dataset, val_dataset=None, num_epochs=None, log_fn=prin
         for batch in dataset.epoch_batches(rng, config.batch_size):
             state, metrics = train_step(state, jax.device_put(batch))
             epoch_metrics.append({k: float(v) for k, v in metrics.items()})
+        if not epoch_metrics:
+            raise ValueError(
+                f"no training batches: {len(dataset)} samples < batch_size "
+                f"{config.batch_size} with drop_last — lower batch_size"
+            )
         state = state.replace(epoch=epoch)
         means = {
             k: float(np.mean([m[k] for m in epoch_metrics]))

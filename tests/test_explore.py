@@ -1,0 +1,186 @@
+"""Exploration module: augment ops, SimSiam model, dataset, training, embeddings."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cet_pick_tpu.config import Config
+from cet_pick_tpu.data.explore_dataset import ExploreDataset, tomo_to_tilt
+from cet_pick_tpu.infer.embed import extract_embeddings, save_embeddings
+from cet_pick_tpu.models.simsiam import create_simsiam
+from cet_pick_tpu.ops import augment as A
+from cet_pick_tpu.train.explore import (
+    create_simsiam_state,
+    make_simsiam_train_step,
+    simsiam_lr_at_epoch,
+    train_explore,
+)
+
+
+# -- augment ops -------------------------------------------------------------
+
+def test_flips_and_rot90_preserve_values(rng):
+    img = jnp.asarray(rng.standard_normal((2, 16, 16)).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    for fn in (A.random_hflip, A.random_vflip, A.rot90_random):
+        out = fn(img, key)
+        np.testing.assert_allclose(
+            np.sort(np.asarray(out).ravel()), np.sort(np.asarray(img).ravel()),
+            rtol=1e-6,
+        )
+
+
+def test_rotate_identity_at_zero(rng):
+    img = jnp.asarray(rng.standard_normal((1, 16, 16)).astype(np.float32))
+    out = A.random_rotate(img, jax.random.PRNGKey(0), max_deg=0.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+
+
+def test_rotate_90deg_matches_rot90(rng):
+    img = jnp.asarray(rng.standard_normal((1, 17, 17)).astype(np.float32))
+
+    # rotate by exactly 90°: sample at fixed theta via monkeypatched uniform
+    c, h, w = img.shape
+    theta = jnp.pi / 2
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    yy, xx = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+    ys = jnp.cos(theta) * (yy - cy) - jnp.sin(theta) * (xx - cx) + cy
+    xs = jnp.sin(theta) * (yy - cy) + jnp.cos(theta) * (xx - cx) + cx
+    out = A._bilinear_sample(img, ys, xs)
+    expected = jnp.rot90(img, k=-1, axes=(1, 2))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=1e-4)
+
+
+def test_corner_erase_avoids_center(rng):
+    img = jnp.zeros((1, 32, 32), jnp.float32)
+    changed_center = False
+    for i in range(20):
+        out = A.corner_erase(img, jax.random.PRNGKey(i), p=1.0, value=1.0)
+        out = np.asarray(out)
+        assert out.sum() > 0  # something was erased
+        if out[0, 16, 16] != 0:
+            changed_center = True
+    assert not changed_center  # center pixel is protected by the ±6 band
+
+
+def test_simsiam_augment_shapes(rng):
+    imgs = rng.standard_normal((4, 2, 24, 24)).astype(np.float32)
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    out = A.simsiam_augment(imgs, keys, np.zeros(2, np.float32),
+                            np.ones(2, np.float32), 24, strong=True)
+    assert out.shape == (4, 2, 24, 24)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+# -- geometry ---------------------------------------------------------------
+
+def test_tomo_to_tilt_zero_angle():
+    # at angle 0 the x coordinate maps to itself
+    tx, ty = tomo_to_tilt((100, 50, 30), 0.0, (512, 512, 256))
+    assert (tx, ty) == (100, 50)
+
+
+def test_tomo_to_tilt_sign():
+    # positive angle shifts x by sin(theta) * (z-flipped offset)
+    tx, _ = tomo_to_tilt((256, 50, 0), 30.0, (512, 512, 256))
+    # z=0 -> flipped z=256 -> offset +128 -> tx = 256 + 128*sin(30°) = 320
+    assert tx == 320
+
+
+# -- model ------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def simsiam_cfg():
+    return Config(task="simsiam2d3d", arch="simsiam2d3d_18", bbox=24,
+                  batch_size=4, lr=0.05, num_epochs=2, val_intervals=-1,
+                  dog=(2, 4)).finalize()
+
+
+def test_simsiam_forward_shapes(simsiam_cfg, rng):
+    model = create_simsiam(simsiam_cfg)
+    x = jnp.asarray(rng.standard_normal((2, 24, 24, 1)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, x, x, x, train=False)
+    ret1, ret2 = model.apply(variables, x, x, x, x, train=False)
+    assert ret1["proj"].shape == (2, simsiam_cfg.head_conv)
+    assert ret1["pred"].shape == (2, simsiam_cfg.head_conv)
+    out = model.apply(variables, x, x, method=model.forward_test)
+    assert out["pred"].shape == (2, simsiam_cfg.head_conv)
+
+
+def test_simsiam_default_head_conv(simsiam_cfg):
+    # simsiam tasks default to head_conv 128 (opts.py:207-211)
+    assert simsiam_cfg.head_conv == 128
+
+
+# -- dataset + training + embedding e2e -------------------------------------
+
+def make_explore_fixture(rng, d=40, h=96, w=96, n_blob=12):
+    """Synthetic reconstruction + 3-tilt stack with dark blobs."""
+    rec = rng.standard_normal((d, h, w)).astype(np.float32) * 0.3
+    zz, yy, xx = np.meshgrid(np.arange(d), np.arange(h), np.arange(w),
+                             indexing="ij")
+    for _ in range(n_blob):
+        z = rng.integers(14, d - 14)
+        y = rng.integers(34, h - 34)
+        x = rng.integers(34, w - 34)
+        rec -= 2.0 * np.exp(
+            -(((zz - z) ** 2) / 8 + ((yy - y) ** 2) / 8 + ((xx - x) ** 2) / 8)
+        ).astype(np.float32)
+    tilts = np.stack([rec.mean(axis=0)] * 3).astype(np.float32)
+    angles = np.array([-10.0, 0.0, 10.0])
+    return rec, tilts, angles
+
+
+@pytest.mark.slow
+def test_explore_train_and_embed(simsiam_cfg, tmp_path, rng):
+    cfg = simsiam_cfg
+    cfg.save_dir = str(tmp_path)
+    rec, tilts, angles = make_explore_fixture(rng)
+    ds = ExploreDataset(cfg, "train", images={"syn": rec},
+                        tilts={"syn": tilts}, angles={"syn": angles})
+    assert len(ds) > 0, "DoG mining found no candidates"
+
+    state, hist = train_explore(cfg, ds, num_epochs=2, log_fn=lambda *_: None)
+    assert np.isfinite(hist[-1]["loss"])
+    assert hist[-1]["std"] > 0.01  # no full collapse in 2 epochs
+
+    ds_test = ExploreDataset(cfg, "test", images={"syn": rec},
+                             tilts={"syn": tilts}, angles={"syn": angles})
+    result = extract_embeddings(cfg, ds_test, state.params, state.batch_stats,
+                                batch_size=32)
+    n = len(ds_test)
+    assert result["proj"].shape == (n, cfg.head_conv)
+    assert result["pred"].shape == (n, cfg.head_conv)
+    assert set(result) == {"proj", "pred", "name", "coords", "subvol", "subvols_2d"}
+    path = save_embeddings(cfg, result, out_dir=str(tmp_path))
+    loaded = np.load(path, allow_pickle=False)
+    assert "proj" in loaded
+
+
+@pytest.mark.slow
+def test_explore_3d_mode(tmp_path, rng):
+    cfg = Config(task="simsiam3d", arch="simsiam2d_18", bbox=24, batch_size=4,
+                 lr=0.05, num_epochs=1, val_intervals=-1, dog=(2, 4)).finalize()
+    cfg.save_dir = str(tmp_path)
+    rec, _, _ = make_explore_fixture(rng)
+    ds = ExploreDataset(cfg, "train", images={"syn": rec})
+    assert len(ds) > 0
+    state, hist = train_explore(cfg, ds, num_epochs=1, log_fn=lambda *_: None)
+    assert np.isfinite(hist[-1]["loss"])
+
+    ds_test = ExploreDataset(cfg, "test", images={"syn": rec})
+    result = extract_embeddings(cfg, ds_test, state.params, state.batch_stats,
+                                batch_size=32)
+    assert set(result) == {"proj", "pred", "name", "coords", "subvol"}
+
+
+def test_lr_schedule():
+    cfg = Config(task="simsiam3d", arch="simsiam2d_18", lr=0.1, cosine=True,
+                 num_epochs=100).finalize()
+    assert abs(simsiam_lr_at_epoch(cfg, 0) - 0.1) < 1e-9
+    assert simsiam_lr_at_epoch(cfg, 100) == pytest.approx(0.1 * 0.1 ** 3)
+    cfg2 = Config(task="simsiam3d", arch="simsiam2d_18", lr=0.1, cosine=False,
+                  lr_step=(10, 20), num_epochs=30).finalize()
+    assert simsiam_lr_at_epoch(cfg2, 15) == pytest.approx(0.01)
