@@ -1,0 +1,368 @@
+"""Unified CLI: ``python -m cet_pick_tpu <command> [--flags]``.
+
+One dispatcher covering the reference's entry-script surface (reference
+scripts in parentheses):
+
+  train             refinement training            (main.py semi)
+  test              refinement inference           (test.py semi)
+  explore           exploration training           (simsiam_main.py)
+  embed             embedding extraction           (simsiam_test_hm_{2d3d,3d}.py)
+  plot2d            clustering + 2D visualization  (plot_2d.py)
+  phoenix           interactive 3D browser         (phoenix_visualization.py)
+  to-coords         parquet -> training coords     (interactive_to_training_coords.py)
+  sublabels         select cluster labels          (select_sublabels.py)
+  visualize3d       napari overlay volumes         (visualize_3dhm.py)
+  merge             merge detection txts           (merge_output.py)
+  pr-curve          PR / F1 evaluation             (precision_recall_curve.py)
+  remove-golds      drop fiducial detections       (remove_golds.py)
+  gen-files         scan dir -> img/coord lists    (utils/generate_train_file.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from cet_pick_tpu.cli.common import add_config_arguments, config_from_args
+from cet_pick_tpu.config import Config
+
+
+def cmd_train(argv):
+    parser = argparse.ArgumentParser(prog="cet_pick_tpu train")
+    add_config_arguments(parser, Config(task="semi", contrastive=True))
+    cfg = config_from_args(parser.parse_args(argv))
+    from cet_pick_tpu.data.refine_dataset import RefineDataset
+    from cet_pick_tpu.train.refine import train_refine
+
+    from cet_pick_tpu.utils.logger import Logger
+
+    train_ds = RefineDataset(cfg, "train")
+    val_ds = RefineDataset(cfg, "val") if cfg.val_intervals > 0 else None
+    logger = Logger(cfg)
+
+    def log(msg):
+        print(msg)
+        logger.write(msg + "\n")
+
+    train_refine(cfg, train_ds, val_dataset=val_ds, log_fn=log)
+    logger.close()
+
+
+def cmd_test(argv):
+    parser = argparse.ArgumentParser(prog="cet_pick_tpu test")
+    add_config_arguments(parser, Config(task="semi"))
+    cfg = config_from_args(parser.parse_args(argv))
+    if not cfg.load_model:
+        cfg.load_model = os.path.join(cfg.save_dir, "model_last")
+    from cet_pick_tpu.infer.detector import run_test
+
+    run_test(cfg)
+
+
+def cmd_explore(argv):
+    parser = argparse.ArgumentParser(prog="cet_pick_tpu explore")
+    add_config_arguments(
+        parser,
+        Config(task="simsiam2d3d", arch="simsiam2d3d_18", bbox=36,
+               batch_size=256, lr=1e-3, cosine=True, num_epochs=20),
+    )
+    cfg = config_from_args(parser.parse_args(argv))
+    from cet_pick_tpu.data.explore_dataset import ExploreDataset
+    from cet_pick_tpu.train.explore import train_explore
+
+    from cet_pick_tpu.utils.logger import Logger
+
+    ds = ExploreDataset(cfg, "train")
+    logger = Logger(cfg)
+
+    def log(msg):
+        print(msg)
+        logger.write(msg + "\n")
+
+    train_explore(cfg, ds, log_fn=log)
+    logger.close()
+
+
+def cmd_moco(argv):
+    """MoCo exploration training (moco_main.py)."""
+    parser = argparse.ArgumentParser(prog="cet_pick_tpu moco")
+    add_config_arguments(
+        parser,
+        Config(task="moco", arch="simsiam2d_18", bbox=36, batch_size=128,
+               lr=1e-3, cosine=True, num_epochs=20, head_conv=256),
+    )
+    cfg = config_from_args(parser.parse_args(argv))
+    from cet_pick_tpu.data.explore_dataset import ExploreDataset
+    from cet_pick_tpu.train.moco import train_moco
+    from cet_pick_tpu.utils.logger import Logger
+
+    ds = ExploreDataset(cfg, "train")
+    logger = Logger(cfg)
+
+    def log(msg):
+        print(msg)
+        logger.write(msg + "\n")
+
+    train_moco(cfg, ds, log_fn=log)
+    logger.close()
+
+
+def cmd_embed(argv):
+    parser = argparse.ArgumentParser(prog="cet_pick_tpu embed")
+    add_config_arguments(
+        parser, Config(task="simsiam2d3d", arch="simsiam2d3d_18", bbox=36)
+    )
+    cfg = config_from_args(parser.parse_args(argv))
+    if not cfg.load_model:
+        cfg.load_model = os.path.join(cfg.save_dir, "model_last")
+    import jax
+    import numpy as np
+
+    from cet_pick_tpu.data.explore_dataset import ExploreDataset
+    from cet_pick_tpu.infer.embed import extract_embeddings, save_embeddings
+    from cet_pick_tpu.models.simsiam import create_simsiam
+    from cet_pick_tpu.train.explore import create_simsiam_state
+    from cet_pick_tpu.train.state import load_checkpoint
+
+    ds = ExploreDataset(cfg, "test")
+    model = create_simsiam(cfg)
+    sample = {
+        "anchor": np.zeros(
+            (1, 2 if model.mode == "2d3d" else 1, cfg.bbox, cfg.bbox), np.float32
+        )
+    }
+    state = create_simsiam_state(model, cfg, jax.random.PRNGKey(0), sample)
+    state = load_checkpoint(cfg.load_model, state)
+    result = extract_embeddings(cfg, ds, state.params, state.batch_stats)
+    path = save_embeddings(cfg, result)
+    print(f"saved {path}")
+
+
+def cmd_plot2d(argv):
+    parser = argparse.ArgumentParser(prog="cet_pick_tpu plot2d")
+    parser.add_argument("--input", required=True)
+    parser.add_argument("--path", required=True)
+    parser.add_argument("--n_cluster", type=int, required=True)
+    parser.add_argument("--num_neighbor", type=int, default=40)
+    parser.add_argument("--mode", choices=["tsne", "umap"], default="umap")
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--host", type=int, default=7000)
+    parser.add_argument("--min_dist_umap", type=float, default=0.5)
+    parser.add_argument("--min_dist_vis", type=float, default=0.01)
+    parser.add_argument("--save_out_img", type=int, default=1)
+    a = parser.parse_args(argv)
+    from cet_pick_tpu.viz.plot2d import plot_2d
+
+    plot_2d(a.input, a.path, a.n_cluster, num_neighbor=a.num_neighbor,
+            mode=a.mode, seed=a.seed, host=a.host,
+            min_dist_umap=a.min_dist_umap, min_dist_vis=a.min_dist_vis,
+            save_imgs=a.save_out_img == 1)
+
+
+def cmd_phoenix(argv):
+    parser = argparse.ArgumentParser(prog="cet_pick_tpu phoenix")
+    parser.add_argument("--input", required=True)
+    parser.add_argument("--port", type=int, default=7000)
+    a = parser.parse_args(argv)
+    from cet_pick_tpu.viz.interactive import launch_phoenix
+
+    launch_phoenix(a.input, a.port)
+    input("Phoenix running; press Enter to exit.\n")
+
+
+def cmd_to_coords(argv):
+    parser = argparse.ArgumentParser(prog="cet_pick_tpu to-coords")
+    parser.add_argument("--input", required=True)
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--if_double", action="store_true")
+    a = parser.parse_args(argv)
+    from cet_pick_tpu.viz.interactive import interactive_to_training_coords
+
+    interactive_to_training_coords(a.input, a.output, a.if_double)
+
+
+def cmd_sublabels(argv):
+    parser = argparse.ArgumentParser(prog="cet_pick_tpu sublabels")
+    parser.add_argument("--input", required=True)
+    parser.add_argument("--out_path", required=True)
+    parser.add_argument("--use_classes", type=lambda s: [int(v) for v in s.split(",")],
+                        required=True)
+    parser.add_argument("--if_double", action="store_true")
+    a = parser.parse_args(argv)
+    from cet_pick_tpu.viz.interactive import select_sublabels
+
+    select_sublabels(a.input, a.out_path, a.use_classes, a.if_double)
+
+
+def cmd_visualize3d(argv):
+    parser = argparse.ArgumentParser(prog="cet_pick_tpu visualize3d")
+    parser.add_argument("--input", required=True, help="all_output_info.npz")
+    parser.add_argument("--color", required=True, help="all_colors.npy")
+    parser.add_argument("--dir_simsiam", required=True)
+    parser.add_argument("--image_txt", default=None)
+    parser.add_argument("--rec_dir", default=None)
+    parser.add_argument("--compress", action="store_true")
+    parser.add_argument("--order", default="xzy")
+    parser.add_argument("--ext", default=".rec")
+    a = parser.parse_args(argv)
+    import numpy as np
+    import pandas as pd
+
+    from cet_pick_tpu.io.loader import load_rec
+    from cet_pick_tpu.viz.tomo3d import render_3d_hm
+
+    data = np.load(a.input)
+    names, coords = data["name"], data["coords"]
+    colors = np.load(a.color)
+    if a.image_txt:
+        il = pd.read_csv(a.image_txt, sep="\t")
+        pairs = zip(il.image_name, il.rec_path)
+    else:
+        pairs = ((nm, os.path.join(a.rec_dir, nm) + a.ext)
+                 for nm in np.unique(names))
+    for nm, rec_path in pairs:
+        if not os.path.exists(rec_path):
+            print(f"skipping {nm}: {rec_path} not found")
+            continue
+        rec = load_rec(rec_path, order=a.order, compress=a.compress)
+        render_3d_hm(rec, coords, colors, names, nm, a.dir_simsiam)
+
+
+def cmd_merge(argv):
+    parser = argparse.ArgumentParser(prog="cet_pick_tpu merge")
+    parser.add_argument("--path", required=True)
+    parser.add_argument("--out", required=True)
+    a = parser.parse_args(argv)
+    from cet_pick_tpu.eval.metrics import merge_output
+
+    print(merge_output(a.path, a.out))
+
+
+def cmd_pr_curve(argv):
+    parser = argparse.ArgumentParser(prog="cet_pick_tpu pr-curve")
+    parser.add_argument("--predicted", required=True)
+    parser.add_argument("--targets", required=True)
+    parser.add_argument("-r", "--assignment-radius", type=int, required=True)
+    parser.add_argument("--images", choices=["target", "predicted", "union"],
+                        default="target")
+    parser.add_argument("--out", default=None, help="PR table tsv")
+    a = parser.parse_args(argv)
+    import pandas as pd
+
+    from cet_pick_tpu.eval.metrics import evaluate_detections
+
+    targets = pd.read_csv(a.targets, sep="\t")
+    predicts = pd.read_csv(a.predicted, sep="\t", comment="#")
+    res = evaluate_detections(targets, predicts, a.assignment_radius,
+                              images=a.images)
+    print(f"# auprc={res['auprc']}, mae={res['mae']}")
+    print(f"# best_f1={res['best_f1']}")
+    if a.out:
+        res["table"].to_csv(a.out, sep="\t", index=False)
+
+
+def cmd_remove_golds(argv):
+    parser = argparse.ArgumentParser(prog="cet_pick_tpu remove-golds")
+    parser.add_argument("--path", required=True, help="dir of detection txts")
+    parser.add_argument("--gold", required=True, help="dir of *_gold3d.txt files")
+    parser.add_argument("--r", type=float, default=20.0)
+    parser.add_argument("--out", required=True)
+    a = parser.parse_args(argv)
+    import glob
+
+    import numpy as np
+
+    from cet_pick_tpu.eval.metrics import remove_golds
+
+    os.makedirs(a.out, exist_ok=True)
+    for p in glob.glob(os.path.join(a.path, "*.txt")):
+        name = os.path.basename(p).split(".")[0]
+        gold_path = os.path.join(a.gold, name + "_gold3d.txt")
+        if not os.path.exists(gold_path):
+            continue
+        ours = np.loadtxt(p, ndmin=2)
+        gold = np.loadtxt(gold_path, ndmin=2)
+        kept = remove_golds(ours, gold, radius=a.r)
+        with open(os.path.join(a.out, name + ".txt"), "w") as f:
+            for row in kept:
+                f.write("\t".join(str(int(v)) for v in row) + "\n")
+
+
+def cmd_gen_files(argv):
+    """Scan a directory of .rec + coordinate txts into train/test lists
+    (utils/generate_train_file.py:17-73)."""
+    parser = argparse.ArgumentParser(prog="cet_pick_tpu gen-files")
+    parser.add_argument("--dir", required=True)
+    parser.add_argument("--out", required=True, help="output prefix")
+    parser.add_argument("--ext", default=".rec")
+    parser.add_argument("--ord", choices=["xzy", "xyz", "zxy"], default="xzy")
+    parser.add_argument("--inference", action="store_true")
+    parser.add_argument("--img_only", action="store_true")
+    a = parser.parse_args(argv)
+    import glob
+
+    suffix = "_test_imgs.txt" if a.inference else "_train_imgs.txt"
+    img_file = os.path.join(a.dir, a.out + suffix)
+    with open(img_file, "w") as f1:
+        f1.write("image_name\trec_path\n")
+        for path in glob.glob(os.path.join(a.dir, "*" + a.ext)):
+            f1.write(f"{os.path.basename(path)[: -len(a.ext)]}\t{path}\n")
+    print(img_file)
+    if a.img_only or a.inference:
+        return
+    coord_file = os.path.join(a.dir, a.out + "_train_coords.txt")
+    with open(coord_file, "w") as f2:
+        f2.write("image_name\tx_coord\ty_coord\tz_coord\n")
+        for path in glob.glob(os.path.join(a.dir, "*.txt")):
+            name = os.path.basename(path)[:-4]
+            if name.endswith(("train_imgs", "train_coords", "test_imgs")):
+                continue
+            for line in open(path):
+                parts = line.split()
+                if len(parts) < 3:
+                    continue
+                vals = [int(float(v)) for v in parts[:3]]
+                if a.ord == "xzy":
+                    x, z, y = vals
+                elif a.ord == "xyz":
+                    x, y, z = vals
+                else:  # zxy
+                    z, x, y = vals
+                f2.write(f"{name}\t{x}\t{y}\t{z}\n")
+    print(coord_file)
+
+
+COMMANDS = {
+    "train": cmd_train,
+    "test": cmd_test,
+    "explore": cmd_explore,
+    "moco": cmd_moco,
+    "embed": cmd_embed,
+    "plot2d": cmd_plot2d,
+    "phoenix": cmd_phoenix,
+    "to-coords": cmd_to_coords,
+    "sublabels": cmd_sublabels,
+    "visualize3d": cmd_visualize3d,
+    "merge": cmd_merge,
+    "pr-curve": cmd_pr_curve,
+    "remove-golds": cmd_remove_golds,
+    "gen-files": cmd_gen_files,
+}
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        return 0
+    cmd = argv[0]
+    if cmd not in COMMANDS:
+        print(f"unknown command {cmd!r}; available: {', '.join(COMMANDS)}")
+        return 2
+    COMMANDS[cmd](argv[1:])
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -113,7 +113,7 @@ class Config:
     order: str = "xzy"
 
     # -- exploration (simsiam) specific
-    dog: float = 3.0          # DoG sigma (reference --dog, simsiam_main.py:81)
+    dog: Tuple[float, ...] = (2.5, 5.0)  # DoG sigmas (reference opts.py:189)
     nclusters: int = 3
 
     # -- TPU-native additions (no reference equivalent)
@@ -159,7 +159,7 @@ class Config:
         d = json.loads(s)
         known = {f.name for f in dataclasses.fields(cls)}
         kwargs = {k: v for k, v in d.items() if k in known}
-        for k in ("lr_step", "mesh_shape", "tile"):
+        for k in ("lr_step", "mesh_shape", "tile", "dog"):
             if k in kwargs and isinstance(kwargs[k], list):
                 kwargs[k] = tuple(kwargs[k])
         return cls(**kwargs)

@@ -1,0 +1,128 @@
+"""Blind-spot denoising UNet (SSDN, Laine et al. 2019) in flax.
+
+Behavioral equivalent of the reference's ``NoiseNetwork``
+(reference: cet_pick/models/networks/denoise_network.py:15-266, task
+``denoise``): a 5-level N2N-style UNet with LeakyReLU(0.1) where, in
+blindspot mode,
+
+* every conv is a ShiftConv — padded k//2 rows at the top and cropped at the
+  bottom so the receptive field only extends upward (:245-263);
+* downsampling shifts one pixel down before max pooling (:66-69);
+* the input batch is replicated under 4 rotations, and after the
+  encode-decode the rotations are undone and concatenated on channels before
+  three 1x1 convs (:188-228).
+
+TPU-first: NHWC layout; the 4 rotations ride the batch axis (one big conv
+batch); all shifts are static pads/crops that XLA folds into the convs.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def shift_down(x, s=1):
+    """Pad s rows at the top, crop s at the bottom (Shift2d, :110-156-style).
+    x: (B, H, W, C)."""
+    if s == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (s, 0), (0, 0), (0, 0)))[:, :-s]
+
+
+class ShiftConv(nn.Module):
+    """SAME conv whose receptive field is restricted upward (:245-263)."""
+
+    features: int
+    kernel: int = 3
+    blindspot: bool = True
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        init = nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal()
+        conv = nn.Conv(self.features, (self.kernel, self.kernel),
+                       padding="SAME", kernel_init=init)
+        s = self.kernel // 2
+        if self.blindspot and s > 0:
+            x = jnp.pad(x, ((0, 0), (s, 0), (0, 0), (0, 0)))
+            return conv(x)[:, :-s]
+        return conv(x)
+
+
+def _lrelu(x):
+    return nn.leaky_relu(x, negative_slope=0.1)
+
+
+def _maxpool(x, blindspot):
+    if blindspot:
+        x = shift_down(x, 1)
+    return nn.max_pool(x, (2, 2), strides=(2, 2))
+
+
+def _upsample(x):
+    b, h, w, c = x.shape
+    return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+
+
+class NoiseNetwork(nn.Module):
+    """SSDN / N2N UNet. Input (B, H, W, C); H and W must be multiples of 32."""
+
+    out_channels: int = 1
+    blindspot: bool = False
+    zero_output_weights: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        bs = self.blindspot
+        conv = lambda f, k=3, zero=False: ShiftConv(
+            f, k, blindspot=bs, zero_init=zero
+        )
+        if bs:
+            rots = [jnp.rot90(x, k=r, axes=(1, 2)) for r in range(4)]
+            x = jnp.concatenate(rots, axis=0)
+
+        skip_in = x
+        y = _lrelu(conv(48)(x))
+        y = _lrelu(conv(48)(y))
+        pool1 = _maxpool(y, bs)
+        pool2 = _maxpool(_lrelu(conv(48)(pool1)), bs)
+        pool3 = _maxpool(_lrelu(conv(48)(pool2)), bs)
+        pool4 = _maxpool(_lrelu(conv(48)(pool3)), bs)
+        pool5 = _maxpool(_lrelu(conv(48)(pool4)), bs)
+        encoded = _lrelu(conv(48)(pool5))
+
+        up5 = _upsample(encoded)
+        y = jnp.concatenate([up5, pool4], axis=-1)
+        y = _lrelu(conv(96)(y))
+        y = _upsample(_lrelu(conv(96)(y)))
+        for skip in (pool3, pool2, pool1):
+            y = jnp.concatenate([y, skip], axis=-1)
+            y = _lrelu(conv(96)(y))
+            y = _upsample(_lrelu(conv(96)(y)))
+        y = jnp.concatenate([y, skip_in], axis=-1)
+        y = _lrelu(conv(96)(y))
+        y = _lrelu(conv(96)(y))
+
+        if bs:
+            y = shift_down(y, 1)
+            b4 = y.shape[0] // 4
+            chunks = [y[i * b4 : (i + 1) * b4] for i in range(4)]
+            aligned = [jnp.rot90(c, k=(4 - r) % 4, axes=(1, 2))
+                       for c, r in zip(chunks, range(4))]
+            y = jnp.concatenate(aligned, axis=-1)  # (B, H, W, 384)
+        nin = y.shape[-1]
+        y = _lrelu(conv(nin, k=1)(y))
+        y = _lrelu(conv(96, k=1)(y))
+        y = conv(self.out_channels, k=1, zero=self.zero_output_weights)(y)
+        return y
+
+
+def create_denoise_models():
+    """{'denoise': blindspot 2-channel net, 'sigma': plain zero-init net}
+    (denoise_network.py:268-276)."""
+    return {
+        "denoise": NoiseNetwork(out_channels=2, blindspot=True),
+        "sigma": NoiseNetwork(out_channels=1, blindspot=False,
+                              zero_output_weights=True),
+    }

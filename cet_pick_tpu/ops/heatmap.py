@@ -147,16 +147,38 @@ def build_heatmap(
     anns_down = []
     h = bbox // down_ratio
     radius = max(0, int(gaussian_radius((math.ceil(h), math.ceil(h)))))
+    n_oob = 0
     for k in range(n):
         ann = downscale_coord(coords[k], down_ratio=down_ratio, compress=compress)
         ct = np.asarray(ann, dtype=np.int32)
+        if not (0 <= ct[0] < output_w and 0 <= ct[1] < output_h
+                and 0 <= ct[2] < depth):
+            n_oob += 1
+            continue
         if fiber:
             draw_gaussian_3d(hm, ct, radius, 1, 0, 0.2, discrete=True)
         else:
             draw_gaussian_3d(hm, ct, radius, discrete=False)
-        inds[k] = ct[2] * (output_w * output_h) + ct[1] * output_w + ct[0]
+        inds[len(anns_down)] = (
+            ct[2] * (output_w * output_h) + ct[1] * output_w + ct[0]
+        )
         gt_det.append(ann)
         anns_down.append(ann)
+    if n_oob:
+        import warnings
+
+        warnings.warn(
+            f"build_heatmap: dropped {n_oob}/{n} annotations outside the "
+            f"volume (shape {tomo_shape}) — check the --order axis convention "
+            f"and coordinate files",
+            stacklevel=2,
+        )
+    if n and n_oob == n:
+        raise ValueError(
+            f"all {n} annotations fall outside the volume (shape {tomo_shape});"
+            " the --order axis convention or the coordinate order is wrong"
+        )
+    inds = inds[: n - n_oob]
     gt_det = (
         np.array(gt_det, dtype=np.float32) if gt_det else np.zeros((1, 3), dtype=np.float32)
     )

@@ -1,0 +1,193 @@
+"""Self-supervised denoise training (SSDN gaussian noise model).
+
+Rebuild of reference trains/base_trainer.py:21-57 (``ModelWithLossDenoise``),
+trains/tomo_denoise_trainer.py:57-84 (``TomoDenoiseLoss``), and the ramped
+learning rate of utils/utils.py:31-56:
+
+* sigma net -> spatial-mean noise estimate -> softplus(est - 4) + 1e-3 = std
+  (base_trainer.py:38-42)
+* denoise net -> (mu_x, A); sigma_x = A^2; sigma_y = sigma_x + noise_std^2
+* loss = mean[(noisy - mu)^2 / sigma_y + log sigma_y] - 0.1 * noise_std
+  (tomo_denoise_trainer.py:57-76)
+* posterior-mean denoised output
+  pme = (noisy * sigma_x + mu * sigma_n) / (sigma_x + sigma_n)
+  (base_trainer.py:50)
+* LR ramp: cosine ramp-up over the first fraction of total iterations and
+  cosine^2 ramp-down over the last (compute_ramped_lrate, utils.py:31-50)
+
+The dataset is slice-based: random crops (multiples of 32 for the 5-level
+UNet) from tomogram z-slices, excluding a border margin
+(datasets/tomo_denoise.py:50-51 RandomCropNoBorder(128, exclude=200)).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from cet_pick_tpu.models.denoise import create_denoise_models
+
+
+class DenoiseState(struct.PyTreeNode):
+    step: int
+    params_dn: Any
+    params_sigma: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+
+def compute_ramped_lrate(i, iteration_count, ramp_up_fraction,
+                         ramp_down_fraction, learning_rate):
+    """utils/utils.py:31-50 verbatim math."""
+    if ramp_up_fraction > 0.0:
+        ramp_up_end = iteration_count * ramp_up_fraction
+        if i <= ramp_up_end:
+            t = (i / ramp_up_fraction) / iteration_count
+            learning_rate = learning_rate * (0.5 - np.cos(t * np.pi) / 2)
+    if ramp_down_fraction > 0.0:
+        ramp_down_start = iteration_count * (1 - ramp_down_fraction)
+        if i >= ramp_down_start:
+            t = ((i - ramp_down_start) / ramp_down_fraction) / iteration_count
+            learning_rate = learning_rate * (0.5 + np.cos(t * np.pi) / 2) ** 2
+    return learning_rate
+
+
+def create_denoise_state(config, rng, crop=128, lr=None):
+    models = create_denoise_models()
+    x = jnp.zeros((1, crop, crop, 1), jnp.float32)
+    k1, k2 = jax.random.split(rng)
+    params_dn = models["denoise"].init(k1, x)["params"]
+    params_sigma = models["sigma"].init(k2, x)["params"]
+    tx = optax.inject_hyperparams(optax.adam)(
+        learning_rate=lr if lr is not None else config.lr
+    )
+    return DenoiseState(
+        step=0, params_dn=params_dn, params_sigma=params_sigma,
+        opt_state=tx.init({"dn": params_dn, "sigma": params_sigma}), tx=tx,
+    ), models
+
+
+def denoise_forward(models, params_dn, params_sigma, noisy):
+    """Noise model forward; returns (mu, pme, sigma_y, noise_std)
+    (base_trainer.py:27-57)."""
+    net_out = models["denoise"].apply({"params": params_dn}, noisy)
+    est = models["sigma"].apply({"params": params_sigma}, noisy)
+    est = jnp.mean(est, axis=(1, 2), keepdims=True)
+    noise_std = jax.nn.softplus(est - 4.0) + 1e-3
+    # Soft cap: the SSDN objective's -0.1*noise_std term is unbounded below
+    # once noise_std exceeds ~2/0.1 = 20, where d(log sigma_y)/d(ns) < 0.1 —
+    # Adam can jump the estimate past that restoring regime and diverge
+    # (the reference avoids this only via long low-lr ramps). The rational
+    # saturation keeps gradients nonzero (unlike a hard clip) so the data
+    # term can always pull the estimate back down.
+    cap = 16.0
+    noise_std = noise_std * cap / (noise_std + cap)
+    mu = net_out[..., 0:1]
+    a_c = net_out[..., 1:2]
+    sigma_x = a_c ** 2
+    sigma_n = noise_std ** 2
+    sigma_y = sigma_x + sigma_n
+    pme = (noisy * sigma_x + mu * sigma_n) / (sigma_x + sigma_n)
+    return mu, pme, sigma_y, noise_std
+
+
+def make_denoise_train_step(models):
+    def loss_fn(params, noisy):
+        mu, pme, sigma_y, noise_std = denoise_forward(
+            models, params["dn"], params["sigma"], noisy
+        )
+        loss_img = (noisy - mu) ** 2 / sigma_y + jnp.log(sigma_y)
+        per_sample = loss_img.reshape(loss_img.shape[0], -1).mean(axis=1)
+        ns = noise_std.reshape(noise_std.shape[0], -1).mean(axis=1)
+        loss = jnp.mean(per_sample - 0.1 * ns)
+        return loss, {"loss": loss, "noise_std": jnp.mean(ns)}
+
+    @jax.jit
+    def step(state: DenoiseState, noisy):
+        params = {"dn": state.params_dn, "sigma": state.params_sigma}
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, metrics), grads = grad_fn(params, noisy)
+        updates, new_opt = state.tx.update(grads, state.opt_state, params)
+        new = optax.apply_updates(params, updates)
+        return state.replace(
+            step=state.step + 1, params_dn=new["dn"], params_sigma=new["sigma"],
+            opt_state=new_opt,
+        ), metrics
+
+    return step
+
+
+class DenoiseDataset:
+    """Random slice crops from tomograms (datasets/tomo_denoise.py)."""
+
+    def __init__(self, images: dict, crop=128, exclude=40):
+        self.slices = []
+        for vol in images.values():
+            for z in range(vol.shape[0]):
+                self.slices.append(vol[z])
+        self.crop = crop
+        self.exclude = exclude
+
+    def __len__(self):
+        return len(self.slices)
+
+    def sample_batch(self, rng: np.random.Generator, batch_size):
+        out = []
+        for _ in range(batch_size):
+            s = self.slices[int(rng.integers(len(self.slices)))]
+            h, w = s.shape
+            ex = min(self.exclude, (min(h, w) - self.crop) // 2)
+            ex = max(ex, 0)
+            y0 = int(rng.integers(ex, h - self.crop - ex + 1))
+            x0 = int(rng.integers(ex, w - self.crop - ex + 1))
+            patch = s[y0 : y0 + self.crop, x0 : x0 + self.crop]
+            if rng.random() < 0.5:
+                patch = patch[:, ::-1]
+            out.append(patch.astype(np.float32))
+        return np.stack(out)[..., None]  # (B, crop, crop, 1)
+
+
+def train_denoise(config, dataset, num_iters=200, crop=128,
+                  ramp_up=0.1, ramp_down=0.3, log_every=50, log_fn=print):
+    """Iteration-based denoise training with ramped LR
+    (base_trainer.py:345-444 run_epoch_denoise)."""
+    rng = np.random.default_rng(config.seed)
+    state, models = create_denoise_state(config, jax.random.PRNGKey(config.seed),
+                                         crop=crop)
+    step = make_denoise_train_step(models)
+    history = []
+    for it in range(num_iters):
+        lr = compute_ramped_lrate(it, num_iters, ramp_up, ramp_down, config.lr)
+        state.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        batch = jnp.asarray(dataset.sample_batch(rng, config.batch_size))
+        state, metrics = step(state, batch)
+        history.append({k: float(v) for k, v in metrics.items()})
+        if (it + 1) % log_every == 0:
+            log_fn(f"iter {it + 1}: " + " ".join(
+                f"{k}={v:.5f}" for k, v in history[-1].items()))
+    return state, models, history
+
+
+def denoise_volume(models, state, volume, crop=None):
+    """Apply the trained posterior-mean denoiser slice by slice."""
+    d, h, w = volume.shape
+    h32, w32 = h - h % 32, w - w % 32
+
+    @jax.jit
+    def run(noisy):
+        _, pme, _, _ = denoise_forward(
+            models, state.params_dn, state.params_sigma, noisy
+        )
+        return pme
+
+    out = np.array(volume, np.float32)
+    for z in range(d):
+        x = jnp.asarray(volume[z, :h32, :w32], jnp.float32)[None, ..., None]
+        out[z, :h32, :w32] = np.asarray(run(x))[0, ..., 0]
+    return out

@@ -1,0 +1,203 @@
+"""MoCo exploration training: momentum key encoder + negative queue.
+
+Rebuild of reference cet_pick/models/moco.py:12-151 + moco_main.py +
+trains/tomo_moco_trainer.py:17-84 as a pure-functional jax train step:
+
+* query encoder = the SimSiam trunk + proj head (models/simsiam.py);
+* key encoder params/batch-stats are an EMA copy (m = 0.999), updated inside
+  the jitted step with ``jax.tree_map`` — the reference's per-parameter copy
+  loop (moco.py:38-39);
+* feature queue (r = 1024) and its pointer are part of the train state; the
+  dequeue/enqueue is a ``lax.dynamic_update_slice`` (moco.py:42-52);
+* InfoNCE: l_pos = q . k+, l_neg = q . queue, temperature T = 0.1, target
+  class 0 (moco.py:125-151).
+
+The reference's DDP batch-shuffle (moco.py:55-99) exists to de-correlate
+BatchNorm statistics between shards; under a jax data-parallel mesh the key
+forward uses the *running* statistics (train=False) instead, which removes
+the intra-batch BN leakage the shuffle works around without any collective.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import core, struct
+
+from cet_pick_tpu.ops.augment import simsiam_augment
+
+
+class MoCoState(struct.PyTreeNode):
+    step: int
+    epoch: int
+    params: Any              # query encoder
+    batch_stats: Any
+    key_params: Any          # momentum (key) encoder
+    key_batch_stats: Any
+    queue: jnp.ndarray       # (r, dim), L2-normalized rows
+    queue_ptr: jnp.ndarray   # () int32
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+
+def create_moco_state(model, config, rng, sample_batch, r=1024, lr=None):
+    anchor = jnp.asarray(sample_batch["anchor"])
+    b, c = anchor.shape[:2]
+    x2d = anchor[:, 0, :, :, None]
+    x3d = anchor[:, 1, :, :, None] if c == 2 else None
+    variables = model.init(rng, x2d, x3d, x2d, x3d, train=False)
+    tx = optax.inject_hyperparams(optax.sgd)(
+        learning_rate=lr if lr is not None else config.lr
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", core.FrozenDict())
+    queue = jax.random.normal(jax.random.fold_in(rng, 1),
+                              (r, config.head_conv), jnp.float32)
+    queue = queue / jnp.linalg.norm(queue, axis=1, keepdims=True)
+    return MoCoState(
+        step=0, epoch=0,
+        params=params, batch_stats=batch_stats,
+        key_params=jax.tree_util.tree_map(jnp.copy, params),
+        key_batch_stats=jax.tree_util.tree_map(jnp.copy, batch_stats),
+        queue=queue, queue_ptr=jnp.zeros((), jnp.int32),
+        opt_state=tx.init(params), tx=tx,
+    )
+
+
+def make_moco_train_step(model, config, mode: str, m=0.999, temperature=0.1):
+    out_size = config.bbox
+    two_channel = mode == "2d3d"
+
+    def split_views(x):
+        x2d = x[:, 0, :, :, None]
+        x3d = x[:, 1, :, :, None] if two_channel else None
+        return x2d, x3d
+
+    def embed(params, batch_stats, x, train):
+        x2d, x3d = split_views(x)
+        if train:
+            (feat, z), updates = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                x2d, x3d, train, mutable=["batch_stats"],
+                method=_encode_proj,
+            )
+            return z, updates["batch_stats"]
+        feat, z = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x2d, x3d, train, method=_encode_proj,
+        )
+        return z, batch_stats
+
+    def _encode_proj(mdl, x2d, x3d, train):
+        feat = mdl.encode(x2d, x3d, train)
+        z = mdl.proj(feat, train)
+        return feat, z
+
+    def loss_fn(params, batch_stats, key_z, queue, v_q):
+        q, new_bs = embed(params, batch_stats, v_q, True)
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        l_pos = jnp.sum(q * key_z, axis=1, keepdims=True)        # (B, 1)
+        l_neg = q @ queue.T                                       # (B, r)
+        logits = jnp.concatenate([l_pos, l_neg], axis=1) / temperature
+        # cross-entropy against class 0 (moco.py:139-151)
+        loss = jnp.mean(-logits[:, 0] + jax.nn.logsumexp(logits, axis=1))
+        acc = jnp.mean(jnp.argmax(logits, axis=1) == 0)
+        return loss, (new_bs, {"loss": loss, "acc": acc})
+
+    @jax.jit
+    def train_step(state: MoCoState, batch, rng_key):
+        k1, k2 = jax.random.split(rng_key)
+        mnorm, snorm = batch["norm_mean"], batch["norm_std"]
+        keys1 = jax.random.split(k1, batch["anchor"].shape[0])
+        keys2 = jax.random.split(k2, batch["aug"].shape[0])
+        v_q = simsiam_augment(batch["anchor"], keys1, mnorm, snorm, out_size, strong=True)
+        v_k = simsiam_augment(batch["aug"], keys2, mnorm, snorm, out_size, strong=False)
+
+        # momentum update BEFORE the key forward (moco.py:118-121)
+        new_key_params = jax.tree_util.tree_map(
+            lambda pk, pq: pk * m + pq * (1.0 - m), state.key_params, state.params
+        )
+        key_z, _ = embed(new_key_params, state.key_batch_stats, v_k, False)
+        key_z = key_z / jnp.maximum(
+            jnp.linalg.norm(key_z, axis=1, keepdims=True), 1e-12
+        )
+        key_z = jax.lax.stop_gradient(key_z)
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (new_bs, metrics)), grads = grad_fn(
+            state.params, state.batch_stats, key_z, state.queue, v_q
+        )
+        updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        # enqueue keys at the pointer (moco.py:42-52); r % batch == 0 assumed
+        bsz = key_z.shape[0]
+        queue = jax.lax.dynamic_update_slice(
+            state.queue, key_z, (state.queue_ptr, 0)
+        )
+        ptr = (state.queue_ptr + bsz) % state.queue.shape[0]
+
+        return state.replace(
+            step=state.step + 1,
+            params=new_params, batch_stats=new_bs,
+            key_params=new_key_params,
+            key_batch_stats=state.batch_stats,
+            queue=queue, queue_ptr=ptr,
+            opt_state=new_opt,
+        ), metrics
+
+    return train_step
+
+
+def train_moco(config, dataset, num_epochs=None, r=1024, log_fn=print):
+    """MoCo epoch loop (moco_main.py)."""
+    from cet_pick_tpu.models.simsiam import create_simsiam
+    from cet_pick_tpu.train.explore import simsiam_lr_at_epoch
+
+    model = create_simsiam(config)
+    rng = np.random.default_rng(config.seed)
+    init_rng = jax.random.PRNGKey(config.seed)
+    sample = dataset.sample_batch(rng, [0])
+    # queue size must divide evenly by batch (moco.py:46 assert)
+    r = max(config.batch_size, r - r % config.batch_size)
+    state = create_moco_state(model, config, init_rng, sample, r=r)
+    step = make_moco_train_step(model, config, model.mode)
+
+    norm_mean = (
+        np.array([dataset.mean_2d, dataset.mean_3d], np.float32)
+        if model.mode == "2d3d" else np.array([dataset.mean_3d], np.float32)
+    )
+    norm_std = (
+        np.array([dataset.std_2d, dataset.std_3d], np.float32)
+        if model.mode == "2d3d" else np.array([dataset.std_3d], np.float32)
+    )
+
+    num_epochs = num_epochs or config.num_epochs
+    history = []
+    key = jax.random.PRNGKey(config.seed + 1)
+    for epoch in range(1, num_epochs + 1):
+        lr = simsiam_lr_at_epoch(config, epoch)
+        state.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        epoch_metrics = []
+        for batch in dataset.epoch_batches(rng, config.batch_size):
+            batch["norm_mean"] = norm_mean
+            batch["norm_std"] = norm_std
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, jax.device_put(batch), sub)
+            epoch_metrics.append({k: float(v) for k, v in metrics.items()})
+        if not epoch_metrics:
+            raise ValueError(
+                f"no training batches: {len(dataset)} samples < batch_size "
+                f"{config.batch_size}"
+            )
+        state = state.replace(epoch=epoch)
+        means = {k: float(np.mean([mm[k] for mm in epoch_metrics]))
+                 for k in epoch_metrics[0]}
+        history.append(means)
+        log_fn(f"epoch {epoch}: " + " ".join(f"{k}={v:.5f}" for k, v in means.items()))
+    return state, history

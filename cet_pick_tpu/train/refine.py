@@ -197,7 +197,15 @@ def train_refine(config, dataset, val_dataset=None, num_epochs=None, log_fn=prin
         epoch_metrics = []
         for batch in dataset.epoch_batches(rng, config.batch_size):
             state, metrics = train_step(state, jax.device_put(batch))
-            epoch_metrics.append({k: float(v) for k, v in metrics.items()})
+            m = {k: float(v) for k, v in metrics.items()}
+            if not config.pn and m.get("num_pos", 1) == 0:
+                # the reference's PU loss raises here (loss.py:275-276):
+                # zero labeled positives make the PU risk estimate undefined
+                raise ValueError(
+                    "batch contains no positive heatmap voxels — annotations "
+                    "missing or dropped (check --order and coordinate files)"
+                )
+            epoch_metrics.append(m)
         if not epoch_metrics:
             raise ValueError(
                 f"no training batches: {len(dataset)} samples < batch_size "
@@ -218,8 +226,31 @@ def train_refine(config, dataset, val_dataset=None, num_epochs=None, log_fn=prin
                 for i in range(len(val_dataset.names)):
                     item = val_dataset.val_item(i)
                     vals.append(float(val_step(state, item["input"], item["hm"])))
+                    if config.debug > 0:
+                        _debug_val_volume(config, model, state, item, epoch, i)
                 log_fn(f"epoch {epoch}: val_focal={np.mean(vals):.5f}")
             save_checkpoint(
                 os.path.join(config.save_dir, f"model_{epoch}"), state, config
             )
     return state, history
+
+
+def _debug_val_volume(config, model, state, item, epoch, idx):
+    """Validation debug PNGs + detection txt (tomo_cr_semi_trainer.py:123-187)."""
+    import os
+
+    from cet_pick_tpu.ops.decode import tomo_decode
+    from cet_pick_tpu.ops.nms import sigmoid_clamped
+    from cet_pick_tpu.utils.debugger import Debugger, debug_validation_volume
+
+    out = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        item["input"], train=False, active_heads=("hm",),
+    )
+    hm = sigmoid_clamped(out["hm"][0, ..., 0])
+    dets = np.asarray(tomo_decode(hm, kernel=config.nms, k=config.K))
+    dbg = Debugger(os.path.join(config.debug_dir, f"epoch{epoch}_{item['name']}"))
+    debug_validation_volume(
+        dbg, item["input"][0], np.asarray(hm), item["hm"][0], dets=dets
+    )
+    dbg.save_detection_txt(item["name"], dets, down_ratio=config.down_ratio)

@@ -1,0 +1,90 @@
+"""CLI surface: dispatcher, config bridge, file-level tools."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cet_pick_tpu.__main__ import main
+from cet_pick_tpu.cli.common import parse_config
+from cet_pick_tpu.config import Config
+
+
+def test_help_and_unknown(capsys):
+    assert main([]) == 0
+    assert "train" in capsys.readouterr().out
+    assert main(["nope"]) == 2
+
+
+def test_parse_config_flags():
+    cfg = parse_config(["--task", "semi", "--lr", "5e-4", "--bbox", "16",
+                        "--contrastive", "--lr_step", "5", "9",
+                        "--dog", "2", "4"])
+    assert cfg.lr == 5e-4 and cfg.bbox == 16 and cfg.contrastive
+    assert cfg.lr_step == (5, 9) and cfg.dog == (2.0, 4.0)
+    assert cfg.heads == {"hm": 1, "proj": 32}
+
+
+def test_config_json_roundtrip(tmp_path):
+    cfg = parse_config(["--task", "simsiam2d3d", "--arch", "simsiam2d3d_18"])
+    p = tmp_path / "opt.json"
+    cfg.save(str(p))
+    cfg2 = Config.load(str(p))
+    assert cfg2.task == "simsiam2d3d" and cfg2.head_conv == 128
+    assert cfg2.dog == cfg.dog
+
+
+def test_gen_files(tmp_path):
+    # fake rec files + coordinate txts
+    for n in ("a", "b"):
+        (tmp_path / f"{n}.rec").write_bytes(b"")
+        (tmp_path / f"{n}.txt").write_text("10 20 30\n40 50 60\n")
+    main(["gen-files", "--dir", str(tmp_path), "--out", "demo", "--ord", "xzy"])
+    imgs = pd.read_csv(tmp_path / "demo_train_imgs.txt", sep="\t")
+    coords = pd.read_csv(tmp_path / "demo_train_coords.txt", sep="\t")
+    assert set(imgs.image_name) == {"a", "b"}
+    assert len(coords) == 4
+    # xzy order: file row "10 20 30" -> x=10, z=20, y=30
+    row = coords[coords.image_name == "a"].iloc[0]
+    assert (row.x_coord, row.y_coord, row.z_coord) == (10, 30, 20)
+
+
+def test_merge_cli(tmp_path, capsys):
+    (tmp_path / "t1.txt").write_text("h\n1\t2\t3\t0.5\n")
+    main(["merge", "--path", str(tmp_path), "--out", "all.out"])
+    out = (tmp_path / "all.out").read_text().splitlines()
+    assert out[0].startswith("image_name")
+    assert out[1].startswith("t1")
+
+
+def test_pr_curve_cli(tmp_path, capsys):
+    t = tmp_path / "targets.txt"
+    p = tmp_path / "preds.txt"
+    pd.DataFrame({
+        "image_name": ["a", "a"], "x_coord": [10, 30],
+        "y_coord": [10, 30], "z_coord": [5, 5],
+    }).to_csv(t, sep="\t", index=False)
+    pd.DataFrame({
+        "image_name": ["a", "a"], "x_coord": [10, 30], "z_coord": [5, 5],
+        "y_coord": [10, 30], "score": [0.9, 0.8],
+    }).to_csv(p, sep="\t", index=False)
+    main(["pr-curve", "--predicted", str(p), "--targets", str(t), "-r", "3",
+          "--out", str(tmp_path / "pr.tsv")])
+    out = capsys.readouterr().out
+    assert "auprc=1.0" in out
+    assert (tmp_path / "pr.tsv").exists()
+
+
+def test_remove_golds_cli(tmp_path):
+    det_dir = tmp_path / "dets"
+    gold_dir = tmp_path / "golds"
+    out_dir = tmp_path / "out"
+    det_dir.mkdir()
+    gold_dir.mkdir()
+    (det_dir / "TS1.txt").write_text("10\t10\t10\n100\t100\t100\n")
+    (gold_dir / "TS1_gold3d.txt").write_text("12\t10\t10\n")
+    main(["remove-golds", "--path", str(det_dir), "--gold", str(gold_dir),
+          "--out", str(out_dir)])
+    kept = (out_dir / "TS1.txt").read_text().strip().splitlines()
+    assert kept == ["100\t100\t100"]

@@ -184,3 +184,28 @@ def test_lr_schedule():
     cfg2 = Config(task="simsiam3d", arch="simsiam2d_18", lr=0.1, cosine=False,
                   lr_step=(10, 20), num_epochs=30).finalize()
     assert simsiam_lr_at_epoch(cfg2, 15) == pytest.approx(0.01)
+
+
+# -- MoCo variant ------------------------------------------------------------
+
+@pytest.mark.slow
+def test_moco_train(tmp_path, rng):
+    from cet_pick_tpu.train.moco import train_moco
+
+    cfg = Config(task="moco", arch="simsiam2d_18", bbox=24, batch_size=4,
+                 lr=0.05, num_epochs=2, val_intervals=-1, dog=(2, 4),
+                 head_conv=64).finalize()
+    cfg.save_dir = str(tmp_path)
+    rec, _, _ = make_explore_fixture(rng)
+    ds = ExploreDataset(cfg, "train", images={"syn": rec})
+    assert len(ds) > 0
+    state, hist = train_moco(cfg, ds, num_epochs=2, r=16, log_fn=lambda *_: None)
+    assert np.isfinite(hist[-1]["loss"])
+    assert 0.0 <= hist[-1]["acc"] <= 1.0
+    # queue rows stay L2-normalized after enqueues
+    norms = np.linalg.norm(np.asarray(state.queue), axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-3)
+    # key params differ from query params after momentum updates
+    leaf_q = jax.tree_util.tree_leaves(state.params)[0]
+    leaf_k = jax.tree_util.tree_leaves(state.key_params)[0]
+    assert not np.allclose(np.asarray(leaf_q), np.asarray(leaf_k))

@@ -1,0 +1,38 @@
+"""Logger + Debugger artifacts."""
+
+import os
+
+import numpy as np
+
+from cet_pick_tpu.config import Config
+from cet_pick_tpu.utils.debugger import Debugger, debug_validation_volume
+from cet_pick_tpu.utils.logger import Logger
+
+
+def test_logger_writes_files(tmp_path):
+    cfg = Config(task="semi", root_dir=str(tmp_path)).finalize()
+    lg = Logger(cfg, use_tensorboard=False)
+    lg.log_epoch(1, {"loss": 0.5, "hm_loss": 0.4})
+    lg.close()
+    assert os.path.exists(os.path.join(cfg.save_dir, "opt.txt"))
+    assert os.path.exists(os.path.join(cfg.save_dir, "opt.json"))
+    text = open(lg.log_path).read()
+    assert "epoch: 1" in text and "loss 0.5" in text
+    # opt.json reload gives the same task
+    assert Config.load(os.path.join(cfg.save_dir, "opt.json")).task == "semi"
+
+
+def test_debugger_artifacts(tmp_path, rng):
+    dbg = Debugger(str(tmp_path))
+    vol = rng.standard_normal((8, 32, 32)).astype(np.float32)
+    hm = rng.random((8, 16, 16)).astype(np.float32)
+    gt = np.zeros((8, 16, 16), np.float32)
+    dets = np.array([[5, 6, 0, 0.9, 0.9], [3, 3, 4, 0.8, 0.8]])
+    paths = debug_validation_volume(dbg, vol, hm, gt, dets=dets, every=4)
+    assert any("pred_z000" in p for p in paths)
+    assert any("det_z000" in p for p in paths)
+    for p in paths:
+        assert os.path.getsize(p) > 0
+    txt = dbg.save_detection_txt("volA", dets)
+    rows = open(txt).read().strip().splitlines()
+    assert rows[0].split("\t")[:3] == ["10", "0", "12"]  # x*2, z, y*2
