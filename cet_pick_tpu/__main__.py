@@ -139,6 +139,50 @@ def cmd_embed(argv):
     print(f"saved {path}")
 
 
+def cmd_denoise(argv):
+    """Self-supervised denoise training + volume output (task denoise)."""
+    parser = argparse.ArgumentParser(prog="cet_pick_tpu denoise")
+    add_config_arguments(
+        parser, Config(task="denoise", arch="unet_4", lr=1e-3, batch_size=8)
+    )
+    parser.add_argument("--num_iters", type=int, default=2000)
+    parser.add_argument("--crop", type=int, default=128)
+    parser.add_argument("--write_denoised", action="store_true")
+    a = parser.parse_args(argv)
+    cfg = config_from_args(a)
+    import numpy as np
+
+    from cet_pick_tpu.io.coords import read_image_list
+    from cet_pick_tpu.io.loader import load_tomos_from_list
+    from cet_pick_tpu.io.mrc import write_mrc
+    from cet_pick_tpu.train.denoise import (
+        DenoiseDataset, denoise_volume, train_denoise,
+    )
+    from cet_pick_tpu.utils.logger import Logger
+
+    il = read_image_list(os.path.join(cfg.data_dir, cfg.train_img_txt))
+    images = load_tomos_from_list(
+        il.image_name, il.rec_path,
+        order=cfg.order, compress=cfg.compress, denoise=cfg.gauss,
+    )
+    logger = Logger(cfg)
+
+    def log(msg):
+        print(msg)
+        logger.write(msg + "\n")
+
+    ds = DenoiseDataset(images, crop=a.crop)
+    state, models, _ = train_denoise(cfg, ds, num_iters=a.num_iters,
+                                     crop=a.crop, log_fn=log)
+    if a.write_denoised:
+        for name, vol in images.items():
+            den = denoise_volume(models, state, np.asarray(vol, np.float32))
+            out = os.path.join(cfg.save_dir, f"{name}_denoised.mrc")
+            write_mrc(out, den)
+            log(f"wrote {out}")
+    logger.close()
+
+
 def cmd_plot2d(argv):
     parser = argparse.ArgumentParser(prog="cet_pick_tpu plot2d")
     parser.add_argument("--input", required=True)
@@ -338,6 +382,7 @@ COMMANDS = {
     "test": cmd_test,
     "explore": cmd_explore,
     "moco": cmd_moco,
+    "denoise": cmd_denoise,
     "embed": cmd_embed,
     "plot2d": cmd_plot2d,
     "phoenix": cmd_phoenix,

@@ -189,6 +189,39 @@ def compute_ctf(freqs, dfu, dfv, dfang, volt, cs, w, phase_shift=0.0,
     return ctf
 
 
+def fsc(vol1, vol2):
+    """Fourier shell correlation between two cubic volumes (utils/fsc.py's
+    role). Returns (shell_radii_fractional, correlations)."""
+    vol1 = np.asarray(vol1)
+    vol2 = np.asarray(vol2)
+    d = vol1.shape[0]
+    f1 = fftn_center(vol1)
+    f2 = fftn_center(vol2)
+    coords = np.arange(d) - d // 2
+    zz, yy, xx = np.meshgrid(coords, coords, coords, indexing="ij")
+    r = np.sqrt(xx ** 2 + yy ** 2 + zz ** 2)
+    shells = np.arange(1, d // 2)
+    corr = np.zeros(len(shells))
+    prev = 0.5
+    for i, s in enumerate(shells):
+        mask = (r >= prev) & (r < s + 0.5)
+        a = f1[mask]
+        b = f2[mask]
+        num = np.real(np.vdot(a, b))
+        den = np.sqrt(np.vdot(a, a).real * np.vdot(b, b).real)
+        corr[i] = num / den if den > 0 else 0.0
+        prev = s + 0.5
+    return shells / d, corr
+
+
+def fsc_resolution(freqs, corr, threshold=0.143, apix=1.0):
+    """First shell where FSC drops below threshold -> resolution in A."""
+    below = np.where(corr < threshold)[0]
+    if len(below) == 0:
+        return 2 * apix  # Nyquist
+    return apix / freqs[below[0]]
+
+
 def ctf_freqs(d, apix=1.0):
     """Centered (d, d, 2) frequency lattice up to Nyquist (1/(2*apix))."""
     f = np.fft.fftshift(np.fft.fftfreq(d, d=apix))

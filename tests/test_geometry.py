@@ -87,3 +87,16 @@ def test_ctf_basic():
     ctf_b = np.asarray(compute_ctf(freqs, 15000.0, 15000.0, 0.0, 300.0, 2.7,
                                    0.1, bfactor=500.0))
     assert np.abs(ctf_b).sum() < np.abs(ctf).sum()
+
+
+def test_fsc_identical_and_noise(rng):
+    from cet_pick_tpu.utils.geometry import fsc, fsc_resolution
+
+    vol = rng.standard_normal((32, 32, 32)).astype(np.float32)
+    freqs, corr = fsc(vol, vol)
+    np.testing.assert_allclose(corr, 1.0, atol=1e-6)
+    assert fsc_resolution(freqs, corr, apix=1.0) == pytest.approx(2.0)
+
+    other = rng.standard_normal((32, 32, 32)).astype(np.float32)
+    _, corr2 = fsc(vol, other)
+    assert np.abs(corr2).mean() < 0.2  # uncorrelated noise

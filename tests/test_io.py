@@ -209,3 +209,23 @@ class TestConfig:
         c = Config(task="semi", bbox=16, tau=0.2).finalize()
         c2 = Config.from_json(c.to_json())
         assert c2.bbox == 16 and c2.tau == 0.2 and c2.lr_step == c.lr_step
+
+
+def test_stratified_sampler_balance(rng):
+    from cet_pick_tpu.data.sampler import StratifiedCoordinateSampler
+
+    labels = np.zeros((4, 8, 8), np.float32)
+    labels[0, :2, :2] = 1.0  # 4 positives among 256 voxels
+    s = StratifiedCoordinateSampler(labels, balance=0.5, size=200, random=rng)
+    draws = [next(s) for _ in range(200)]
+    pos_set = set(np.where(labels.ravel() > 0.5)[0].tolist())
+    frac_pos = np.mean([d in pos_set for d in draws])
+    assert 0.4 < frac_pos < 0.6
+
+
+def test_stratified_sampler_requires_both_groups(rng):
+    from cet_pick_tpu.data.sampler import StratifiedCoordinateSampler
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        StratifiedCoordinateSampler(np.zeros((2, 2, 2)), random=rng)
