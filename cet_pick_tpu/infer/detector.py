@@ -61,10 +61,13 @@ class TomoDetector:
 
     # -- pipeline stages -----------------------------------------------------
 
-    def process(self, volume: np.ndarray):
-        """Tiled forward + fused decode; returns (hm probs, (K,5) dets)."""
+    def process(self, volume: np.ndarray, lo: float = 0.0, hi: float = 1.0):
+        """Tiled forward + fused decode; returns (hm probs, (K,5) dets).
+
+        Pass a uint8 volume with (lo, hi) from preprocess_quantized to cut
+        host->device transfer 4x (dequantized on device, bit-identical)."""
         cfg = self.config
-        hm = self.infer(volume)
+        hm = self.infer(volume, lo=lo, hi=hi)
         dets = tomo_decode(hm, kernel=cfg.nms, k=cfg.K, if_fiber=cfg.fiber)
         return hm, dets
 

@@ -44,9 +44,12 @@ class TiledHeatmapInference:
         self.halo = int(halo)
 
         @functools.partial(jax.jit, static_argnames=())
-        def _tile_forward(variables, tile):
+        def _tile_forward(variables, tile, lo, hi):
+            # affine dequantization fuses into the stem conv's input read;
+            # float inputs pass through unchanged via (lo, hi) = (0, 1)
+            x = (tile.astype(jnp.float32) - lo) / jnp.maximum(hi - lo, 1e-12)
             out = self.model.apply(
-                variables, tile[None], train=False, active_heads=("hm",)
+                variables, x[None], train=False, active_heads=("hm",)
             )
             # (1, tz, H', W', 1) logits -> (tz, H', W') probabilities
             from cet_pick_tpu.ops.nms import sigmoid_clamped
@@ -55,8 +58,11 @@ class TiledHeatmapInference:
 
         self._tile_forward = _tile_forward
 
-    def __call__(self, volume: np.ndarray) -> jnp.ndarray:
-        """volume: (D, H, W) float32 -> stitched (D, H//2, W//2) heatmap
+    def __call__(self, volume: np.ndarray, lo: float = 0.0,
+                 hi: float = 1.0) -> jnp.ndarray:
+        """volume: (D, H, W) float32 — or uint8 with (lo, hi) dequantization
+        bounds from ``io.loader.preprocess_quantized`` (the uint8 path ships
+        4x fewer bytes to the device) -> stitched (D, H//2, W//2) heatmap
         probabilities (device array).
 
         Windows are shifted inward at the volume borders (never zero-padded),
@@ -73,10 +79,12 @@ class TiledHeatmapInference:
         # TPU runtimes — and per-tile sends would ship halo rows twice.
         if not isinstance(volume, jax.Array):
             volume = jax.device_put(volume)
+        lo = jnp.float32(lo)
+        hi = jnp.float32(hi)
         win = tz + 2 * halo
         if d <= win:
             # single window covers the volume; exact by construction
-            return self._tile_forward(self.variables, volume)
+            return self._tile_forward(self.variables, volume, lo, hi)
 
         n_tiles = -(-d // tz)
         cores = []
@@ -85,6 +93,6 @@ class TiledHeatmapInference:
             z1 = min(z0 + tz, d)
             s = min(max(z0 - halo, 0), d - win)
             window = jax.lax.slice_in_dim(volume, s, s + win, axis=0)
-            hm = self._tile_forward(self.variables, window)
+            hm = self._tile_forward(self.variables, window, lo, hi)
             cores.append(hm[z0 - s : z1 - s])
         return jnp.concatenate(cores, axis=0)

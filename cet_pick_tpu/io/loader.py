@@ -123,6 +123,27 @@ def preprocess(vol, denoise=0, is_tilt=False):
     return _minmax01(vol)
 
 
+def preprocess_quantized(vol, denoise=0):
+    """Tomogram preprocessing that keeps the uint8 representation.
+
+    Returns (u8, lo, hi) such that ``preprocess(vol) == (u8 - lo) / (hi - lo)``
+    exactly (tomogram path of ``preprocess``). Shipping the uint8 volume to
+    the accelerator and dequantizing there moves 4x fewer bytes over the
+    host->device link — the dominant cost of whole-volume inference on
+    remote-attached TPUs — with bit-identical results.
+    """
+    vol = np.asarray(vol, dtype=np.float64)
+    if denoise > 0:
+        vol = gaussian_filter(vol, sigma=denoise)
+        vol = _standardize(vol)
+        q = quantize(vol, mi=-3, ma=3)
+    else:
+        vol = _standardize(vol)
+        q = quantize(vol)
+    lo, hi = float(q.min()), float(q.max())
+    return q, lo, hi
+
+
 def load_tlt(path):
     """Read a .tlt tilt-angle file -> (n, 1) float array (loader.py:134-137)."""
     return np.loadtxt(path, ndmin=1).reshape(-1, 1)

@@ -129,6 +129,15 @@ def create_detector(config, dtype=None):
     arch = config.arch
     n_blocks = int(arch.split("_")[1]) if "_" in arch else 4
     dtype = dtype or {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[config.dtype]
+    if arch.startswith(("res3d", "p3d")):
+        from cet_pick_tpu.models.detector3d import TomoPickNet3D
+
+        return TomoPickNet3D(
+            heads=dict(config.heads),
+            n_blocks=n_blocks,
+            head_conv=config.head_conv,
+            dtype=dtype,
+        )
     return TomoPickNet(
         heads=dict(config.heads),
         n_blocks=n_blocks,

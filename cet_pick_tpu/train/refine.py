@@ -47,15 +47,22 @@ def unflip_aug(x, flip_prob):
 def _forward_pair(model, params, batch_stats, x, train):
     """Apply the model to (B, P, D, H, W) paired crops by folding P into batch."""
     b, p, d, h, w = x.shape
-    out, updates = model.apply(
-        {"params": params, "batch_stats": batch_stats},
-        x.reshape(b * p, d, h, w),
-        train=train,
-        mutable=["batch_stats"] if train else [],
-    ) if train else (
-        model.apply({"params": params, "batch_stats": batch_stats}, x.reshape(b * p, d, h, w), train=False),
-        {"batch_stats": batch_stats},
-    )
+    if train:
+        out, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x.reshape(b * p, d, h, w),
+            train=True,
+            mutable=["batch_stats"],
+        )
+        # norm-free models (e.g. the GroupNorm 3D detector) return no stats
+        updates = dict(updates) if updates else {}
+        updates.setdefault("batch_stats", batch_stats)
+    else:
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x.reshape(b * p, d, h, w), train=False,
+        )
+        updates = {"batch_stats": batch_stats}
     # back to (B, P, D, H', W', C)
     out = {
         k: v.reshape((b, p) + v.shape[1:]) for k, v in out.items()

@@ -117,3 +117,21 @@ def test_fiber_postprocess_rejects_scatter(rng):
     out = fiber_postprocess(pts, distance_cutoff=60, res_cutoff=1e-3,
                             curvature_cutoff=1e-9, scale=2)
     assert out == []
+
+
+def test_uint8_path_matches_float(small_setup, rng):
+    """preprocess_quantized + on-device dequant == preprocess float path."""
+    from cet_pick_tpu.io.loader import preprocess, preprocess_quantized
+
+    config, model, state = small_setup
+    raw = rng.standard_normal((12, 64, 64)).astype(np.float32)
+    f32 = preprocess(raw).astype(np.float32)
+    u8, lo, hi = preprocess_quantized(raw)
+    np.testing.assert_allclose(
+        (u8.astype(np.float64) - lo) / (hi - lo), f32, atol=1e-6
+    )
+    tiled = TiledHeatmapInference(model, state.params, state.batch_stats,
+                                  tile_z=6)
+    hm_f = np.asarray(tiled(f32))
+    hm_u = np.asarray(tiled(u8, lo=lo, hi=hi))
+    np.testing.assert_allclose(hm_u, hm_f, atol=1e-5)

@@ -92,3 +92,47 @@ class TestTomoPickNet:
         # params stored in f32
         p = jax.tree_util.tree_leaves(vars_["params"])
         assert all(l.dtype == jnp.float32 for l in p)
+
+
+def test_detector3d_shapes(rng):
+    import jax
+    from cet_pick_tpu.config import Config
+    from cet_pick_tpu.models.detector import create_detector
+
+    cfg = Config(task="semi3d", arch="res3d_2").finalize()
+    model = create_detector(cfg)
+    x = rng.standard_normal((2, 6, 32, 32)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out["hm"].shape == (2, 6, 16, 16, 1)
+    assert out["proj"].shape == (2, 6, 16, 16, 32)
+    norms = np.linalg.norm(np.asarray(out["proj"]), axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+
+def test_semi3d_trains(rng):
+    """semi3d task end to end on the 3D detector (GroupNorm, no batch stats)."""
+    import jax
+    from cet_pick_tpu.config import Config
+    from cet_pick_tpu.models.detector import create_detector
+    from cet_pick_tpu.train.refine import make_train_step
+    from cet_pick_tpu.train.state import create_train_state
+
+    cfg = Config(task="semi3d", arch="res3d_2", contrastive=False,
+                 batch_size=2).finalize()
+    model = create_detector(cfg)
+    b, p, d, h, w = 2, 2, 6, 32, 32
+    batch = {
+        "input": rng.standard_normal((b, p, d, h, w)).astype(np.float32),
+        "input_aug": rng.standard_normal((b, p, d, h, w)).astype(np.float32),
+        "hm": np.where(rng.random((b, p, d, h // 2, w // 2)) < 0.02, 1.0, -1.0
+                       ).astype(np.float32),
+        "hm_aug": np.zeros((b, p, d, h // 2, w // 2), np.float32),
+        "flip_prob": rng.random(b).astype(np.float32),
+    }
+    batch["hm"][:, 0, 3, 8, 8] = 1.0
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               batch["input"].reshape(b * p, d, h, w))
+    step = make_train_step(model, cfg)
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
