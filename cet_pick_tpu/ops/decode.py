@@ -62,12 +62,26 @@ def tomo_decode(heat, kernel=3, k=900, if_fiber=False):
     return jnp.stack([xs, ys, zs, s, s], axis=1)
 
 
-@partial(jax.jit, static_argnames=("kernel", "k", "if_fiber"))
-def decode_detections(hm_logits, kernel=3, k=900, if_fiber=False):
+@partial(jax.jit, static_argnames=("kernel", "k", "if_fiber", "use_pallas"))
+def decode_detections(hm_logits, kernel=3, k=900, if_fiber=False,
+                      use_pallas=False):
     """Fused sigmoid-clamp + NMS + top-K from raw heatmap logits.
 
     One jit region = one XLA program: the sigmoid, pooling, keep-mask and
     masked scores all fuse; only the (k, 5) detection table leaves the device.
+
+    use_pallas=True routes the sigmoid+NMS stage through the single-HBM-pass
+    Pallas kernel (ops/pallas_nms.py) — full 3D NMS only (fiber mode keeps
+    the separable XLA path).
     """
+    if use_pallas and not if_fiber:
+        from cet_pick_tpu.ops.pallas_nms import fused_sigmoid_nms
+
+        heat = fused_sigmoid_nms(hm_logits, kernel=kernel)
+        scores, z, y, x, _ = topk_3d(heat, k=k)
+        xs = x.astype(jnp.float32) + 0.25
+        ys = y.astype(jnp.float32) + 0.25
+        s = scores.astype(jnp.float32)
+        return jnp.stack([xs, ys, z.astype(jnp.float32), s, s], axis=1)
     heat = sigmoid_clamped(hm_logits)
     return tomo_decode(heat, kernel=kernel, k=k, if_fiber=if_fiber)

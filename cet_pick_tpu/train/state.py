@@ -43,12 +43,28 @@ class TrainState(struct.PyTreeNode):
         )
 
 
-def create_train_state(model, config, rng, sample_input, lr=None):
-    """Initialize model variables + Adam optimizer (torch defaults, main.py:55)."""
+def create_train_state(model, config, rng, sample_input, lr=None,
+                       freeze=()):
+    """Initialize model variables + Adam optimizer (torch defaults, main.py:55).
+
+    ``freeze``: top-level param-tree names whose gradients are zeroed —
+    the sequential fine-tune mode that freezes the ``hm`` head before
+    continuing training (reference main_seq.py:36-40).
+    """
     variables = model.init(rng, jnp.asarray(sample_input), train=False)
     tx = optax.inject_hyperparams(optax.adam)(
         learning_rate=lr if lr is not None else config.lr
     )
+    if freeze:
+        frozen = set(freeze)
+
+        def label(params):
+            return {k: ("frozen" if k in frozen else "train")
+                    for k in params.keys()}
+
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()}, label
+        )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", core.FrozenDict())
     return TrainState(
@@ -64,7 +80,11 @@ def create_train_state(model, config, rng, sample_input, lr=None):
 def set_learning_rate(state: TrainState, lr: float) -> TrainState:
     """Update the injected Adam learning rate (epoch-step decay, main.py:122-128)."""
     opt_state = state.opt_state
-    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
+    if hasattr(opt_state, "hyperparams"):
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
+    elif hasattr(opt_state, "inner_states"):  # multi_transform (frozen heads)
+        inner = opt_state.inner_states["train"].inner_state
+        inner.hyperparams["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
     return state.replace(opt_state=opt_state)
 
 

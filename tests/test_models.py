@@ -136,3 +136,41 @@ def test_semi3d_trains(rng):
     step = make_train_step(model, cfg)
     state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_freeze_head_finetune(rng):
+    """main_seq-style fine-tune: frozen 'hm' head params stay fixed while the
+    rest train (reference main_seq.py:36-40)."""
+    import jax
+    from cet_pick_tpu.config import Config
+    from cet_pick_tpu.models.detector import create_detector
+    from cet_pick_tpu.train.refine import make_train_step
+    from cet_pick_tpu.train.state import create_train_state, set_learning_rate
+
+    cfg = Config(task="semi", arch="unet_2", contrastive=False,
+                 batch_size=2).finalize()
+    model = create_detector(cfg)
+    b, p, d, h, w = 2, 2, 6, 32, 32
+    batch = {
+        "input": rng.standard_normal((b, p, d, h, w)).astype(np.float32),
+        "input_aug": rng.standard_normal((b, p, d, h, w)).astype(np.float32),
+        "hm": np.where(rng.random((b, p, d, h // 2, w // 2)) < 0.02, 1.0, -1.0
+                       ).astype(np.float32),
+        "hm_aug": np.zeros((b, p, d, h // 2, w // 2), np.float32),
+        "flip_prob": rng.random(b).astype(np.float32),
+    }
+    batch["hm"][:, 0, 3, 8, 8] = 1.0
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               batch["input"].reshape(b * p, d, h, w),
+                               freeze=("hm",))
+    state = set_learning_rate(state, 1e-3)
+    hm_before = np.asarray(
+        jax.tree_util.tree_leaves(state.params["hm"])[0]).copy()
+    stem_before = np.asarray(
+        jax.tree_util.tree_leaves(state.params["stem"])[0]).copy()
+    step = make_train_step(model, cfg)
+    state, _ = step(state, batch)
+    hm_after = np.asarray(jax.tree_util.tree_leaves(state.params["hm"])[0])
+    stem_after = np.asarray(jax.tree_util.tree_leaves(state.params["stem"])[0])
+    np.testing.assert_array_equal(hm_before, hm_after)
+    assert not np.allclose(stem_before, stem_after)
