@@ -62,6 +62,23 @@ def tomo_decode(heat, kernel=3, k=900, if_fiber=False):
     return jnp.stack([xs, ys, zs, s, s], axis=1)
 
 
+def tomo_decode_classify(heat, r, threshold):
+    """Greedy spherical-NMS decode for the semiclass task
+    (decode.py:108-120): host-side suppression of a (D, H, W) probability
+    volume with exclusion radius r, keeping scores above threshold.
+    Returns (N, 4) rows (x, y, z, score)."""
+    import numpy as np
+
+    from cet_pick_tpu.ops.greedy_nms import greedy_nms_3d
+
+    scores, coords = greedy_nms_3d(np.asarray(heat), r, threshold=threshold)
+    if len(scores) == 0:
+        return np.zeros((0, 4), dtype=np.float32)
+    return np.concatenate(
+        [coords.astype(np.float32), scores[:, None].astype(np.float32)], axis=1
+    )
+
+
 @partial(jax.jit, static_argnames=("kernel", "k", "if_fiber", "use_pallas"))
 def decode_detections(hm_logits, kernel=3, k=900, if_fiber=False,
                       use_pallas=False):

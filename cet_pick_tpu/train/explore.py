@@ -139,11 +139,20 @@ def train_explore(config, dataset, num_epochs=None, log_fn=print):
     for epoch in range(start_epoch, num_epochs + 1):
         state = set_learning_rate(state, simsiam_lr_at_epoch(config, epoch))
         epoch_metrics = []
-        for batch in dataset.epoch_batches(rng, config.batch_size):
-            batch["norm_mean"] = norm_mean
-            batch["norm_std"] = norm_std
+        from cet_pick_tpu.data.prefetch import PrefetchIterator
+
+        def with_norm(it):
+            for b in it:
+                b["norm_mean"] = norm_mean
+                b["norm_std"] = norm_std
+                yield b
+
+        batches = PrefetchIterator(
+            with_norm(dataset.epoch_batches(rng, config.batch_size))
+        )
+        for batch in batches:
             key, sub = jax.random.split(key)
-            state, metrics = step(state, jax.device_put(batch), sub)
+            state, metrics = step(state, batch, sub)
             epoch_metrics.append({k: float(v) for k, v in metrics.items()})
         if not epoch_metrics:
             raise ValueError(

@@ -117,6 +117,46 @@ def pu_focal_loss(pred, gt, tau=0.1, beta=0.0):
     return loss, num_pos
 
 
+def pu_ge_loss(pred, gt, tau=0.1, slack=1.0, entropy_penalty=0.0):
+    """Generalized-expectation PU loss (loss.py:215-253, 327-337, --ge mode).
+
+    Focal loss on labeled voxels + a penalty matching the count of positives
+    among unlabeled voxels to Binomial(N, tau): the predicted count
+    distribution is approximated as a gaussian q(count) from the per-voxel
+    Bernoulli moments, and scored against the binomial log-pmf.
+
+    The reference materializes arange(0, N+1) with data-dependent N; here the
+    count grid is the (static) total voxel count with entries > N masked, and
+    the binomial log-pmf comes from gammaln — fully traceable.
+    """
+    from jax.scipy.special import gammaln
+
+    pred = pred.reshape(-1)
+    gt = gt.reshape(-1)
+    classifier_loss = focal_loss(pred, gt)
+
+    unl = (gt == -1).astype(pred.dtype)
+    n_unl = unl.sum()
+    p = pred * unl
+    q_mu = p.sum()
+    q_var = (p * (1 - pred) * unl).sum()
+
+    v = pred.shape[0]
+    k = jnp.arange(0, v + 1, dtype=pred.dtype)
+    valid = k <= n_unl
+    q_logits = jnp.where(valid, -0.5 * (q_mu - k) ** 2 / (q_var + 1e-7), -jnp.inf)
+    q_discrete = jax.nn.softmax(q_logits)
+    log_binom = (
+        gammaln(n_unl + 1) - gammaln(k + 1) - gammaln(jnp.maximum(n_unl - k, 0) + 1)
+        + k * jnp.log(tau) + jnp.maximum(n_unl - k, 0) * jnp.log1p(-tau)
+    )
+    ge_penalty = -jnp.sum(jnp.where(valid, log_binom * q_discrete, 0.0))
+    if entropy_penalty > 0:
+        q_entropy = 0.5 * (jnp.log(q_var + 1e-7) + jnp.log(2 * jnp.pi) + 1)
+        ge_penalty = ge_penalty + q_entropy * entropy_penalty
+    return classifier_loss + slack * ge_penalty
+
+
 # ---------------------------------------------------------------------------
 # debiased contrastive regularization
 # ---------------------------------------------------------------------------

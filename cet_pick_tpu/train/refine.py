@@ -77,6 +77,7 @@ def make_train_step(model, config):
     temp = config.temp
     thresh = config.thresh
     use_pn = config.pn
+    use_ge = config.ge
     contrastive = config.contrastive
 
     def loss_fn(params, batch_stats, batch):
@@ -89,6 +90,9 @@ def make_train_step(model, config):
 
         if use_pn:
             hm_loss = L.focal_loss(hm, gt)
+            num_pos = (gt == 1).sum()
+        elif use_ge:
+            hm_loss = L.pu_ge_loss(hm, gt, tau=tau)
             num_pos = (gt == 1).sum()
         else:
             hm_loss, num_pos = L.pu_focal_loss(hm, gt, tau=tau)
@@ -202,8 +206,10 @@ def train_refine(config, dataset, val_dataset=None, num_epochs=None, log_fn=prin
     for epoch in range(start_epoch, num_epochs + 1):
         state = set_learning_rate(state, lr_at_epoch(config, epoch))
         epoch_metrics = []
-        for batch in dataset.epoch_batches(rng, config.batch_size):
-            state, metrics = train_step(state, jax.device_put(batch))
+        from cet_pick_tpu.data.prefetch import prefetch_epoch
+
+        for batch in prefetch_epoch(dataset, rng, config.batch_size):
+            state, metrics = train_step(state, batch)
             m = {k: float(v) for k, v in metrics.items()}
             if not config.pn and m.get("num_pos", 1) == 0:
                 # the reference's PU loss raises here (loss.py:275-276):

@@ -229,3 +229,40 @@ class TestConsistencySimsiam:
 
         g = jax.grad(loss_wrt_z)(z)
         np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-7)
+
+
+def test_pu_ge_loss_finite_and_count_sensitive(rng):
+    """GE penalty prefers unlabeled positive-fraction near tau."""
+    import jax.numpy as jnp
+    from cet_pick_tpu.train.losses import pu_ge_loss
+
+    n = 512
+    gt = -np.ones(n, np.float32)
+    gt[:10] = 1.0  # a few labeled positives
+
+    def loss_at(frac):
+        pred = np.full(n, 0.02, np.float32)
+        pred[:10] = 0.95
+        k = int(frac * (n - 10))
+        pred[10:10 + k] = 0.95  # confident positives among unlabeled
+        return float(pu_ge_loss(jnp.asarray(pred), jnp.asarray(gt), tau=0.1))
+
+    on_target = loss_at(0.1)
+    too_many = loss_at(0.6)
+    too_few = loss_at(0.0)
+    assert np.isfinite([on_target, too_many, too_few]).all()
+    assert on_target < too_many
+    assert on_target < too_few
+
+
+def test_decode_classify_roundtrip(rng):
+    from cet_pick_tpu.ops.decode import tomo_decode_classify
+
+    hm = np.zeros((8, 32, 32), np.float32)
+    hm[4, 10, 20] = 0.9
+    hm[4, 11, 21] = 0.8   # suppressed: inside radius of the first
+    hm[2, 25, 5] = 0.7
+    dets = tomo_decode_classify(hm, r=6, threshold=0.5)
+    assert dets.shape[1] == 4
+    assert len(dets) == 2
+    assert (dets[0][:3] == [20, 10, 4]).all() and dets[0][3] == np.float32(0.9)
