@@ -61,13 +61,19 @@ class TomoDetector:
 
     # -- pipeline stages -----------------------------------------------------
 
-    def process(self, volume: np.ndarray, lo: float = 0.0, hi: float = 1.0):
+    def process(self, volume: np.ndarray, lo: float = 0.0, hi: float = 1.0,
+                fused: bool = True):
         """Tiled forward + fused decode; returns (hm probs, (K,5) dets).
 
         Pass a uint8 volume with (lo, hi) from preprocess_quantized to cut
-        host->device transfer 4x (dequantized on device, bit-identical)."""
+        host->device transfer 4x (dequantized on device, bit-identical).
+        fused=True batches all z-tiles through one dispatch (fastest);
+        fused=False streams tile by tile (lowest peak memory)."""
         cfg = self.config
-        hm = self.infer(volume, lo=lo, hi=hi)
+        if fused:
+            hm = self.infer.fused(volume, lo=lo, hi=hi)
+        else:
+            hm = self.infer(volume, lo=lo, hi=hi)
         dets = tomo_decode(hm, kernel=cfg.nms, k=cfg.K, if_fiber=cfg.fiber)
         return hm, dets
 

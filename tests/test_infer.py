@@ -135,3 +135,13 @@ def test_uint8_path_matches_float(small_setup, rng):
     hm_f = np.asarray(tiled(f32))
     hm_u = np.asarray(tiled(u8, lo=lo, hi=hi))
     np.testing.assert_allclose(hm_u, hm_f, atol=1e-5)
+
+
+def test_fused_matches_streamed(small_setup, rng):
+    config, model, state = small_setup
+    vol = rng.standard_normal((20, 64, 64)).astype(np.float32)
+    tiled = TiledHeatmapInference(model, state.params, state.batch_stats,
+                                  tile_z=6)
+    hm_s = np.asarray(tiled(vol))
+    hm_f = np.asarray(tiled.fused(vol))
+    np.testing.assert_allclose(hm_f, hm_s, atol=1e-6)
