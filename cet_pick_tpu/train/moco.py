@@ -154,6 +154,46 @@ def make_moco_train_step(model, config, mode: str, m=0.999, temperature=0.1):
     return train_step
 
 
+def save_moco_checkpoint(path, state: MoCoState, config=None):
+    """Serialize the full MoCo state (query+key encoders, queue, optimizer)."""
+    import os
+
+    from flax import serialization
+
+    os.makedirs(path, exist_ok=True)
+    payload = {
+        "step": state.step, "epoch": state.epoch,
+        "params": state.params, "batch_stats": state.batch_stats,
+        "key_params": state.key_params,
+        "key_batch_stats": state.key_batch_stats,
+        "queue": state.queue, "queue_ptr": state.queue_ptr,
+        "opt_state": state.opt_state,
+    }
+    with open(os.path.join(path, "moco_state.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(payload))
+    if config is not None:
+        config.save(os.path.join(path, "opt.json"))
+
+
+def load_moco_checkpoint(path, state: MoCoState) -> MoCoState:
+    import os
+
+    from flax import serialization
+
+    with open(os.path.join(path, "moco_state.msgpack"), "rb") as f:
+        raw = f.read()
+    template = {
+        "step": state.step, "epoch": state.epoch,
+        "params": state.params, "batch_stats": state.batch_stats,
+        "key_params": state.key_params,
+        "key_batch_stats": state.key_batch_stats,
+        "queue": state.queue, "queue_ptr": state.queue_ptr,
+        "opt_state": state.opt_state,
+    }
+    loaded = serialization.from_bytes(template, raw)
+    return state.replace(**loaded)
+
+
 def train_moco(config, dataset, num_epochs=None, r=1024, log_fn=print):
     """MoCo epoch loop (moco_main.py)."""
     from cet_pick_tpu.models.simsiam import create_simsiam
@@ -200,4 +240,8 @@ def train_moco(config, dataset, num_epochs=None, r=1024, log_fn=print):
                  for k in epoch_metrics[0]}
         history.append(means)
         log_fn(f"epoch {epoch}: " + " ".join(f"{k}={v:.5f}" for k, v in means.items()))
+        if config.save_dir:
+            save_moco_checkpoint(
+                os.path.join(config.save_dir, "model_last"), state, config
+            )
     return state, history

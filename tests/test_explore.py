@@ -209,3 +209,26 @@ def test_moco_train(tmp_path, rng):
     leaf_q = jax.tree_util.tree_leaves(state.params)[0]
     leaf_k = jax.tree_util.tree_leaves(state.key_params)[0]
     assert not np.allclose(np.asarray(leaf_q), np.asarray(leaf_k))
+
+
+def test_moco_checkpoint_roundtrip(tmp_path, rng):
+    import jax
+    from cet_pick_tpu.models.simsiam import create_simsiam
+    from cet_pick_tpu.train.moco import (
+        create_moco_state, load_moco_checkpoint, save_moco_checkpoint,
+    )
+
+    cfg = Config(task="moco", arch="simsiam2d_18", bbox=24, head_conv=32,
+                 batch_size=2).finalize()
+    model = create_simsiam(cfg)
+    sample = {"anchor": rng.standard_normal((2, 1, 24, 24)).astype(np.float32)}
+    state = create_moco_state(model, cfg, jax.random.PRNGKey(0), sample, r=8)
+    state = state.replace(epoch=3, queue_ptr=jnp.asarray(4, jnp.int32))
+    save_moco_checkpoint(str(tmp_path / "ck"), state, cfg)
+    state2 = create_moco_state(model, cfg, jax.random.PRNGKey(1), sample, r=8)
+    state2 = load_moco_checkpoint(str(tmp_path / "ck"), state2)
+    assert state2.epoch == 3 and int(state2.queue_ptr) == 4
+    np.testing.assert_allclose(np.asarray(state2.queue), np.asarray(state.queue))
+    l1 = jax.tree_util.tree_leaves(state.params)[0]
+    l2 = jax.tree_util.tree_leaves(state2.params)[0]
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2))

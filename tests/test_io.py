@@ -229,3 +229,26 @@ def test_stratified_sampler_requires_both_groups(rng):
 
     with _pytest.raises(ValueError):
         StratifiedCoordinateSampler(np.zeros((2, 2, 2)), random=rng)
+
+
+def test_prefetch_iterator_order_and_errors(rng):
+    import jax
+    from cet_pick_tpu.data.prefetch import PrefetchIterator
+
+    batches = [np.full((2, 2), i, np.float32) for i in range(5)]
+    out = list(PrefetchIterator(iter(batches), depth=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        assert float(np.asarray(b)[0, 0]) == i
+
+    def boom():
+        yield batches[0]
+        raise RuntimeError("producer failed")
+
+    it = PrefetchIterator(boom(), depth=2)
+    next(it)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="producer failed"):
+        for _ in it:
+            pass
