@@ -46,15 +46,24 @@ class TomoDetector:
         self.config = config
         self.model = create_detector(config)
         if params is None:
-            from cet_pick_tpu.train.state import create_train_state, load_checkpoint
-            import jax.numpy as jnp
+            if config.load_model.endswith((".pth", ".pt")):
+                # trained reference (PyTorch) checkpoint: convert in place
+                from cet_pick_tpu.models.convert import load_reference_checkpoint
 
-            state = create_train_state(
-                self.model, config, jax.random.PRNGKey(0),
-                np.zeros((1, 8, 64, 64), np.float32),
-            )
-            state = load_checkpoint(config.load_model, state)
-            params, batch_stats = state.params, state.batch_stats
+                params, batch_stats = load_reference_checkpoint(
+                    config.load_model, config
+                )
+            else:
+                from cet_pick_tpu.train.state import (
+                    create_train_state, load_checkpoint,
+                )
+
+                state = create_train_state(
+                    self.model, config, jax.random.PRNGKey(0),
+                    np.zeros((1, 8, 64, 64), np.float32),
+                )
+                state = load_checkpoint(config.load_model, state)
+                params, batch_stats = state.params, state.batch_stats
         self.infer = TiledHeatmapInference(
             self.model, params, batch_stats, tile_z=tile_z
         )

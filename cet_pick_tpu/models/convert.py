@@ -1,0 +1,113 @@
+"""PyTorch reference checkpoint -> flax parameter conversion.
+
+Loads a trained reference refinement checkpoint (``TomoConvUNet``,
+cet_pick/models/networks/unet_small.py:30-113, saved by models/model.py:283-296
+as ``{'epoch', 'state_dict', 'optimizer'}``) into this framework's
+``TomoPickNet`` — numerically exact (same convs, same normalization
+statistics, explicit-padding stem), so users can migrate existing trained
+models without retraining.
+
+Layout rules:
+  Conv2d  (out, in, kh, kw)        -> (kh, kw, in, out)
+  Conv3d  (out, in, kd, kh, kw)    -> (kd, kh, kw, in, out)
+  ConvTranspose2d (in, out, kh, kw)-> transpose to (kh, kw, in, out) then
+                                      flip both spatial axes (flax
+                                      ConvTranspose convention; verified
+                                      numerically)
+  BatchNorm weight/bias            -> params scale/bias
+  BatchNorm running_mean/var       -> batch_stats mean/var
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+def _conv2d(w):
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _conv3d(w):
+    return np.transpose(w, (2, 3, 4, 1, 0))
+
+
+def _deconv2d(w):
+    return np.transpose(w, (2, 3, 0, 1))[::-1, ::-1].copy()
+
+
+def _set(tree, path, value):
+    node = tree
+    for k in path[:-1]:
+        node = node.setdefault(k, {})
+    node[path[-1]] = np.asarray(value)
+
+
+def torch_state_dict_to_flax(state_dict: Dict, n_blocks: int, heads: Dict):
+    """Reference TomoConvUNet state_dict -> (params, batch_stats) dicts."""
+    sd = {
+        (k[7:] if k.startswith("module.") else k): np.asarray(v)
+        for k, v in state_dict.items()
+    }
+    params: Dict = {}
+    stats: Dict = {}
+
+    def bn(src, dst):
+        _set(params, dst + ("scale",), sd[src + ".weight"])
+        _set(params, dst + ("bias",), sd[src + ".bias"])
+        _set(stats, dst + ("mean",), sd[src + ".running_mean"])
+        _set(stats, dst + ("var",), sd[src + ".running_var"])
+
+    def conv(src, dst, fn=_conv2d, bias=True):
+        _set(params, dst + ("kernel",), fn(sd[src + ".weight"]))
+        if bias and src + ".bias" in sd:
+            _set(params, dst + ("bias",), sd[src + ".bias"])
+
+    # stem (unet_small.py:35-37)
+    conv("conv1", ("stem",), bias=False)
+    bn("bn1", ("stem_bn",))
+
+    # UNet encoder (unet.py DownConv i: conv1/norm0, conv2/norm1)
+    for i in range(n_blocks):
+        base = f"unet.down_convs.{i}"
+        blk = ("unet", f"down{i}")
+        conv(base + ".conv1", blk + ("ConvNormAct_0", "Conv_0"))
+        bn(base + ".norm0", blk + ("ConvNormAct_0", "BatchNorm_0"))
+        conv(base + ".conv2", blk + ("ConvNormAct_1", "Conv_0"))
+        bn(base + ".norm1", blk + ("ConvNormAct_1", "BatchNorm_0"))
+
+    # UNet decoder (UpConv i: upconv/norm0, conv1/norm1, conv2/norm2)
+    for i in range(n_blocks - 1):
+        base = f"unet.up_convs.{i}"
+        blk = ("unet", f"up{i}")
+        conv(base + ".upconv", blk + ("ConvTranspose_0",), fn=_deconv2d)
+        bn(base + ".norm0", blk + ("BatchNorm_0",))
+        conv(base + ".conv1", blk + ("ConvNormAct_0", "Conv_0"))
+        bn(base + ".norm1", blk + ("ConvNormAct_0", "BatchNorm_0"))
+        conv(base + ".conv2", blk + ("ConvNormAct_1", "Conv_0"))
+        bn(base + ".norm2", blk + ("ConvNormAct_1", "BatchNorm_0"))
+
+    conv("unet.conv_final", ("unet", "final"))
+
+    # dilated 3D feature head (unet_small.py:39-49): Sequential indices 0, 2
+    conv("feature_head.0", ("feature_head", "conv0"), fn=_conv3d, bias=False)
+    conv("feature_head.2", ("feature_head", "conv1"), fn=_conv3d, bias=False)
+
+    # per-task heads (k(3,1,1) Conv3d, bias-free)
+    for head in heads:
+        conv(head, (head,), fn=_conv3d, bias=False)
+    return params, stats
+
+
+def load_reference_checkpoint(path: str, config):
+    """Load a reference ``model_N.pth`` into (params, batch_stats) for
+    ``create_detector(config)``. Requires torch (CPU is fine)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu")
+    state_dict = ckpt.get("state_dict", ckpt)
+    state_dict = {k: v.numpy() for k, v in state_dict.items()
+                  if hasattr(v, "numpy")}
+    n_blocks = int(config.arch.split("_")[1]) if "_" in config.arch else 4
+    return torch_state_dict_to_flax(state_dict, n_blocks, config.heads)

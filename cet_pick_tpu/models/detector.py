@@ -75,9 +75,12 @@ class TomoPickNet(nn.Module):
         # fold z into batch: (B, D, H, W) -> (B*D, H, W, 1)
         x = x.reshape(b * d, h, w, 1).astype(self.dtype)
 
-        # stem: k7 s2 conv + BN + ReLU (unet_small.py:35-37); down_ratio = 2
+        # stem: k7 s2 conv + BN + ReLU (unet_small.py:35-37); down_ratio = 2.
+        # explicit (3, 3) padding matches torch's padding=3 alignment (jax
+        # SAME would pad (2, 3)) so reference checkpoints convert bit-exactly
         x = nn.Conv(
-            self.stem_features, (7, 7), strides=(2, 2), padding="SAME",
+            self.stem_features, (7, 7), strides=(2, 2),
+            padding=((3, 3), (3, 3)),
             use_bias=False, dtype=self.dtype, name="stem",
         )(x)
         if self.normalization == "batch":

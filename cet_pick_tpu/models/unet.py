@@ -40,7 +40,10 @@ class ConvNormAct(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(x)
+        # bias-free 3x3 convs, like the reference's conv3 helper
+        # (unet.py:127-128, bias=False); the norm's shift plays that role
+        x = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype)(x)
         if self.normalization == "batch":
             x = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype)(
                 x, use_running_average=not train

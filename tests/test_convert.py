@@ -1,0 +1,73 @@
+"""Reference-checkpoint conversion: bit-level output parity torch vs flax.
+
+Imports the actual reference TomoConvUNet from /root/reference (skipped when
+the reference tree is absent), randomizes it, converts the state_dict with
+models/convert.py, and compares full forward outputs on a fixed input.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE, "cet_pick")),
+    reason="reference tree not available",
+)
+
+
+@pytest.fixture(scope="module")
+def torch_model_and_outputs():
+    sys.path.insert(0, REFERENCE)
+    import torch
+
+    from cet_pick.models.networks.unet_small import get_tomo_unet_small
+
+    torch.manual_seed(0)
+    heads = {"hm": 1, "proj": 32}
+    model = get_tomo_unet_small(4, heads, 32)
+    # randomize BN running stats so statistics conversion is actually tested
+    for m in model.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.05)
+            m.running_var.uniform_(0.5, 1.5)
+    model.eval()
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 6, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        out = model(torch.from_numpy(x))[0]
+    state_dict = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    return state_dict, x, {k: v.numpy() for k, v in out.items()}
+
+
+def test_converted_outputs_match(torch_model_and_outputs):
+    import jax
+
+    from cet_pick_tpu.config import Config
+    from cet_pick_tpu.models.convert import torch_state_dict_to_flax
+    from cet_pick_tpu.models.detector import create_detector
+
+    state_dict, x, torch_out = torch_model_and_outputs
+    cfg = Config(task="semi", arch="unet_4").finalize()
+    model = create_detector(cfg)
+    params, stats = torch_state_dict_to_flax(state_dict, 4, cfg.heads)
+
+    # validate tree structure against a fresh init
+    init = model.init(jax.random.PRNGKey(0), x, train=False)
+    init_paths = {tuple(p) for p, _ in
+                  jax.tree_util.tree_flatten_with_path(init["params"])[0]}
+    conv_paths = {tuple(p) for p, _ in
+                  jax.tree_util.tree_flatten_with_path(
+                      jax.tree_util.tree_map(np.asarray, params))[0]}
+    assert init_paths == conv_paths
+
+    out = model.apply({"params": params, "batch_stats": stats}, x, train=False)
+
+    # torch outputs are NC(D)HW; ours are (B, D, H, W, C)
+    hm_t = torch_out["hm"][0].transpose(1, 2, 3, 0)      # (D, H, W, 1)
+    proj_t = torch_out["proj"][0].transpose(1, 2, 3, 0)  # (D, H, W, 32)
+    np.testing.assert_allclose(np.asarray(out["hm"][0]), hm_t, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["proj"][0]), proj_t, atol=2e-4)
