@@ -95,7 +95,7 @@ def fused_sigmoid_nms(logits, kernel=3, interpret=False):
     return pl.pallas_call(
         partial(_nms_slab_kernel, tz=tz, kernel=kernel),
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((tz, h, w), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((d, h, w), jnp.float32),
