@@ -120,8 +120,9 @@ class Config:
     root_dir: str = "."
     dtype: str = "float32"          # compute dtype for the model ("bfloat16" on TPU)
     mesh_shape: Tuple[int, ...] = ()  # data-parallel mesh; () = all visible devices
-    tile: Tuple[int, int, int] = (64, 512, 512)  # full-volume inference tile (D, H, W)
-    halo: int = 24                   # inference tile overlap (>= head receptive field)
+    tile: Tuple[int, int, int] = (64, 512, 512)  # inference z-tile depth (D used)
+    halo: int = 3  # inference z-tile overlap; floored at the 3D head's
+                   # receptive field (infer/tiled.Z_HALO) to keep exactness
 
     # -- derived (finalize())
     heads: dict = field(default_factory=dict)
@@ -145,6 +146,11 @@ class Config:
         if self.val_img_txt is None:
             self.val_img_txt = self.train_img_txt
             self.val_coord_txt = self.train_coord_txt
+        elif self.val_coord_txt is None:
+            raise ValueError(
+                "--val_img_txt given without --val_coord_txt: the validation "
+                "split needs its coordinate table"
+            )
         if self.resume and not self.load_model:
             self.load_model = os.path.join(self.save_dir, "model_last")
         return self

@@ -40,8 +40,13 @@ from cet_pick_tpu.utils.post_process import (
 class TomoDetector:
     """Loads a trained refinement checkpoint and picks particles from volumes."""
 
-    def __init__(self, config, params=None, batch_stats=None, tile_z=64):
+    def __init__(self, config, params=None, batch_stats=None, tile_z=None):
+        from cet_pick_tpu.infer.tiled import Z_HALO
         from cet_pick_tpu.models.detector import create_detector
+
+        if tile_z is None:
+            tile_z = int(config.tile[0])  # --tile D H W (D used for z-tiling)
+        halo = max(int(config.halo), Z_HALO)  # smaller would break exactness
 
         self.config = config
         self.model = create_detector(config)
@@ -65,7 +70,7 @@ class TomoDetector:
                 state = load_checkpoint(config.load_model, state)
                 params, batch_stats = state.params, state.batch_stats
         self.infer = TiledHeatmapInference(
-            self.model, params, batch_stats, tile_z=tile_z
+            self.model, params, batch_stats, tile_z=tile_z, halo=halo
         )
 
     # -- pipeline stages -----------------------------------------------------

@@ -28,7 +28,9 @@ _MODE_TO_DTYPE = {
     4: np.dtype(np.complex64),
     6: np.dtype(np.uint16),
     12: np.dtype(np.float16),
-    101: np.dtype(np.uint8),  # packed 4-bit: treated as uint8 halves (rare)
+    # mode 101 (packed 4-bit) deliberately unsupported: it needs nibble
+    # unpacking, not a dtype view — raise a clear error instead of a
+    # misleading "truncated file"
 }
 
 _HEADER_SIZE = 1024

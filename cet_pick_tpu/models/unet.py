@@ -20,17 +20,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
-def _norm(normalization: str, dtype):
-    if normalization == "batch":
-        # torch BatchNorm defaults: momentum 0.1 (=> EMA keep-rate 0.9), eps 1e-5
-        return lambda: nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=dtype, name=None)
-    if normalization == "group":
-        return lambda: nn.GroupNorm(num_groups=8, dtype=dtype)
-    if normalization in ("none", None):
-        return lambda: (lambda x, **kw: x)
-    raise ValueError(f"unknown normalization {normalization!r}")
-
-
 class ConvNormAct(nn.Module):
     """3x3 conv -> norm -> ReLU (order of reference unet.py:240-247)."""
 

@@ -285,26 +285,79 @@ def unbiased_con_loss(
     return sup, unsup, num_pos_total
 
 
+def _row_logit_stats_blocked(feats_all, pos_mask, temp, block):
+    """Per-row reductions needed by the supervised (pn) loss, in row blocks.
+
+    Matches SupConLossV2_more's order of operations (loss.py:776-808): logits
+    divided by T, shifted by the detached row max, the diagonal ZEROED before
+    exp (so it contributes exp(0) = 1 to row sums and logit 0 to log sums).
+    Returns per row i:
+      logit_pos_sum[i] = sum_{j in pos} shifted_masked_logit_ij
+      partner_logit[i] = shifted_masked_logit_{i, i±N}
+      total_sum[i]     = sum_j exp(shifted_masked_logit_ij)  (incl. diagonal)
+    """
+    m = feats_all.shape[0]
+    n = m // 2
+    pad = (-m) % block
+    fT = feats_all.T
+
+    def one_block(start):
+        idx = start + jnp.arange(block)
+        valid = idx < m
+        rows = feats_all[jnp.clip(idx, 0, m - 1)]
+        sims = jnp.matmul(rows, fT, precision=jax.lax.Precision.HIGHEST) / temp
+        rowmax = jnp.max(sims, axis=1, keepdims=True)
+        logits = sims - jax.lax.stop_gradient(rowmax)
+        col = jnp.arange(m)[None, :]
+        offdiag = (col != idx[:, None]).astype(sims.dtype)
+        logits = logits * offdiag  # diagonal -> 0 (loss.py:787)
+        hp = jax.lax.Precision.HIGHEST
+        logit_pos_sum = jnp.matmul(logits, pos_mask, precision=hp)
+        total_sum = jnp.exp(logits).sum(axis=1)
+        partner_idx = jnp.where(idx < n, idx + n, idx - n)
+        partner = jnp.take_along_axis(
+            logits, jnp.clip(partner_idx, 0, m - 1)[:, None], axis=1
+        )[:, 0]
+        z = jnp.where(valid, 1.0, 0.0)
+        return logit_pos_sum * z, partner * z, total_sum * z
+
+    starts = jnp.arange(0, m + pad, block)
+    lps, part, tot = jax.lax.map(one_block, starts)
+    flat = lambda a: a.reshape(-1)[:m]
+    return flat(lps), flat(part), flat(tot)
+
+
 @partial(jax.jit, static_argnames=("temp", "thresh", "block"))
 def supcon_loss(labels, feats, feats_cr, temp=0.07, thresh=0.5, block=1024):
-    """Supervised pixel contrastive loss for --pn mode (loss.py:759-818).
+    """Supervised pixel contrastive loss for --pn mode, matching
+    SupConLossV2_more (loss.py:759-818) exactly:
 
-    Positive rows attract other positives; normalization by the standard
-    log-softmax over all off-diagonal pairs.
+    * positive rows: mean over ALL positive columns (self included, where the
+      zeroed-diagonal logit contributes 0) of log-softmax terms, normalized
+      by the total positive count;
+    * unlabeled (< thresh) rows: log-softmax of the augmented-counterpart
+      column only;
+    * loss = -(mean over positive rows) - (mean over unlabeled rows).
     """
     feats_all = jnp.concatenate([feats, feats_cr], axis=0)
     all_labels = jnp.concatenate([labels, labels], axis=0)
-    pos_labels = (all_labels > thresh).astype(feats.dtype)
-    other_inds = (all_labels < thresh).astype(feats.dtype)
-    pos_sum, other_sum, total_sum, _ = _row_stats_blocked(
-        feats_all, pos_labels, other_inds, temp, block
+    pos = (all_labels > thresh).astype(feats.dtype)
+    unl = (all_labels < thresh).astype(feats.dtype)
+
+    logit_pos_sum, partner_logit, total_sum = _row_logit_stats_blocked(
+        feats_all, pos, temp, block
     )
-    num_pos_total = pos_labels.sum()
-    # mean positive-pair probability vs all pairs for positive anchors
-    pos_mean = pos_sum / jnp.maximum(num_pos_total - 1, 1.0)
-    denom = total_sum - 1.0  # exclude the exp(0)=1 diagonal
-    rows = -jnp.log(pos_mean / jnp.maximum(denom, 1e-12))
-    return _safe_div((rows * pos_labels).sum(), num_pos_total)
+    num_pos_total = pos.sum()
+    log_tot = jnp.log(jnp.maximum(total_sum, 1e-12))
+
+    mean_log_prob_pos = (
+        logit_pos_sum - num_pos_total * log_tot
+    ) / jnp.maximum(num_pos_total, 1.0)
+    sup = _safe_div((mean_log_prob_pos * pos).sum(), num_pos_total)
+
+    neg_rows = partner_logit - log_tot
+    negs = _safe_div((neg_rows * unl).sum(), unl.sum())
+    return -sup - negs
 
 
 # ---------------------------------------------------------------------------

@@ -160,7 +160,7 @@ def make_val_step(model):
     def val_step(state: TrainState, volume, gt_hm):
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
-            volume, train=False,
+            volume, train=False, active_heads=("hm",),
         )
         hm = sigmoid_clamped(out["hm"][..., 0])
         return L.focal_loss(hm, gt_hm)
@@ -211,7 +211,9 @@ def train_refine(config, dataset, val_dataset=None, num_epochs=None, log_fn=prin
         for batch in prefetch_epoch(dataset, rng, config.batch_size):
             state, metrics = train_step(state, batch)
             m = {k: float(v) for k, v in metrics.items()}
-            if not config.pn and m.get("num_pos", 1) == 0:
+            # only the plain PU risk estimator is undefined without positives
+            # (reference loss.py:275-276); pn (focal) and ge tolerate it
+            if not config.pn and not config.ge and m.get("num_pos", 1) == 0:
                 # the reference's PU loss raises here (loss.py:275-276):
                 # zero labeled positives make the PU risk estimate undefined
                 raise ValueError(

@@ -37,7 +37,7 @@ def _batch(rng, b=8, d=6, h=32, w=32, p=2):
         "hm_aug": np.zeros((b, p, d, h // 2, w // 2), np.float32),
         "flip_prob": rng.random(b).astype(np.float32),
     }
-    batch["hm"][:, 0, 3, 8, 8] = 1.0
+    batch["hm"][:, 0, 3, h // 4, w // 4] = 1.0
     return batch
 
 
@@ -51,9 +51,13 @@ def test_mesh_construction():
 
 
 def test_dp_step_matches_single_device(rng):
+    # tiny 16x16 crops: the per-device contrastive gram must stay light —
+    # XLA's in-process collective rendezvous has a 40 s watchdog that
+    # SIGABRTs the whole process if one virtual device straggles on this
+    # 1-core machine
     config = _tiny()
     model = create_detector(config)
-    batch = _batch(rng)
+    batch = _batch(rng, h=16, w=16)
     state = create_train_state(
         model, config, jax.random.PRNGKey(0),
         batch["input"].reshape(-1, *batch["input"].shape[2:]),
