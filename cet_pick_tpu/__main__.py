@@ -127,14 +127,27 @@ def cmd_embed(argv):
 
     ds = ExploreDataset(cfg, "test")
     model = create_simsiam(cfg)
-    sample = {
-        "anchor": np.zeros(
-            (1, 2 if model.mode == "2d3d" else 1, cfg.bbox, cfg.bbox), np.float32
-        )
-    }
-    state = create_simsiam_state(model, cfg, jax.random.PRNGKey(0), sample)
-    state = load_checkpoint(cfg.load_model, state)
-    result = extract_embeddings(cfg, ds, state.params, state.batch_stats)
+    if cfg.load_model.endswith((".pth", ".pt")):
+        # trained reference exploration checkpoint: convert in place
+        import torch
+
+        from cet_pick_tpu.models.convert import simsiam_state_dict_to_flax
+
+        ckpt = torch.load(cfg.load_model, map_location="cpu")
+        sd = {k: v.numpy() for k, v in ckpt.get("state_dict", ckpt).items()
+              if hasattr(v, "numpy")}
+        params, batch_stats = simsiam_state_dict_to_flax(sd)
+    else:
+        sample = {
+            "anchor": np.zeros(
+                (1, 2 if model.mode == "2d3d" else 1, cfg.bbox, cfg.bbox),
+                np.float32,
+            )
+        }
+        state = create_simsiam_state(model, cfg, jax.random.PRNGKey(0), sample)
+        state = load_checkpoint(cfg.load_model, state)
+        params, batch_stats = state.params, state.batch_stats
+    result = extract_embeddings(cfg, ds, params, batch_stats)
     path = save_embeddings(cfg, result)
     print(f"saved {path}")
 

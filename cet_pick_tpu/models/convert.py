@@ -100,6 +100,68 @@ def torch_state_dict_to_flax(state_dict: Dict, n_blocks: int, heads: Dict):
     return params, stats
 
 
+def _linear(w):
+    return np.transpose(w, (1, 0))
+
+
+def simsiam_state_dict_to_flax(state_dict: Dict, stage_sizes=(2, 2, 2)):
+    """Reference TomoResClassifier2D3D / 2D state_dict -> (params, batch_stats)
+    for models/simsiam.SimSiamEncoder (simsiam_model_2d3d.py:560-892).
+
+    Trunk: conv1/bn1 + layer{1..3}.{b} BasicBlocks; heads: fc, proj
+    (3-layer MLP, final affine-free BN), pred (2-layer MLP).
+    """
+    sd = {
+        (k[7:] if k.startswith("module.") else k): np.asarray(v)
+        for k, v in state_dict.items()
+    }
+    params: Dict = {}
+    stats: Dict = {}
+
+    def bn(src, dst, affine=True):
+        if affine:
+            _set(params, dst + ("scale",), sd[src + ".weight"])
+            _set(params, dst + ("bias",), sd[src + ".bias"])
+        _set(stats, dst + ("mean",), sd[src + ".running_mean"])
+        _set(stats, dst + ("var",), sd[src + ".running_var"])
+
+    def conv(src, dst):
+        _set(params, dst + ("kernel",), _conv2d(sd[src + ".weight"]))
+
+    def dense(src, dst, bias=True):
+        _set(params, dst + ("kernel",), _linear(sd[src + ".weight"]))
+        if bias and src + ".bias" in sd:
+            _set(params, dst + ("bias",), sd[src + ".bias"])
+
+    conv("conv1", ("trunk", "conv1"))
+    bn("bn1", ("trunk", "bn1"))
+    for stage, blocks in enumerate(stage_sizes):
+        for b in range(blocks):
+            src = f"layer{stage + 1}.{b}"
+            dst = ("trunk", f"layer{stage + 1}_{b}")
+            conv(src + ".conv1", dst + ("conv1",))
+            bn(src + ".bn1", dst + ("bn1",))
+            conv(src + ".conv2", dst + ("conv2",))
+            bn(src + ".bn2", dst + ("bn2",))
+            if src + ".downsample.0.weight" in sd:
+                conv(src + ".downsample.0", dst + ("downsample_conv",))
+                bn(src + ".downsample.1", dst + ("downsample_bn",))
+
+    dense("fc", ("fc",))
+    # proj Sequential indices 0,1 / 3,4 / 6,7 (simsiam_model_2d3d.py:590-598)
+    dense("proj.0", ("proj", "fc0"), bias=False)
+    bn("proj.1", ("proj", "bn0"))
+    dense("proj.3", ("proj", "fc1"), bias=False)
+    bn("proj.4", ("proj", "bn1"))
+    dense("proj.6", ("proj", "fc2"), bias=False)
+    bn("proj.7", ("proj", "bn2"), affine=False)
+    # pred Sequential indices 0,1 / 3 (:600-605)
+    dense("pred.0", ("pred", "fc0"), bias=False)
+    bn("pred.1", ("pred", "bn0"))
+    dense("pred.3", ("pred", "fc1"))
+    return params, stats
+
+
 def load_reference_checkpoint(path: str, config):
     """Load a reference ``model_N.pth`` into (params, batch_stats) for
     ``create_detector(config)``. Requires torch (CPU is fine)."""

@@ -71,3 +71,48 @@ def test_converted_outputs_match(torch_model_and_outputs):
     proj_t = torch_out["proj"][0].transpose(1, 2, 3, 0)  # (D, H, W, 32)
     np.testing.assert_allclose(np.asarray(out["hm"][0]), hm_t, atol=2e-4)
     np.testing.assert_allclose(np.asarray(out["proj"][0]), proj_t, atol=2e-4)
+
+
+def test_simsiam_conversion_matches():
+    """Reference exploration encoder -> SimSiamEncoder output parity."""
+    sys.path.insert(0, REFERENCE)
+    import torch
+
+    import jax
+
+    from cet_pick.models.networks.simsiam_model_2d3d import (
+        BasicBlock, TomoResClassifier2D3D,
+    )
+
+    from cet_pick_tpu.config import Config
+    from cet_pick_tpu.models.convert import simsiam_state_dict_to_flax
+    from cet_pick_tpu.models.simsiam import create_simsiam
+
+    torch.manual_seed(0)
+    heads = {"proj": 64, "pred": 64}
+    tm = TomoResClassifier2D3D(BasicBlock, [2, 2, 2], heads, 64)
+    for m in tm.modules():
+        if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
+            m.running_mean.normal_(0, 0.05)
+            m.running_var.uniform_(0.5, 1.5)
+    tm.eval()
+    rng = np.random.default_rng(0)
+    x2d = rng.standard_normal((2, 1, 24, 24)).astype(np.float32)
+    x3d = rng.standard_normal((2, 1, 24, 24)).astype(np.float32)
+    with torch.no_grad():
+        t_out = tm.forward_test(torch.from_numpy(x2d), torch.from_numpy(x3d))
+
+    cfg = Config(task="simsiam2d3d", arch="simsiam2d3d_18",
+                 head_conv=64).finalize()
+    model = create_simsiam(cfg)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params, stats = simsiam_state_dict_to_flax(sd)
+
+    j2d = np.transpose(x2d, (0, 2, 3, 1))
+    j3d = np.transpose(x3d, (0, 2, 3, 1))
+    out = model.apply({"params": params, "batch_stats": stats},
+                      j2d, j3d, method=model.forward_test)
+    np.testing.assert_allclose(np.asarray(out["proj"]), t_out["proj"].numpy(),
+                               atol=3e-4)
+    np.testing.assert_allclose(np.asarray(out["pred"]), t_out["pred"].numpy(),
+                               atol=3e-4)
