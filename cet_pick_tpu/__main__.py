@@ -197,6 +197,36 @@ def cmd_denoise(argv):
     logger.close()
 
 
+def cmd_scan(argv):
+    """SCAN semantic clustering over extracted embeddings (scan task)."""
+    parser = argparse.ArgumentParser(prog="cet_pick_tpu scan")
+    parser.add_argument("--input", required=True, help="all_output_info.npz")
+    parser.add_argument("--out", required=True, help="output npz with labels")
+    parser.add_argument("--n_clusters", type=int, required=True)
+    parser.add_argument("--neighbors", type=int, default=20)
+    parser.add_argument("--steps", type=int, default=500)
+    parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--entropy_weight", type=float, default=2.0)
+    a = parser.parse_args(argv)
+    import numpy as np
+
+    from cet_pick_tpu.train.scan import (
+        mine_neighbors, scan_evaluate, train_scan_head,
+    )
+
+    data = np.load(a.input)
+    feats = data["pred"].astype(np.float32)
+    nb = mine_neighbors(feats, k=a.neighbors)
+    _, _, assign = train_scan_head(
+        feats, nb, a.n_clusters, num_steps=a.steps, lr=a.lr,
+        entropy_weight=a.entropy_weight,
+    )
+    consistency = scan_evaluate(assign, nb)
+    np.savez(a.out, label=assign, name=data["name"], coords=data["coords"])
+    print(f"saved {a.out}; neighbor consistency {consistency:.3f}, "
+          f"{len(set(assign.tolist()))} clusters used")
+
+
 def cmd_plot2d(argv):
     parser = argparse.ArgumentParser(prog="cet_pick_tpu plot2d")
     parser.add_argument("--input", required=True)
@@ -398,6 +428,7 @@ COMMANDS = {
     "moco": cmd_moco,
     "denoise": cmd_denoise,
     "embed": cmd_embed,
+    "scan": cmd_scan,
     "plot2d": cmd_plot2d,
     "phoenix": cmd_phoenix,
     "to-coords": cmd_to_coords,
