@@ -145,3 +145,47 @@ def test_fused_matches_streamed(small_setup, rng):
     hm_s = np.asarray(tiled(vol))
     hm_f = np.asarray(tiled.fused(vol))
     np.testing.assert_allclose(hm_f, hm_s, atol=1e-6)
+
+
+def test_save_detection_fiber_branch(small_setup, tmp_path):
+    """Fiber mode routes kept detections through curve fitting (tomo_det.py:84-88)."""
+    config, model, state = small_setup
+    import dataclasses
+
+    cfg = dataclasses.replace(config, fiber=True, distance_cutoff=6.0,
+                              r2_cutoff=30.0, curvature_cutoff=0.03,
+                              distance_scale=2.0)
+    cfg.heads = config.heads
+    det = TomoDetector(cfg, params=state.params, batch_stats=state.batch_stats,
+                       tile_z=8)
+    hm = np.zeros((20, 48, 48), np.float32)
+    # z-groups along a straight x-varying line at y=30 (input res y=60 > 20 ✓)
+    z_groups = {5: [[x, 30, 5, 0.9, 0.9] for x in range(22, 61, 2)]}
+    det.save_detection(hm, z_groups, str(tmp_path), "fib")
+    lines = (tmp_path / "fib.txt").read_text().strip().splitlines()
+    assert len(lines) > 0
+    for line in lines:
+        x, z, y = map(int, line.split("\t"))
+        assert abs(y - 30) <= 2 and abs(z - 5) <= 1  # resampled on the fiber
+
+
+def test_save_detection_spike_branch(small_setup, tmp_path):
+    """Spike mode keeps only detections in groups > min size (tomo_det.py:90-95)."""
+    config, model, state = small_setup
+    import dataclasses
+
+    cfg = dataclasses.replace(config, spike=True, distance_cutoff=10.0,
+                              with_score=True)
+    cfg.heads = config.heads
+    det = TomoDetector(cfg, params=state.params, batch_stats=state.batch_stats,
+                       tile_z=8)
+    hm = np.zeros((20, 48, 48), np.float32)
+    cluster = [[25 + i, 30, 5, 0.9, 0.9] for i in range(7)]
+    stray = [[60, 60, 10, 0.9, 0.9]]
+    z_groups = {5: cluster, 10: stray}
+    det.save_detection(hm, z_groups, str(tmp_path), "spk")
+    lines = (tmp_path / "spk.txt").read_text().strip().splitlines()
+    assert len(lines) == 7  # stray dropped, cluster kept
+    for line in lines:
+        parts = line.split("\t")
+        assert len(parts) == 4  # with_score
