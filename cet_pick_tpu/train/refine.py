@@ -197,7 +197,30 @@ def train_refine(config, dataset, val_dataset=None, num_epochs=None, log_fn=prin
         state = load_checkpoint(config.load_model, state, resume=config.resume)
         log_fn(f"loaded checkpoint from {config.load_model} (epoch {state.epoch})")
 
-    train_step = make_train_step(model, config)
+    # data-parallel mesh when requested (--mesh_shape N) or when several
+    # devices are visible and the batch shards evenly: state replicated,
+    # batch sharded, gradient all-reduce inserted by GSPMD (parallel/mesh.py)
+    n_dev = len(jax.devices())
+    want_mesh = bool(config.mesh_shape) or (
+        n_dev > 1 and config.batch_size % n_dev == 0
+    )
+    place_batch = jax.device_put
+    if want_mesh:
+        from cet_pick_tpu.parallel.mesh import make_dp_train_step, make_mesh
+
+        mesh = make_mesh(tuple(config.mesh_shape) or (n_dev,), ("data",))
+        if config.batch_size % mesh.devices.size:
+            raise ValueError(
+                f"batch_size {config.batch_size} must divide evenly over the "
+                f"{mesh.devices.size}-device mesh"
+            )
+        train_step, place_state, place_batch = make_dp_train_step(
+            model, config, mesh
+        )
+        state = place_state(state)
+        log_fn(f"data-parallel over {mesh.devices.size} devices")
+    else:
+        train_step = make_train_step(model, config)
     val_step = make_val_step(model) if val_dataset is not None else None
 
     num_epochs = num_epochs or config.num_epochs
@@ -206,9 +229,13 @@ def train_refine(config, dataset, val_dataset=None, num_epochs=None, log_fn=prin
     for epoch in range(start_epoch, num_epochs + 1):
         state = set_learning_rate(state, lr_at_epoch(config, epoch))
         epoch_metrics = []
-        from cet_pick_tpu.data.prefetch import prefetch_epoch
+        from cet_pick_tpu.data.prefetch import PrefetchIterator
 
-        for batch in prefetch_epoch(dataset, rng, config.batch_size):
+        batches = PrefetchIterator(
+            dataset.epoch_batches(rng, config.batch_size),
+            device_put=place_batch,
+        )
+        for batch in batches:
             state, metrics = train_step(state, batch)
             m = {k: float(v) for k, v in metrics.items()}
             # only the plain PU risk estimator is undefined without positives

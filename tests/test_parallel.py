@@ -102,3 +102,43 @@ def test_shard_batch_layout(rng):
     sharded = shard_batch(mesh, batch)
     assert sharded["x"].sharding.spec == jax.sharding.PartitionSpec("data")
     np.testing.assert_array_equal(np.asarray(sharded["x"]), batch["x"])
+
+
+def test_train_refine_dp_loop_matches_single(rng, tmp_path):
+    """The full train_refine loop under an 8-device mesh reproduces the
+    1-device run (same seed, same batches)."""
+    import pandas as pd
+
+    from cet_pick_tpu.data.refine_dataset import RefineDataset
+    from cet_pick_tpu.train.refine import train_refine
+
+    d, h, w = 24, 96, 96
+    vol = rng.standard_normal((d, h, w)).astype(np.float32) * 0.5
+    rows = []
+    zz, yy, xx = np.meshgrid(np.arange(d), np.arange(h), np.arange(w),
+                             indexing="ij")
+    for _ in range(16):
+        z, y, x = rng.integers(6, d - 6), rng.integers(40, h - 40), rng.integers(40, w - 40)
+        vol -= 2.0 * np.exp(-(((zz - z) ** 2) / 6 + ((yy - y) ** 2) / 12
+                              + ((xx - x) ** 2) / 12)).astype(np.float32)
+        rows.append(("v", x, y, z))
+    df = pd.DataFrame(rows, columns=["image_name", "x_coord", "y_coord", "z_coord"])
+
+    def run(mesh_shape):
+        cfg = Config(task="semi", arch="unet_2", contrastive=False,
+                     batch_size=8, lr=1e-3, num_epochs=2, val_intervals=-1,
+                     bbox=8, mesh_shape=mesh_shape,
+                     root_dir=str(tmp_path / f"m{len(mesh_shape)}")).finalize()
+        ds = RefineDataset(cfg, "train", images={"v": vol.copy()}, coords_df=df)
+        _, hist = train_refine(cfg, ds, log_fn=lambda *_: None)
+        return hist
+
+    h1 = run((1,))
+    h8 = run((8,))
+    # per-step parity is ~2e-4 (test above); over epochs the f32 reduction-
+    # order difference of sharded partial sums compounds through Adam, so
+    # epoch-level losses track within ~1%
+    for a, b in zip(h1, h8):
+        assert a["loss"] == pytest.approx(b["loss"], rel=2e-2)
+        assert a["num_pos"] == b["num_pos"]
+    assert h8[-1]["loss"] < h8[0]["loss"]
