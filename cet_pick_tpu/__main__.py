@@ -152,6 +152,26 @@ def cmd_embed(argv):
     print(f"saved {path}")
 
 
+def cmd_classify(argv):
+    """Voxel classifier training (task tcla, main_class.py)."""
+    parser = argparse.ArgumentParser(prog="cet_pick_tpu classify")
+    add_config_arguments(parser, Config(task="tcla", arch="unet_4", pn=True))
+    cfg = config_from_args(parser.parse_args(argv))
+    from cet_pick_tpu.data.refine_dataset import RefineDataset
+    from cet_pick_tpu.train.classify import train_classify
+    from cet_pick_tpu.utils.logger import Logger
+
+    ds = RefineDataset(cfg, "train")
+    logger = Logger(cfg)
+
+    def log(msg):
+        print(msg)
+        logger.write(msg + "\n")
+
+    train_classify(cfg, ds, log_fn=log)
+    logger.close()
+
+
 def cmd_denoise(argv):
     """Self-supervised denoise training + volume output (task denoise)."""
     parser = argparse.ArgumentParser(prog="cet_pick_tpu denoise")
@@ -426,6 +446,7 @@ COMMANDS = {
     "test": cmd_test,
     "explore": cmd_explore,
     "moco": cmd_moco,
+    "classify": cmd_classify,
     "denoise": cmd_denoise,
     "embed": cmd_embed,
     "scan": cmd_scan,

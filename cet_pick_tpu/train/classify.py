@@ -1,0 +1,111 @@
+"""Voxel classifier training (task ``tcla``).
+
+Rebuild of the reference's experimental classifier pathway (main_class.py +
+trains/tomo_classifier_trainer.py:17-46): a model with a single ``class``
+head trained with BCE against 0/1 voxel labels. The reference balances
+positives/negatives with the stratified samplers (utils/sampler.py, also
+provided here in data/sampler.py); this loop uses the annotation-centered
+crop sampler in pn mode (labels 0/1), which yields the same positive-rich
+batches without per-voxel bookkeeping.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cet_pick_tpu.ops.nms import sigmoid_clamped
+from cet_pick_tpu.train.state import TrainState
+
+
+def bce_loss(pred, gt):
+    """Binary cross-entropy over labeled voxels (gt >= 0); unlabeled (-1)
+    ignored. pred: probabilities in (0, 1)."""
+    pred = pred.reshape(-1)
+    gt = gt.reshape(-1)
+    labeled = (gt >= 0).astype(pred.dtype)
+    target = jnp.clip(gt, 0.0, 1.0)
+    ll = target * jnp.log(pred) + (1 - target) * jnp.log(1 - pred)
+    return -_safe_mean(ll * labeled, labeled.sum())
+
+
+def _safe_mean(x, n):
+    return x.sum() / jnp.maximum(n, 1.0)
+
+
+def make_classify_train_step(model, config):
+    """Jitted BCE step over paired crops (tomo_classifier_trainer.py:25-38)."""
+
+    def loss_fn(params, batch_stats, batch):
+        x = batch["input"]
+        b, p, d, h, w = x.shape
+        if batch_stats:
+            out, updates = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                x.reshape(b * p, d, h, w), train=True,
+                mutable=["batch_stats"],
+            )
+            new_bs = dict(updates).get("batch_stats", batch_stats)
+        else:
+            out = model.apply({"params": params}, x.reshape(b * p, d, h, w),
+                              train=True)
+            new_bs = batch_stats
+        prob = sigmoid_clamped(out["class"][..., 0]).reshape(
+            b, p, d, h // 2, w // 2
+        )
+        loss = bce_loss(prob, batch["hm"])
+        acc = _safe_mean(
+            ((prob > 0.5) == (batch["hm"] > 0.5)).astype(jnp.float32)
+            * (batch["hm"] >= 0), (batch["hm"] >= 0).sum()
+        )
+        return loss, (new_bs, {"loss": loss, "acc": acc})
+
+    @jax.jit
+    def step(state: TrainState, batch):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (new_bs, metrics)), grads = grad_fn(
+            state.params, state.batch_stats, batch
+        )
+        return state.apply_gradients(grads, batch_stats=new_bs), metrics
+
+    return step
+
+
+def train_classify(config, dataset, num_epochs=None, log_fn=print):
+    """Epoch loop for the tcla task (main_class.py:58-120)."""
+    import os
+
+    from cet_pick_tpu.models.detector import create_detector
+    from cet_pick_tpu.train.state import create_train_state, save_checkpoint
+
+    model = create_detector(config)
+    rng = np.random.default_rng(config.seed)
+    sample = dataset.sample_batch(rng, [0])
+    b, p, d, h, w = sample["input"].shape
+    state = create_train_state(
+        model, config, jax.random.PRNGKey(config.seed),
+        sample["input"].reshape(b * p, d, h, w),
+    )
+    step = make_classify_train_step(model, config)
+    num_epochs = num_epochs or config.num_epochs
+    history = []
+    for epoch in range(1, num_epochs + 1):
+        metrics_epoch = []
+        for batch in dataset.epoch_batches(rng, config.batch_size):
+            state, metrics = step(state, jax.device_put(batch))
+            metrics_epoch.append({k: float(v) for k, v in metrics.items()})
+        if not metrics_epoch:
+            raise ValueError(
+                f"no training batches: {len(dataset)} samples < batch_size "
+                f"{config.batch_size}"
+            )
+        means = {k: float(np.mean([m[k] for m in metrics_epoch]))
+                 for k in metrics_epoch[0]}
+        history.append(means)
+        log_fn(f"epoch {epoch}: " + " ".join(
+            f"{k}={v:.5f}" for k, v in means.items()))
+        if config.save_dir:
+            save_checkpoint(os.path.join(config.save_dir, "model_last"),
+                            state, config)
+    return state, history

@@ -174,3 +174,33 @@ def test_freeze_head_finetune(rng):
     stem_after = np.asarray(jax.tree_util.tree_leaves(state.params["stem"])[0])
     np.testing.assert_array_equal(hm_before, hm_after)
     assert not np.allclose(stem_before, stem_after)
+
+
+def test_tcla_classifier_trains(rng, tmp_path):
+    """tcla task: BCE voxel classifier learns to separate blob voxels."""
+    import pandas as pd
+
+    from cet_pick_tpu.config import Config
+    from cet_pick_tpu.data.refine_dataset import RefineDataset
+    from cet_pick_tpu.train.classify import train_classify
+
+    d, h, w = 24, 96, 96
+    vol = rng.standard_normal((d, h, w)).astype(np.float32) * 0.4
+    rows = []
+    zz, yy, xx = np.meshgrid(np.arange(d), np.arange(h), np.arange(w),
+                             indexing="ij")
+    for _ in range(14):
+        z, y, x = rng.integers(6, d - 6), rng.integers(40, h - 40), rng.integers(40, w - 40)
+        vol -= 2.5 * np.exp(-(((zz - z) ** 2) / 6 + ((yy - y) ** 2) / 12
+                              + ((xx - x) ** 2) / 12)).astype(np.float32)
+        rows.append(("v", x, y, z))
+    df = pd.DataFrame(rows, columns=["image_name", "x_coord", "y_coord", "z_coord"])
+    cfg = Config(task="tcla", arch="unet_2", pn=True, batch_size=4, lr=1e-3,
+                 num_epochs=3, val_intervals=-1, bbox=8,
+                 root_dir=str(tmp_path)).finalize()
+    assert cfg.heads == {"class": 1}
+    ds = RefineDataset(cfg, "train", images={"v": vol}, coords_df=df)
+    state, hist = train_classify(cfg, ds, log_fn=lambda *_: None)
+    assert np.isfinite(hist[-1]["loss"])
+    assert hist[-1]["loss"] < hist[0]["loss"]
+    assert hist[-1]["acc"] > 0.9
