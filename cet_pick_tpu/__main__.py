@@ -3,10 +3,14 @@
 One dispatcher covering the reference's entry-script surface (reference
 scripts in parentheses):
 
-  train             refinement training            (main.py semi)
+  train             refinement training            (main.py semi/semi3d)
   test              refinement inference           (test.py semi)
   explore           exploration training           (simsiam_main.py)
-  embed             embedding extraction           (simsiam_test_hm_{2d3d,3d}.py)
+  moco              MoCo exploration training      (moco_main.py)
+  classify          voxel classifier training      (main_class.py)
+  denoise           blind-spot denoiser training   (denoise task)
+  embed             embedding extraction           (simsiam_test_hm_{2d3d,3d}.py, moco_test*.py)
+  scan              SCAN clustering of embeddings  (scan task)
   plot2d            clustering + 2D visualization  (plot_2d.py)
   phoenix           interactive 3D browser         (phoenix_visualization.py)
   to-coords         parquet -> training coords     (interactive_to_training_coords.py)
