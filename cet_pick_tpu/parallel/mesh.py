@@ -90,11 +90,17 @@ def make_dp_train_step(model, config, mesh: Mesh, axis: str = "data"):
     implicit: params come in replicated and must leave replicated, so GSPMD
     emits a psum over the data axis — the TPU-native equivalent of DDP's
     NCCL allreduce (base_trainer.py:229-238).
+
+    Shardings are PINNED on the jit boundary (in_shardings/out_shardings):
+    a caller passing raw numpy batches still gets a genuinely sharded step —
+    jit places the inputs per the declared shardings instead of silently
+    replicating onto one device.
     """
     from cet_pick_tpu.train.refine import make_train_step
 
     inner = make_train_step(model, config)
     repl = NamedSharding(mesh, P())
+    batch_sharding = NamedSharding(mesh, P(axis))
 
     def place_state(state):
         return jax.device_put(state, repl)
@@ -102,7 +108,12 @@ def make_dp_train_step(model, config, mesh: Mesh, axis: str = "data"):
     def place_batch(batch):
         return shard_batch(mesh, batch, axis=axis)
 
-    step = jax.jit(inner, donate_argnums=(0,))
+    step = jax.jit(
+        inner,
+        donate_argnums=(0,),
+        in_shardings=(repl, batch_sharding),
+        out_shardings=(repl, repl),
+    )
     return step, place_state, place_batch
 
 
