@@ -3,14 +3,17 @@
 One dispatcher covering the reference's entry-script surface (reference
 scripts in parentheses):
 
-  train             refinement training            (main.py semi/semi3d)
+  train             refinement training            (main.py semi/semi3d/semiclass)
   test              refinement inference           (test.py semi)
+  classify-test     semiclass greedy-NMS inference (test_class.py)
   explore           exploration training           (simsiam_main.py)
   moco              MoCo exploration training      (moco_main.py)
   classify          voxel classifier training      (main_class.py)
+  fewshot           few-shot kmeans training       (main.py fs)
   denoise           blind-spot denoiser training   (denoise task)
   embed             embedding extraction           (simsiam_test_hm_{2d3d,3d}.py, moco_test*.py)
-  scan              SCAN clustering of embeddings  (scan task)
+  scan              SCAN head over embeddings      (scan task, frozen feats)
+  scan-finetune     full-model SCAN + self-label   (scan/scan2d3d tasks)
   plot2d            clustering + 2D visualization  (plot_2d.py)
   phoenix           interactive 3D browser         (phoenix_visualization.py)
   to-coords         parquet -> training coords     (interactive_to_training_coords.py)
@@ -36,20 +39,36 @@ def cmd_train(argv):
     parser = argparse.ArgumentParser(prog="cet_pick_tpu train")
     add_config_arguments(parser, Config(task="semi", contrastive=True))
     cfg = config_from_args(parser.parse_args(argv))
-    from cet_pick_tpu.data.refine_dataset import RefineDataset
-    from cet_pick_tpu.train.refine import train_refine
-
     from cet_pick_tpu.utils.logger import Logger
 
-    train_ds = RefineDataset(cfg, "train")
-    val_ds = RefineDataset(cfg, "val") if cfg.val_intervals > 0 else None
     logger = Logger(cfg)
 
     def log(msg):
         print(msg)
         logger.write(msg + "\n")
 
-    train_refine(cfg, train_ds, val_dataset=val_ds, log_fn=log)
+    if cfg.task == "semiclass":
+        # fill/unfill voxel-classification training (main.py --task semiclass)
+        from cet_pick_tpu.data.classify_dataset import SemiClassDataset
+        from cet_pick_tpu.train.semiclass import train_semiclass
+
+        train_ds = SemiClassDataset(cfg, "train")
+        val_ds = SemiClassDataset(cfg, "val") if cfg.val_intervals > 0 else None
+        train_semiclass(cfg, train_ds, val_dataset=val_ds, log_fn=log)
+    elif cfg.task in ("tomo", "cr"):
+        # dedicated supervised baselines (tomo_trainer.py / tomo_cr_trainer.py)
+        from cet_pick_tpu.data.refine_dataset import RefineDataset
+        from cet_pick_tpu.train.supervised import train_supervised
+
+        train_ds = RefineDataset(cfg, "train")
+        train_supervised(cfg, train_ds, log_fn=log)
+    else:
+        from cet_pick_tpu.data.refine_dataset import RefineDataset
+        from cet_pick_tpu.train.refine import train_refine
+
+        train_ds = RefineDataset(cfg, "train")
+        val_ds = RefineDataset(cfg, "val") if cfg.val_intervals > 0 else None
+        train_refine(cfg, train_ds, val_dataset=val_ds, log_fn=log)
     logger.close()
 
 
@@ -62,6 +81,18 @@ def cmd_test(argv):
     from cet_pick_tpu.infer.detector import run_test
 
     run_test(cfg)
+
+
+def cmd_classify_test(argv):
+    """Semiclass inference with greedy spherical NMS (test_class.py)."""
+    parser = argparse.ArgumentParser(prog="cet_pick_tpu classify-test")
+    add_config_arguments(parser, Config(task="semiclass", ge=True, nms=7))
+    cfg = config_from_args(parser.parse_args(argv))
+    if not cfg.load_model:
+        cfg.load_model = os.path.join(cfg.save_dir, "model_last")
+    from cet_pick_tpu.infer.classify import run_classify_test
+
+    run_classify_test(cfg)
 
 
 def cmd_explore(argv):
@@ -176,6 +207,54 @@ def cmd_classify(argv):
     logger.close()
 
 
+def cmd_fewshot(argv):
+    """Few-shot constrained-kmeans training (task fs,
+    trains/tomo_fewshot_cr_trainer.py)."""
+    parser = argparse.ArgumentParser(prog="cet_pick_tpu fewshot")
+    add_config_arguments(
+        parser,
+        Config(task="fs", arch="unet_4", contrastive=True, batch_size=1,
+               lr=1e-3, num_epochs=20),
+    )
+    parser.add_argument("--write_picks", action="store_true",
+                        help="decode target-prototype similarity into "
+                             "detection txts after training")
+    a = parser.parse_args(argv)
+    cfg = config_from_args(a)
+    import numpy as np
+
+    from cet_pick_tpu.data.fewshot_dataset import FewshotDataset
+    from cet_pick_tpu.train.fewshot import fewshot_similarity, train_fewshot
+    from cet_pick_tpu.utils.logger import Logger
+
+    ds = FewshotDataset(cfg, "train")
+    logger = Logger(cfg)
+
+    def log(msg):
+        print(msg)
+        logger.write(msg + "\n")
+
+    state, centers, _ = train_fewshot(cfg, ds, log_fn=log)
+    if a.write_picks:
+        from cet_pick_tpu.models.detector import create_detector
+        from cet_pick_tpu.ops.decode import tomo_decode
+
+        model = create_detector(cfg)
+        os.makedirs(cfg.out_path, exist_ok=True)
+        for i, name in enumerate(ds.names):
+            sim = fewshot_similarity(model, state, centers, ds.tomos[i])
+            dets = np.asarray(tomo_decode(np.asarray(sim), kernel=cfg.nms,
+                                          k=cfg.K))
+            out = os.path.join(cfg.out_path, f"{name}.txt")
+            with open(out, "w") as f:
+                for x, y, z, s, _ in dets:
+                    if s > cfg.out_thresh:
+                        f.write(f"{int(x * cfg.down_ratio)}\t{int(z)}\t"
+                                f"{int(y * cfg.down_ratio)}\n")
+            log(f"wrote {out}")
+    logger.close()
+
+
 def cmd_denoise(argv):
     """Self-supervised denoise training + volume output (task denoise)."""
     parser = argparse.ArgumentParser(prog="cet_pick_tpu denoise")
@@ -247,6 +326,76 @@ def cmd_scan(argv):
     )
     consistency = scan_evaluate(assign, nb)
     np.savez(a.out, label=assign, name=data["name"], coords=data["coords"])
+    print(f"saved {a.out}; neighbor consistency {consistency:.3f}, "
+          f"{len(set(assign.tolist()))} clusters used")
+
+
+def cmd_scan_finetune(argv):
+    """Full-model SCAN fine-tune (+ optional self-labeling) over DoG
+    candidates (tasks scan/scan2d3d, trains/tomo_scan_trainer.py)."""
+    parser = argparse.ArgumentParser(prog="cet_pick_tpu scan-finetune")
+    add_config_arguments(
+        parser, Config(task="scan2d3d", arch="simsiam2d3d_18", bbox=36)
+    )
+    parser.add_argument("--out", required=True, help="output npz with labels")
+    parser.add_argument("--neighbors", type=int, default=20)
+    parser.add_argument("--steps", type=int, default=300)
+    parser.add_argument("--scan_lr", type=float, default=1e-4)
+    parser.add_argument("--entropy_weight", type=float, default=2.0)
+    parser.add_argument("--cluster_head", action="store_true",
+                        help="update only the cluster head (reference "
+                             "--cluster_head; default fine-tunes everything)")
+    parser.add_argument("--selflabel_steps", type=int, default=0)
+    parser.add_argument("--selflabel_threshold", type=float, default=0.99)
+    a = parser.parse_args(argv)
+    cfg = config_from_args(a)
+    if not cfg.load_model:
+        raise SystemExit("--load_model: trained simsiam checkpoint required")
+    import jax
+    import numpy as np
+
+    from cet_pick_tpu.data.explore_dataset import ExploreDataset
+    from cet_pick_tpu.infer.embed import extract_embeddings
+    from cet_pick_tpu.models.simsiam import create_simsiam
+    from cet_pick_tpu.train.explore import create_simsiam_state
+    from cet_pick_tpu.train.scan import (
+        mine_neighbors, scan_evaluate, train_scan_full,
+    )
+    from cet_pick_tpu.train.state import load_checkpoint, save_checkpoint
+
+    ds = ExploreDataset(cfg, "test")
+    encoder = create_simsiam(cfg)
+    sample = {
+        "anchor": np.zeros(
+            (1, 2 if encoder.mode == "2d3d" else 1, cfg.bbox, cfg.bbox),
+            np.float32,
+        )
+    }
+    enc_state = create_simsiam_state(encoder, cfg, jax.random.PRNGKey(0), sample)
+    enc_state = load_checkpoint(cfg.load_model, enc_state)
+
+    result = extract_embeddings(cfg, ds, enc_state.params,
+                                enc_state.batch_stats)
+    nb = mine_neighbors(result["pred"].astype(np.float32), k=a.neighbors)
+    # normalize the patch stacks exactly like the embedding pass did
+    # (infer/embed.py:58-61)
+    p3n = (np.stack(ds.patches_3d).astype(np.float32) - ds.mean_3d) / ds.std_3d
+    if encoder.mode == "2d3d":
+        p2 = (np.stack(ds.patches_2d).astype(np.float32) - ds.mean_2d) / ds.std_2d
+        p3 = p3n
+    else:
+        p2, p3 = p3n, None
+    state, model, assign = train_scan_full(
+        cfg, p2, p3, nb, n_clusters=cfg.nclusters,
+        pretext=(enc_state.params, enc_state.batch_stats),
+        num_steps=a.steps, batch_size=cfg.batch_size or 64, lr=a.scan_lr,
+        entropy_weight=a.entropy_weight, head_only=a.cluster_head,
+        selflabel_steps=a.selflabel_steps,
+        selflabel_threshold=a.selflabel_threshold, seed=cfg.seed,
+    )
+    consistency = scan_evaluate(assign, nb)
+    np.savez(a.out, label=assign, name=result["name"], coords=result["coords"])
+    save_checkpoint(os.path.join(cfg.save_dir, "scan_model_last"), state, cfg)
     print(f"saved {a.out}; neighbor consistency {consistency:.3f}, "
           f"{len(set(assign.tolist()))} clusters used")
 
@@ -448,12 +597,15 @@ def cmd_gen_files(argv):
 COMMANDS = {
     "train": cmd_train,
     "test": cmd_test,
+    "classify-test": cmd_classify_test,
     "explore": cmd_explore,
     "moco": cmd_moco,
     "classify": cmd_classify,
+    "fewshot": cmd_fewshot,
     "denoise": cmd_denoise,
     "embed": cmd_embed,
     "scan": cmd_scan,
+    "scan-finetune": cmd_scan_finetune,
     "plot2d": cmd_plot2d,
     "phoenix": cmd_phoenix,
     "to-coords": cmd_to_coords,

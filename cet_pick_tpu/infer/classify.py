@@ -1,0 +1,177 @@
+"""Semiclass inference: tiled forward -> border zeroing -> greedy ball NMS.
+
+Rebuild of reference cet_pick/detectors/tomo_det_classify.py:77-217 +
+test_class.py:47-78:
+
+* the probability volume comes from the same tiled z-window forward as the
+  semi detector (infer/tiled.py replaces the reference's host-side
+  PatchDataset loop, tomo_det_classify.py:18-75/116-151 — bit-exact vs the
+  whole-volume forward and one device dispatch instead of a patch loop);
+* a 30-pixel xy border of the heatmap is zeroed before decoding
+  (tomo_det_classify.py:106-109, in input pixels -> 30 // down_ratio heatmap
+  voxels here since our heatmap lives at the down_ratio grid);
+* decoding is greedy spherical NMS with exclusion diameter ``--nms`` and
+  score floor ``--out_thresh`` (models/decode.py:108-120 via
+  ops/greedy_nms.py) — not max-pool top-K;
+* outputs match the reference writers: ``{name}.txt`` rows ``x\tz\ty`` after
+  the score/z-cutoff/border filters and ``{name}_hm.mrc`` with y/z swapped
+  (tomo_det_classify.py:172-216).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+from cet_pick_tpu.infer.detector import TomoDetector
+from cet_pick_tpu.io.mrc import write_mrc
+from cet_pick_tpu.ops.decode import tomo_decode_classify
+from cet_pick_tpu.utils.post_process import (
+    fiber_postprocess,
+    spike_group_postprocess,
+)
+
+
+class TomoClassDetector(TomoDetector):
+    """Semiclass picker: greedy-NMS decode over the tiled heatmap."""
+
+    BORDER = 30  # input-pixel xy border zeroed before decode (:106-109)
+
+    def process(self, volume: np.ndarray, lo: float = 0.0, hi: float = 1.0,
+                fused: bool = True):
+        """Tiled forward + greedy spherical NMS; returns (hm, (N, 4) dets).
+
+        Detection rows are (x, y, z, score) at heatmap (down_ratio) grid
+        coordinates, like tomo_decode_classify (models/decode.py:108-120).
+        """
+        cfg = self.config
+        if fused:
+            hm = self.infer.fused(volume, lo=lo, hi=hi)
+        else:
+            hm = self.infer(volume, lo=lo, hi=hi)
+        hm = np.array(hm)  # writable host copy (np.asarray of a jax array is read-only)
+        b = max(1, self.BORDER // cfg.down_ratio)
+        hm[:, :b, :] = 0
+        hm[:, -b:, :] = 0
+        hm[:, :, :b] = 0
+        hm[:, :, -b:] = 0
+        # z boundary planes are off-distribution (the 3D head's zero padding)
+        # and the reference drops them at save time anyway (cutoff_z filter,
+        # tomo_det_classify.py:193); zeroing them pre-decode keeps the greedy
+        # NMS candidate set on real content
+        if cfg.cutoff_z > 0:
+            hm[: cfg.cutoff_z] = 0
+            hm[-cfg.cutoff_z :] = 0
+        dets = tomo_decode_classify(hm, cfg.nms, cfg.out_thresh)
+        return hm, dets
+
+    def post_process(self, dets: np.ndarray, z_dim_tot: int = None):
+        """xy back to input resolution (tomo_det_classify.py:158-170)."""
+        dets = np.asarray(dets, dtype=np.float32).copy()
+        if len(dets):
+            dets[:, :2] *= self.config.down_ratio
+        return dets
+
+    def run(self, volume: np.ndarray, name: str = "tomo",
+            out_dir: Optional[str] = None) -> Dict:
+        """Full semiclass picking pipeline for one tomogram."""
+        t0 = time.time()
+        hm, dets = self.process(volume)
+        t_net = time.time()
+        dets = self.post_process(dets)
+        t_post = time.time()
+        ret = {
+            "name": name,
+            "hm": hm,
+            "dets": dets,
+            "times": {"net+dec": t_net - t0, "post": t_post - t_net},
+        }
+        if out_dir is not None:
+            self.save_detection(hm, dets, out_dir, name)
+            ret["times"]["save"] = time.time() - t_post
+        ret["times"]["tot"] = time.time() - t0
+        return ret
+
+    def save_detection(self, hm: np.ndarray, dets: np.ndarray, path: str,
+                       name: str):
+        """Write ``{name}_hm.mrc`` + filtered ``{name}.txt``
+        (tomo_det_classify.py:172-216)."""
+        cfg = self.config
+        os.makedirs(path, exist_ok=True)
+        max_z, max_y, max_x = hm.shape
+        max_x, max_y = max_x * cfg.down_ratio, max_y * cfg.down_ratio
+        if np.isnan(hm).any():
+            raise ValueError("Output contains NaN values")
+        write_mrc(os.path.join(path, f"{name}_hm.mrc"),
+                  np.float32(np.swapaxes(hm, 1, 0)))
+
+        lines = []
+        pre_coords = []
+        for c in np.asarray(dets, dtype=np.float32).reshape(-1, 4):
+            x, y, z = int(np.floor(c[0])), int(np.floor(c[1])), int(np.floor(c[2]))
+            score = float(c[3])
+            keep = (
+                score > cfg.out_thresh
+                and cfg.cutoff_z <= z <= max_z - cfg.cutoff_z
+                and 20 < x < max_x - 20
+                and 20 < y < max_y - 20
+            )
+            if not keep:
+                continue
+            if cfg.compress:
+                z = z * 2
+            if cfg.fiber or cfg.spike:
+                pre_coords.append([x, y, z, score])
+            elif cfg.with_score:
+                lines.append(f"{x}\t{z}\t{y}\t{score}")
+            else:
+                lines.append(f"{x}\t{z}\t{y}")
+
+        if cfg.fiber and pre_coords:
+            post = fiber_postprocess(
+                [c[:3] for c in pre_coords],
+                distance_cutoff=cfg.distance_cutoff,
+                res_cutoff=cfg.r2_cutoff,
+                curvature_cutoff=cfg.curvature_cutoff,
+                scale=cfg.distance_scale,
+            )
+            lines += [f"{c[0]}\t{c[1]}\t{c[2]}" for c in post]
+        elif cfg.spike and pre_coords:
+            post = spike_group_postprocess(
+                pre_coords, distance_cutoff=cfg.distance_cutoff,
+                min_per_group=5,
+            )
+            for c in post:
+                if cfg.with_score:
+                    lines.append(f"{int(c[0])}\t{int(c[2])}\t{int(c[1])}\t{c[3]}")
+                else:
+                    lines.append(f"{int(c[0])}\t{int(c[2])}\t{int(c[1])}")
+
+        with open(os.path.join(path, f"{name}.txt"), "w") as f:
+            f.write("\n".join(lines) + ("\n" if lines else ""))
+        return lines
+
+
+def run_classify_test(config, out_dir=None):
+    """test_class.py equivalent: semiclass picking over the test image list
+    (reference cet_pick/test_class.py:47-78)."""
+    from cet_pick_tpu.io.coords import read_image_list
+    from cet_pick_tpu.io.loader import load_tomos_from_list
+
+    il = read_image_list(os.path.join(config.data_dir, config.test_img_txt))
+    images = load_tomos_from_list(
+        il.image_name, il.rec_path,
+        order=config.order, compress=config.compress, denoise=config.gauss,
+    )
+    det = TomoClassDetector(config)
+    out_dir = out_dir or config.out_path
+    results = {}
+    for name, vol in images.items():
+        r = det.run(np.asarray(vol, np.float32), name=name, out_dir=out_dir)
+        print(f"{name}: " + " ".join(
+            f"{k} {v:.3f}s" for k, v in r["times"].items()))
+        results[name] = r["times"]
+    return results

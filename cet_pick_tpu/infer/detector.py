@@ -104,9 +104,13 @@ class TomoDetector:
         cfg = self.config
         t0 = time.time()
         hm, dets = self.process(volume)
-        dets = np.asarray(jax.block_until_ready(dets))
+        # np.asarray of the small (K, 5) table forces completion of the whole
+        # device program; block_until_ready is a no-op on remote runtimes
+        # (CLAUDE.md) so a materializing fetch is the only honest fence
+        dets = np.asarray(dets)
         t_net = time.time()
-        hm = np.asarray(hm)
+        hm = np.asarray(hm)  # the large heatmap device->host fetch
+        t_fetch = time.time()
         z_groups = self.post_process(dets, z_dim_tot=hm.shape[0])
         t_post = time.time()
         ret = {
@@ -114,7 +118,8 @@ class TomoDetector:
             "hm": hm,
             "dets": dets,
             "z_groups": z_groups,
-            "times": {"net+dec": t_net - t0, "post": t_post - t_net},
+            "times": {"net+dec": t_net - t0, "fetch": t_fetch - t_net,
+                      "post": t_post - t_fetch},
         }
         if out_dir is not None:
             self.save_detection(hm, z_groups, out_dir, name)

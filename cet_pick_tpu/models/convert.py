@@ -162,6 +162,81 @@ def simsiam_state_dict_to_flax(state_dict: Dict, stage_sizes=(2, 2, 2)):
     return params, stats
 
 
+def _get(tree, path):
+    node = tree
+    for k in path:
+        node = node[k]
+    return np.asarray(node)
+
+
+def flax_to_torch_state_dict(params, batch_stats, n_blocks: int, heads):
+    """Inverse of ``torch_state_dict_to_flax``: export a trained TomoPickNet
+    to a reference-compatible ``TomoConvUNet`` state_dict.
+
+    Lets users take a model trained on TPU back into the reference's torch
+    pipeline (test.py etc.); also powers the measured-baseline comparison
+    (benchmarks/reference_compare.py) where both frameworks run identical
+    weights. Layout rules are the exact inverses of the header table.
+    """
+    sd: Dict = {}
+
+    def bn(dst, src):
+        sd[dst + ".weight"] = _get(params, src + ("scale",))
+        sd[dst + ".bias"] = _get(params, src + ("bias",))
+        sd[dst + ".running_mean"] = _get(batch_stats, src + ("mean",))
+        sd[dst + ".running_var"] = _get(batch_stats, src + ("var",))
+
+    def conv2d(dst, src, bias=True):
+        sd[dst + ".weight"] = np.transpose(_get(params, src + ("kernel",)),
+                                           (3, 2, 0, 1))
+        _maybe_bias(dst, src, bias)
+
+    def conv3d(dst, src, bias=True):
+        sd[dst + ".weight"] = np.transpose(_get(params, src + ("kernel",)),
+                                           (4, 3, 0, 1, 2))
+        _maybe_bias(dst, src, bias)
+
+    def deconv2d(dst, src, bias=True):
+        w = _get(params, src + ("kernel",))[::-1, ::-1]
+        sd[dst + ".weight"] = np.transpose(w, (2, 3, 0, 1))
+        _maybe_bias(dst, src, bias)
+
+    def _maybe_bias(dst, src, bias):
+        node = params
+        try:
+            for k in src:
+                node = node[k]
+            if bias and "bias" in node:
+                sd[dst + ".bias"] = np.asarray(node["bias"])
+        except (KeyError, TypeError):
+            pass
+
+    conv2d("conv1", ("stem",), bias=False)
+    bn("bn1", ("stem_bn",))
+    for i in range(n_blocks):
+        base = f"unet.down_convs.{i}"
+        blk = ("unet", f"down{i}")
+        conv2d(base + ".conv1", blk + ("ConvNormAct_0", "Conv_0"))
+        bn(base + ".norm0", blk + ("ConvNormAct_0", "BatchNorm_0"))
+        conv2d(base + ".conv2", blk + ("ConvNormAct_1", "Conv_0"))
+        bn(base + ".norm1", blk + ("ConvNormAct_1", "BatchNorm_0"))
+    for i in range(n_blocks - 1):
+        base = f"unet.up_convs.{i}"
+        blk = ("unet", f"up{i}")
+        deconv2d(base + ".upconv", blk + ("ConvTranspose_0",))
+        bn(base + ".norm0", blk + ("BatchNorm_0",))
+        conv2d(base + ".conv1", blk + ("ConvNormAct_0", "Conv_0"))
+        bn(base + ".norm1", blk + ("ConvNormAct_0", "BatchNorm_0"))
+        conv2d(base + ".conv2", blk + ("ConvNormAct_1", "Conv_0"))
+        bn(base + ".norm2", blk + ("ConvNormAct_1", "BatchNorm_0"))
+    conv2d("unet.conv_final", ("unet", "final"))
+    conv3d("feature_head.0", ("feature_head", "conv0"), bias=False)
+    conv3d("feature_head.2", ("feature_head", "conv1"), bias=False)
+    for head in heads:
+        conv3d(head, (head,), bias=False)
+    return sd
+
+
 def load_reference_checkpoint(path: str, config):
     """Load a reference ``model_N.pth`` into (params, batch_stats) for
     ``create_detector(config)``. Requires torch (CPU is fine)."""

@@ -171,3 +171,56 @@ def create_simsiam(config, dtype=None):
     mode = "2d3d" if "2d3d" in config.arch else "2d"
     dtype = dtype or {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[config.dtype]
     return SimSiamEncoder(head_conv=config.head_conv, mode=mode, dtype=dtype)
+
+
+class ScanClusteringModel(nn.Module):
+    """SimSiam backbone + linear cluster head(s) for the SCAN stage
+    (reference simsiam_model_2d3d.py:847-877 ClusteringModel +
+    get_clustering2d3d_net_small:879-885).
+
+    ``features`` runs trunk -> fc -> projection MLP WITHOUT the SimSiam
+    stop-gradient (the reference's forward_test path has no detach either),
+    so the SCAN loss fine-tunes the whole network when the caller doesn't
+    stop-grad the features itself (base_trainer.py:59-109
+    update_cluster_head_only switch).
+    """
+
+    head_conv: int = 128
+    mode: str = "2d3d"
+    n_clusters: int = 3
+    n_heads: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.backbone = SimSiamEncoder(
+            head_conv=self.head_conv, mode=self.mode, dtype=self.dtype
+        )
+        self.cluster_heads = [
+            nn.Dense(self.n_clusters, dtype=self.dtype, name=f"head{i}")
+            for i in range(self.n_heads)
+        ]
+
+    def features(self, x2d, x3d=None, train: bool = False):
+        """Projection features with gradients (ClusteringModel
+        forward_pass='backbone')."""
+        f = self.backbone.encode(x2d, x3d, train)
+        return self.backbone.proj(f, train)
+
+    def head_logits(self, feats):
+        """Per-head cluster logits (forward_pass='head')."""
+        return [h(feats) for h in self.cluster_heads]
+
+    def __call__(self, x2d, x3d=None, train: bool = False):
+        """forward_pass='default': features -> list of per-head logits."""
+        return self.head_logits(self.features(x2d, x3d, train))
+
+
+def create_scan_model(config, n_clusters, n_heads=1, dtype=None):
+    """arch 'simsiam2d3d_18' / 'simsiam2d_18' -> ScanClusteringModel
+    (the scan / scan2d3d tasks, base_trainer.py:217-220)."""
+    mode = "2d3d" if "2d3d" in config.arch else "2d"
+    dtype = dtype or {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[config.dtype]
+    return ScanClusteringModel(
+        head_conv=config.head_conv, mode=mode, n_clusters=n_clusters,
+        n_heads=n_heads, dtype=dtype,
+    )

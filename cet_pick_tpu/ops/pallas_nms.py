@@ -34,26 +34,43 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e30  # -inf stand-in (finite to keep VPU comparisons well-defined)
 
 
-def _nms_slab_kernel(hbm_ref, out_ref, slab_ref, sem, *, tz, kernel):
+def _slab_dma(hbm_ref, slab_ref, sem_ref, step, slot, tz):
+    """Async copy of input slab `step` into double-buffer slot `slot`."""
+    return pltpu.make_async_copy(
+        hbm_ref.at[pl.ds(step * tz, tz + 2)], slab_ref.at[slot],
+        sem_ref.at[slot],
+    )
+
+
+def _nms_slab_kernel(hbm_ref, out_ref, slab_ref, sem_ref, *, tz, kernel,
+                     nsteps):
     """Grid step i: NMS for output slices [i*tz, (i+1)*tz).
 
     hbm_ref:  z-padded logits (D + 2, H, W) in ANY/HBM.
-    slab_ref: VMEM scratch (tz + 2, H, W) — the overlapping input slab.
+    slab_ref: VMEM scratch (2, tz + 2, H, W) — double-buffered input slabs:
+              while slab i computes, slab i+1's HBM->VMEM DMA is in flight
+              (scratch and semaphores persist across the sequential TPU grid).
     out_ref:  (tz, H, W) VMEM block; pallas pipelines the writeback.
     """
     i = pl.program_id(0)
     p = kernel // 2
+    slot = jax.lax.rem(i, 2)
+    nxt = jax.lax.rem(i + 1, 2)
 
-    dma = pltpu.make_async_copy(
-        hbm_ref.at[pl.ds(i * tz, tz + 2)], slab_ref, sem
-    )
-    dma.start()
-    dma.wait()
+    @pl.when(i == 0)
+    def _():
+        _slab_dma(hbm_ref, slab_ref, sem_ref, 0, 0, tz).start()
+
+    @pl.when(i + 1 < nsteps)
+    def _():
+        _slab_dma(hbm_ref, slab_ref, sem_ref, i + 1, nxt, tz).start()
+
+    _slab_dma(hbm_ref, slab_ref, sem_ref, i, slot, tz).wait()
     # clipped probabilities FIRST: the clamp saturates strong peaks to
     # 0.9999, so nearby saturated maxima tie and all survive — comparing
     # raw logits instead would break exact parity with the reference's
     # sigmoid -> clamp -> maxpool order (models/utils.py:167, decode.py:27)
-    slab = jnp.clip(jax.nn.sigmoid(slab_ref[:]), 1e-4, 1.0 - 1e-4)
+    slab = jnp.clip(jax.nn.sigmoid(slab_ref[slot]), 1e-4, 1.0 - 1e-4)
 
     center = slab[1 : 1 + tz]
     # z-max over the 3-tap window (the reference fixes kernel_z = 3,
@@ -93,15 +110,15 @@ def fused_sigmoid_nms(logits, kernel=3, interpret=False):
     padded = jnp.pad(logits, ((1, 1), (0, 0), (0, 0)), constant_values=NEG)
     grid = (d // tz,)
     return pl.pallas_call(
-        partial(_nms_slab_kernel, tz=tz, kernel=kernel),
+        partial(_nms_slab_kernel, tz=tz, kernel=kernel, nsteps=grid[0]),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((tz, h, w), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((d, h, w), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((tz + 2, h, w), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, tz + 2, h, w), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(padded.astype(jnp.float32))

@@ -16,12 +16,15 @@ torch.distributed DDP over NCCL):
   ``space`` axis. XLA inserts the convolution halo exchanges itself, so the
   dilated 3D head's receptive field is handled without manual halo code.
 
-BatchNorm under DP: per-device batch statistics (the torch non-sync-BN
-default). The reference converts to SyncBatchNorm only for DDP
-(main.py:52-53); matching behavior exactly would need cross-device ``pmean``
-of batch moments — we instead keep BN local (identical to the reference's
-primary single-process multi-GPU path) and expose GroupNorm in the model for
-fully deterministic SPMD.
+BatchNorm under DP: **SyncBatchNorm semantics for free.** Under GSPMD the
+train step is one program over the global batch; BatchNorm's batch-mean
+reduces over the sharded axis, so the partitioner inserts the cross-device
+all-reduce automatically. The updated running statistics are bit-comparable
+to a single-device run over the same global batch
+(tests/test_parallel.py::test_dp_step_matches_single_device asserts this) —
+matching the reference's DDP SyncBatchNorm conversion (main.py:52-53)
+without any pmean plumbing. (Per-device statistics would only appear under
+per-device programs a la pmap, which this framework does not use.)
 """
 
 from __future__ import annotations
@@ -107,6 +110,76 @@ def make_dp_train_step(model, config, mesh: Mesh, axis: str = "data"):
 
     def place_batch(batch):
         return shard_batch(mesh, batch, axis=axis)
+
+    step = jax.jit(
+        inner,
+        donate_argnums=(0,),
+        in_shardings=(repl, batch_sharding),
+        out_shardings=(repl, repl),
+    )
+    return step, place_state, place_batch
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None):
+    """Multi-host initialization — the DDP analog.
+
+    TPU-native replacement for the reference's torch.distributed setup
+    (reference main.py:24-41, simsiam_main.py:28-45: WORLD_SIZE/SLURM_PROCID
+    env sniffing + dist.init_process_group over NCCL): one
+    ``jax.distributed.initialize`` call wires every host into a single
+    global device view; afterwards ``jax.devices()`` spans all hosts and a
+    Mesh built over it rides ICI within a slice and DCN across slices.
+
+    With no arguments it auto-detects the cluster environment (TPU pods,
+    SLURM, Open MPI) exactly like the reference's env sniffing. Explicit
+    arguments support the CPU-process test rig (2 processes x N virtual
+    devices over gRPC).
+    """
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return jax.process_index(), jax.process_count()
+
+
+def make_multihost_dp_train_step(model, config, axis: str = "data"):
+    """Data-parallel train step across ALL hosts' devices.
+
+    The per-host input is that host's shard of the global batch (the
+    reference's DistributedSampler split, base_trainer.py:229-238);
+    ``jax.make_array_from_process_local_data`` assembles the global sharded
+    array without ever materializing the full batch on any one host.
+
+    Returns (step, place_state, place_batch) like make_dp_train_step; the
+    gradient all-reduce spans hosts (GSPMD inserts it over ICI+DCN).
+    """
+    import jax
+
+    from cet_pick_tpu.train.refine import make_train_step
+
+    mesh = make_mesh((len(jax.devices()),), (axis,))
+    inner = make_train_step(model, config)
+    repl = NamedSharding(mesh, P())
+    batch_sharding = NamedSharding(mesh, P(axis))
+
+    def place_state(state):
+        # parameters are identical on every host (same seed init / same
+        # checkpoint), so replicating host-local values is well-defined
+        return jax.device_put(state, repl)
+
+    def place_batch(local_batch):
+        def put(x):
+            spec = P(axis) if np.ndim(x) >= 1 else P()
+            return jax.make_array_from_process_local_data(
+                NamedSharding(mesh, spec), np.asarray(x)
+            )
+
+        return jax.tree_util.tree_map(put, local_batch)
 
     step = jax.jit(
         inner,

@@ -1,6 +1,6 @@
-"""Few-shot (task ``fs``) losses + constrained k-means.
+"""Few-shot (task ``fs``) training: constrained k-means over pixel embeddings.
 
-Rebuild of the reference's experimental few-shot pathway
+Rebuild of the reference's few-shot pathway
 (trains/tomo_fewshot_cr_trainer.py:20-168 via models/loss.py:871-935 and
 models/kmeans.py:32+):
 
@@ -13,9 +13,20 @@ models/kmeans.py:32+):
   points stay in their class's cluster; unlabeled points assign freely
   (models/kmeans.py MPKMeans, simplified: hard constraints instead of
   penalty weights — the trainer uses them as hard seeds anyway)
+* ``make_fewshot_train_step`` / ``train_fewshot`` — the TomoKMTrainer loop
+  (tomo_fewshot_cr_trainer.py:38-134 + base_trainer.py:277-341): every step
+  clusters the projection pixels with warm-started constrained k-means,
+  then optimizes vmf + cr_weight * partial-supcon; the prototypes are
+  threaded through the epoch exactly like the reference's
+  ``cluster_centers`` carry
+* ``fewshot_similarity``— inference: cosine similarity of every pixel to the
+  target-class prototype (utils/post_process.tomo_cluster_postprocess +
+  trainer save_results:285-293), decodable with ops/decode.tomo_decode
 
 All on-device: assignments are matmuls, updates are one-hot segment sums,
-the loop is a ``lax.fori_loop``.
+the loop is a ``lax.fori_loop``. The supervised term gathers a static-size
+set of labeled pixels (``lax.top_k`` over the label indicator) so the gram
+stays (SUP_MAX, SUP_MAX) regardless of crop size — no dynamic shapes.
 """
 
 from __future__ import annotations
@@ -72,26 +83,9 @@ def partial_sup_loss(embeddings, gt_labels, temp=0.07):
     )
 
 
-@partial(jax.jit, static_argnames=("n_clusters", "max_iter"))
-def constrained_kmeans(embeddings, seed_labels, n_clusters=4, max_iter=30):
-    """Must-link constrained k-means (models/kmeans.py MPKMeans semantics).
-
-    seed_labels: (N,) int — 0 = unlabeled (free assignment), c >= 1 = must
-    stay in cluster c. Cluster 0 collects background/unlabeled structure.
-    Returns (prototypes (K, C), assignments (N,)).
-    """
-    n, c = embeddings.shape
-    x = _normalize(embeddings)
+def _lloyd_constrained(x, seed_labels, cents, n_clusters, max_iter):
+    """Shared Lloyd body: labeled points pinned to their class's cluster."""
     seeded = seed_labels > 0
-
-    # init: labeled class means; unlabeled clusters from data spread
-    one_hot = jax.nn.one_hot(seed_labels, n_clusters, dtype=x.dtype)
-    counts = one_hot.sum(axis=0)
-    cents = jnp.where(
-        counts[:, None] > 0,
-        (one_hot.T @ x) / jnp.maximum(counts[:, None], 1.0),
-        x[jnp.arange(n_clusters) % n],
-    )
 
     def body(_, cents):
         sim = x @ _normalize(cents).T  # cosine affinity
@@ -107,3 +101,166 @@ def constrained_kmeans(embeddings, seed_labels, n_clusters=4, max_iter=30):
     sim = x @ _normalize(cents).T
     assign = jnp.where(seeded, seed_labels, jnp.argmax(sim, axis=1))
     return cents, assign
+
+
+@partial(jax.jit, static_argnames=("n_clusters", "max_iter"))
+def constrained_kmeans(embeddings, seed_labels, n_clusters=4, max_iter=30):
+    """Must-link constrained k-means (models/kmeans.py MPKMeans semantics,
+    mpkmeans_with_initial_labels).
+
+    seed_labels: (N,) int — 0 = unlabeled (free assignment), c >= 1 = must
+    stay in cluster c. Cluster 0 collects background/unlabeled structure.
+    Returns (prototypes (K, C), assignments (N,)).
+    """
+    n, c = embeddings.shape
+    x = _normalize(embeddings)
+
+    # init: labeled class means; unlabeled clusters from data spread
+    one_hot = jax.nn.one_hot(seed_labels, n_clusters, dtype=x.dtype)
+    counts = one_hot.sum(axis=0)
+    cents = jnp.where(
+        counts[:, None] > 0,
+        (one_hot.T @ x) / jnp.maximum(counts[:, None], 1.0),
+        x[jnp.arange(n_clusters) % n],
+    )
+    return _lloyd_constrained(x, seed_labels, cents, n_clusters, max_iter)
+
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def constrained_kmeans_warm(embeddings, seed_labels, init_centers,
+                            max_iter=30):
+    """Warm-started constrained k-means (MPKMeans.mpkmeans_with_old_centers,
+    reference tomo_fewshot_cr_trainer.py:104-107): resume Lloyd iterations
+    from the previous step's prototypes instead of re-initializing, so the
+    cluster identities stay stable across training steps."""
+    x = _normalize(embeddings)
+    n_clusters = init_centers.shape[0]
+    return _lloyd_constrained(x, seed_labels, init_centers, n_clusters,
+                              max_iter)
+
+
+# ---------------------------------------------------------------------------
+# training loop (TomoKMTrainer)
+# ---------------------------------------------------------------------------
+
+SUP_MAX = 256  # static cap of labeled pixels in the supervised term
+
+
+def make_fewshot_train_step(model, config):
+    """Jitted fs step: warm k-means -> vmf + cr_weight * partial supcon
+    (tomo_fewshot_cr_trainer.py:38-134)."""
+    temp, cr_weight = config.temp, config.cr_weight
+
+    def loss_fn(params, batch_stats, batch, centers):
+        x = batch["input"]
+        if batch_stats:
+            out, updates = model.apply(
+                {"params": params, "batch_stats": batch_stats}, x,
+                train=True, mutable=["batch_stats"],
+            )
+            new_bs = dict(updates).get("batch_stats", batch_stats)
+        else:
+            out = model.apply({"params": params}, x, train=True)
+            new_bs = batch_stats
+        proj = out["proj"]                      # (B, D, H', W', C)
+        c = proj.shape[-1]
+        feats = _normalize(proj.reshape(-1, c))
+        seeds = batch["lb_map"].reshape(-1).astype(jnp.int32)
+
+        cents, assign = constrained_kmeans_warm(
+            jax.lax.stop_gradient(feats), seeds, centers
+        )
+        cents = jax.lax.stop_gradient(cents)
+        vmf = kmeans_vmf_loss(feats, assign, cents, temp=temp)
+
+        # supervised contrastive over (up to SUP_MAX) labeled pixels; ties
+        # in the indicator put labeled rows first, unlabeled fill rows get
+        # label 0 and are masked inside partial_sup_loss
+        k = min(SUP_MAX, feats.shape[0])
+        _, top = jax.lax.top_k((seeds > 0).astype(jnp.float32), k)
+        sup = partial_sup_loss(feats[top], seeds[top], temp=temp)
+
+        loss = vmf + cr_weight * sup
+        metrics = {"loss": loss, "vmf_loss": vmf, "sup_loss": sup}
+        return loss, (new_bs, cents, metrics)
+
+    @jax.jit
+    def step(state, batch, centers):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (new_bs, cents, metrics)), grads = grad_fn(
+            state.params, state.batch_stats, batch, centers
+        )
+        return state.apply_gradients(grads, batch_stats=new_bs), cents, metrics
+
+    return step
+
+
+def init_fewshot_centers(model, state, batch, n_clusters):
+    """Cold-start prototypes from the first batch
+    (mpkmeans_with_initial_labels, tomo_fewshot_cr_trainer.py:101-103)."""
+    out = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        batch["input"], train=False,
+    )
+    c = out["proj"].shape[-1]
+    feats = _normalize(out["proj"].reshape(-1, c))
+    seeds = jnp.asarray(batch["lb_map"].reshape(-1), jnp.int32)
+    cents, _ = constrained_kmeans(feats, seeds, n_clusters=n_clusters)
+    return cents
+
+
+def train_fewshot(config, dataset, num_epochs=None, log_fn=print):
+    """Epoch loop for the fs task (main.py with task=fs ->
+    train_factory TomoKMTrainer; base_trainer.py:277-341)."""
+    import os
+
+    from cet_pick_tpu.models.detector import create_detector
+    from cet_pick_tpu.train.state import create_train_state, save_checkpoint
+
+    n_clusters = max(int(config.nclusters), 3)  # bg=0, target=1, other=2
+    model = create_detector(config)
+    rng = np.random.default_rng(config.seed)
+    batch0 = dataset.sample_batch(rng, range(min(config.batch_size, len(dataset))))
+    state = create_train_state(
+        model, config, jax.random.PRNGKey(config.seed), batch0["input"]
+    )
+    centers = init_fewshot_centers(model, state, batch0, n_clusters)
+
+    step = make_fewshot_train_step(model, config)
+    num_epochs = num_epochs or config.num_epochs
+    history = []
+    for epoch in range(1, num_epochs + 1):
+        epoch_metrics = []
+        for batch in dataset.epoch_batches(rng, config.batch_size):
+            state, centers, metrics = step(state, jax.device_put(batch), centers)
+            epoch_metrics.append({k: float(v) for k, v in metrics.items()})
+        if not epoch_metrics:
+            raise ValueError(
+                f"no training batches: {len(dataset)} samples < batch_size "
+                f"{config.batch_size}"
+            )
+        state = state.replace(epoch=epoch)
+        means = {k: float(np.mean([m[k] for m in epoch_metrics]))
+                 for k in epoch_metrics[0]}
+        history.append(means)
+        log_fn(f"epoch {epoch}: " + " ".join(
+            f"{k}={v:.5f}" for k, v in means.items()))
+        if config.save_dir:
+            save_checkpoint(os.path.join(config.save_dir, "model_last"),
+                            state, config)
+            np.save(os.path.join(config.save_dir, "cluster_centers.npy"),
+                    np.asarray(centers))
+    return state, np.asarray(centers), history
+
+
+def fewshot_similarity(model, state, centers, volume, target_cluster=1):
+    """Per-voxel cosine similarity to the target-class prototype
+    (trainer save_results, tomo_fewshot_cr_trainer.py:285-293). Returns a
+    (D, H', W') score volume decodable with ops/decode.tomo_decode."""
+    out = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        jnp.asarray(volume)[None], train=False,
+    )
+    proj = _normalize(out["proj"][0])           # (D, H', W', C)
+    proto = _normalize(jnp.asarray(centers)[target_cluster])
+    return jnp.einsum("dhwc,c->dhw", proj, proto)

@@ -147,3 +147,231 @@ def scan_evaluate(assignments, neighbors):
     a = np.asarray(assignments)
     same = a[neighbors] == a[:, None]
     return float(same.mean())
+
+
+# ---------------------------------------------------------------------------
+# full-model SCAN fine-tune + confidence self-labeling
+# (TomoSCANTrainer, trains/tomo_scan_trainer.py:17-103 +
+#  base_trainer.py:59-109 ModelWithLossSCAN{,2D3D};
+#  ClusteringModel simsiam_model_2d3d.py:847-877)
+# ---------------------------------------------------------------------------
+
+def _as_nhwc(patches):
+    x = np.asarray(patches, np.float32)
+    return x[..., None] if x.ndim == 3 else x
+
+
+def create_scan_state(model, config, rng, sample2d, sample3d, lr=1e-4):
+    """TrainState over a ScanClusteringModel (both views' patch shapes)."""
+    import optax as _optax
+
+    from cet_pick_tpu.train.state import TrainState
+
+    variables = model.init(rng, jnp.asarray(sample2d),
+                           None if sample3d is None else jnp.asarray(sample3d),
+                           train=False)
+    tx = _optax.inject_hyperparams(_optax.adam)(learning_rate=lr)
+    params = variables["params"]
+    from flax import core
+
+    batch_stats = variables.get("batch_stats", core.FrozenDict())
+    return TrainState(step=0, epoch=0, params=params,
+                      batch_stats=batch_stats, opt_state=tx.init(params),
+                      tx=tx)
+
+
+def load_pretext_backbone(state, simsiam_params, simsiam_batch_stats):
+    """Graft pretrained SimSiam encoder weights into the clustering model
+    (the reference loads opt.simsiam_dir's checkpoint as the SCAN backbone,
+    opts.py:259-263 + main.py load_model)."""
+    import flax
+
+    params = flax.core.unfreeze(state.params)
+    params["backbone"] = flax.core.unfreeze(simsiam_params)
+    bs = flax.core.unfreeze(state.batch_stats)
+    if simsiam_batch_stats:
+        bs["backbone"] = flax.core.unfreeze(simsiam_batch_stats)
+    return state.replace(
+        params=flax.core.freeze(params) if isinstance(state.params, core.FrozenDict) else params,
+        batch_stats=flax.core.freeze(bs) if isinstance(state.batch_stats, core.FrozenDict) else bs,
+    )
+
+
+def make_scan_finetune_step(model, entropy_weight=2.0, head_only=False):
+    """Jitted SCAN step over (anchor, neighbor) patch batches.
+
+    head_only=True reproduces --cluster_head (base_trainer.py:62-77): the
+    backbone runs in eval mode under stop_gradient and only the cluster
+    head(s) update. head_only=False fine-tunes the whole network — the
+    reference's default SCAN mode (ModelWithLossSCAN else-branch :77-79).
+    """
+
+    def loss_fn(params, batch_stats, a2d, a3d, n2d, n3d):
+        if head_only:
+            vars_ = {"params": params, "batch_stats": batch_stats}
+            fa = model.apply(vars_, a2d, a3d, train=False,
+                             method=model.features)
+            fn_ = model.apply(vars_, n2d, n3d, train=False,
+                              method=model.features)
+            fa = jax.lax.stop_gradient(fa)
+            fn_ = jax.lax.stop_gradient(fn_)
+            new_bs = batch_stats
+        else:
+            fa, upd = model.apply(
+                {"params": params, "batch_stats": batch_stats}, a2d, a3d,
+                train=True, method=model.features, mutable=["batch_stats"],
+            )
+            bs1 = dict(upd).get("batch_stats", batch_stats)
+            fn_, upd2 = model.apply(
+                {"params": params, "batch_stats": bs1}, n2d, n3d,
+                train=True, method=model.features, mutable=["batch_stats"],
+            )
+            new_bs = dict(upd2).get("batch_stats", bs1)
+
+        la = model.apply({"params": params}, fa, method=model.head_logits)
+        ln = model.apply({"params": params}, fn_, method=model.head_logits)
+        totals, cons, ents = [], [], []
+        for l_a, l_n in zip(la, ln):  # per cluster head (tomo_scan_trainer.py:66-76)
+            t, c, e = scan_loss(l_a, l_n, entropy_weight)
+            totals.append(t)
+            cons.append(c)
+            ents.append(e)
+        loss = jnp.sum(jnp.stack(totals))
+        metrics = {
+            "total_loss": loss,
+            "consistency_loss": jnp.mean(jnp.stack(cons)),
+            "entropy_loss": jnp.mean(jnp.stack(ents)),
+        }
+        return loss, (new_bs, metrics)
+
+    @jax.jit
+    def step(state, a2d, a3d, n2d, n3d):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (new_bs, metrics)), grads = grad_fn(
+            state.params, state.batch_stats, a2d, a3d, n2d, n3d
+        )
+        return state.apply_gradients(grads, batch_stats=new_bs), metrics
+
+    return step
+
+
+def make_selflabel_step(model, threshold=0.99, class_balance=True):
+    """Jitted self-labeling step: confident weak-view pseudo-labels supervise
+    the strong view (loss.py:15-66 ConfidenceBasedCE; the SCAN paper's
+    self-label stage the reference ships the loss for)."""
+
+    def loss_fn(params, batch_stats, w2d, w3d, s2d, s3d):
+        weak = model.apply({"params": params, "batch_stats": batch_stats},
+                           w2d, w3d, train=False)[0]
+        weak = jax.lax.stop_gradient(weak)
+        fs, upd = model.apply(
+            {"params": params, "batch_stats": batch_stats}, s2d, s3d,
+            train=True, method=model.features, mutable=["batch_stats"],
+        )
+        new_bs = dict(upd).get("batch_stats", batch_stats)
+        strong = model.apply({"params": params}, fs,
+                             method=model.head_logits)[0]
+        loss, n_conf = confidence_ce_loss(
+            weak, strong, threshold=threshold, class_balance=class_balance
+        )
+        return loss, (new_bs, {"loss": loss, "n_confident": n_conf})
+
+    @jax.jit
+    def step(state, w2d, w3d, s2d, s3d):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (new_bs, metrics)), grads = grad_fn(
+            state.params, state.batch_stats, w2d, w3d, s2d, s3d
+        )
+        return state.apply_gradients(grads, batch_stats=new_bs), metrics
+
+    return step
+
+
+def _strong_aug(rng, x):
+    """Host-side strong augmentation for self-labeling: random flips +
+    gaussian noise (the reference's strong Compose for its 2-channel patches)."""
+    y = x.copy()
+    for i in range(len(y)):
+        if rng.random() < 0.5:
+            y[i] = y[i][:, ::-1]
+        if rng.random() < 0.5:
+            y[i] = y[i][::-1, :]
+    return y + rng.standard_normal(y.shape).astype(np.float32) * 0.1
+
+
+def scan_assignments(model, state, patches_2d, patches_3d, batch_size=256):
+    """Cluster assignment (head 0 argmax) for every patch."""
+    p2 = _as_nhwc(patches_2d)
+    p3 = None if patches_3d is None else _as_nhwc(patches_3d)
+    out = []
+
+    @jax.jit
+    def fwd(params, batch_stats, x2d, x3d):
+        return model.apply({"params": params, "batch_stats": batch_stats},
+                           x2d, x3d, train=False)[0]
+
+    for s in range(0, len(p2), batch_size):
+        x2d = jnp.asarray(p2[s : s + batch_size])
+        x3d = None if p3 is None else jnp.asarray(p3[s : s + batch_size])
+        out.append(np.asarray(fwd(state.params, state.batch_stats, x2d, x3d)))
+    logits = np.concatenate(out)
+    return logits.argmax(axis=1), logits
+
+
+def train_scan_full(config, patches_2d, patches_3d, neighbors, n_clusters,
+                    n_heads=1, pretext=None, num_steps=300, batch_size=64,
+                    lr=1e-4, entropy_weight=2.0, head_only=False,
+                    selflabel_steps=0, selflabel_threshold=0.99, seed=0,
+                    log_fn=print):
+    """Full SCAN pipeline over candidate patches.
+
+    patches_2d/patches_3d: (N, H, W) float32 patch stacks (patches_3d=None in
+    2d mode); neighbors: (N, k) mined indices (mine_neighbors over pretext
+    embeddings). pretext: optional (params, batch_stats) of a trained SimSiam
+    encoder to warm-start the backbone. selflabel_steps > 0 appends the
+    confidence self-labeling round. Returns (state, model, assignments).
+    """
+    from cet_pick_tpu.models.simsiam import create_scan_model
+
+    model = create_scan_model(config, n_clusters, n_heads)
+    p2 = _as_nhwc(patches_2d)
+    p3 = None if patches_3d is None else _as_nhwc(patches_3d)
+    n = len(p2)
+    state = create_scan_state(
+        model, config, jax.random.PRNGKey(seed), p2[:1],
+        None if p3 is None else p3[:1], lr=lr,
+    )
+    if pretext is not None:
+        state = load_pretext_backbone(state, *pretext)
+
+    step = make_scan_finetune_step(model, entropy_weight, head_only=head_only)
+    rng = np.random.default_rng(seed)
+    k = neighbors.shape[1]
+    for it in range(num_steps):
+        idx = rng.integers(0, n, size=min(batch_size, n))
+        nb = neighbors[idx, rng.integers(0, k, size=len(idx))]
+        a3 = None if p3 is None else jnp.asarray(p3[idx])
+        n3 = None if p3 is None else jnp.asarray(p3[nb])
+        state, metrics = step(state, jnp.asarray(p2[idx]), a3,
+                              jnp.asarray(p2[nb]), n3)
+        if (it + 1) % 50 == 0:
+            log_fn(f"scan step {it + 1}: " + " ".join(
+                f"{kk}={float(v):.4f}" for kk, v in metrics.items()))
+
+    if selflabel_steps > 0:
+        sl_step = make_selflabel_step(model, threshold=selflabel_threshold)
+        for it in range(selflabel_steps):
+            idx = rng.integers(0, n, size=min(batch_size, n))
+            w2, s2 = p2[idx], _strong_aug(rng, p2[idx])
+            if p3 is None:
+                w3 = s3 = None
+            else:
+                w3, s3 = jnp.asarray(p3[idx]), jnp.asarray(_strong_aug(rng, p3[idx]))
+            state, metrics = sl_step(state, jnp.asarray(w2), w3,
+                                     jnp.asarray(s2), s3)
+            if (it + 1) % 50 == 0:
+                log_fn(f"selflabel step {it + 1}: " + " ".join(
+                    f"{kk}={float(v):.4f}" for kk, v in metrics.items()))
+
+    assign, _ = scan_assignments(model, state, patches_2d, patches_3d)
+    return state, model, assign

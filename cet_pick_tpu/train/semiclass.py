@@ -1,0 +1,100 @@
+"""Semiclass training: fill/unfill voxel crops through the refinement step.
+
+Rebuild of the reference's semiclass trainer (reference:
+cet_pick/trains/tomo_cr_semi_class_trainer.py:18-121): the objective is the
+same composition as the semi task —
+
+    loss = hm_loss + cr_weight * contrastive + consistency
+    hm_loss = focal (--pn) | PU-GE (--ge, the reference's production choice:
+              PUGELoss(tau, criteria=FocalLoss_mod(thresh)),
+              tomo_cr_semi_class_trainer.py:28-36)
+
+— applied to voxel-centric crops whose targets come from the *discrete*
+fill/unfill label volumes (data/classify_dataset.py). The jitted step itself
+is shared with the semi task (train/refine.make_train_step): the semiclass
+batch is shaped (B, 1, D, H, W) and flows through the identical two-view
+forward + per-sample vmapped contrastive + consistency pipeline. What makes
+the task semiclass is the data (discrete 1/0.1/-1 labels, stratified voxel
+sampling) and the inference decode (greedy spherical NMS,
+infer/classify.py), not a different step function.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+
+def train_semiclass(config, dataset, val_dataset=None, num_epochs=None,
+                    log_fn=print):
+    """Epoch loop for the semiclass task (main.py:99-128 with
+    task=semiclass; trainer wiring train_factory.py:22)."""
+    from cet_pick_tpu.models.detector import create_detector
+    from cet_pick_tpu.train.refine import (
+        lr_at_epoch, make_train_step, make_val_step,
+    )
+    from cet_pick_tpu.train.state import (
+        create_train_state, load_checkpoint, save_checkpoint,
+        set_learning_rate,
+    )
+
+    if not (config.pn or config.ge):
+        raise ValueError(
+            "semiclass requires --pn (focal) or --ge (PU-GE); the plain PU "
+            "risk estimator is not defined for this task "
+            "(tomo_cr_semi_class_trainer.py:25-36)"
+        )
+
+    model = create_detector(config)
+    rng = np.random.default_rng(config.seed)
+    sample = dataset.sample_batch(rng, [0])
+    b, p, d, h, w = sample["input"].shape
+    state = create_train_state(
+        model, config, jax.random.PRNGKey(config.seed),
+        sample["input"].reshape(b * p, d, h, w),
+    )
+    if config.load_model:
+        state = load_checkpoint(config.load_model, state, resume=config.resume)
+        log_fn(f"loaded checkpoint from {config.load_model} "
+               f"(epoch {state.epoch})")
+
+    train_step = make_train_step(model, config)
+    val_step = make_val_step(model) if val_dataset is not None else None
+
+    num_epochs = num_epochs or config.num_epochs
+    history = []
+    for epoch in range(state.epoch + 1, num_epochs + 1):
+        state = set_learning_rate(state, lr_at_epoch(config, epoch))
+        epoch_metrics = []
+        for batch in dataset.epoch_batches(rng, config.batch_size):
+            state, metrics = train_step(state, jax.device_put(batch))
+            epoch_metrics.append({k: float(v) for k, v in metrics.items()})
+        if not epoch_metrics:
+            raise ValueError(
+                f"no training batches: {len(dataset)} samples < batch_size "
+                f"{config.batch_size}"
+            )
+        state = state.replace(epoch=epoch)
+        means = {k: float(np.mean([m[k] for m in epoch_metrics]))
+                 for k in epoch_metrics[0]}
+        history.append(means)
+        log_fn(f"epoch {epoch}: " + " ".join(
+            f"{k}={v:.5f}" for k, v in means.items()))
+        if config.save_dir:
+            save_checkpoint(os.path.join(config.save_dir, "model_last"),
+                            state, config)
+        if (val_step is not None and config.val_intervals > 0
+                and epoch % config.val_intervals == 0):
+            vals = []
+            for i in range(len(val_dataset.names)):
+                item = val_dataset.val_item(i)
+                # validation scores with plain focal on the 0/1 label volume
+                gt = np.where(item["hm"] < 0, 0.0, item["hm"])
+                vals.append(float(val_step(state, item["input"], gt)))
+            log_fn(f"epoch {epoch}: val_focal={np.mean(vals):.5f}")
+            save_checkpoint(
+                os.path.join(config.save_dir, f"model_{epoch}"), state, config
+            )
+    return state, history

@@ -116,3 +116,63 @@ def test_simsiam_conversion_matches():
                                atol=3e-4)
     np.testing.assert_allclose(np.asarray(out["pred"]), t_out["pred"].numpy(),
                                atol=3e-4)
+
+
+def test_flax_to_torch_roundtrip(torch_model_and_outputs):
+    """flax -> torch export is the exact inverse of the import direction."""
+    from cet_pick_tpu.config import Config
+    from cet_pick_tpu.models.convert import (
+        flax_to_torch_state_dict, torch_state_dict_to_flax,
+    )
+
+    state_dict, _, _ = torch_model_and_outputs
+    cfg = Config(task="semi", arch="unet_4").finalize()
+    params, stats = torch_state_dict_to_flax(state_dict, 4, cfg.heads)
+    back = flax_to_torch_state_dict(params, stats, 4, cfg.heads)
+    missing = set(state_dict) - set(back) - {
+        k for k in state_dict if k.endswith("num_batches_tracked")
+    }
+    assert not missing, f"missing keys: {sorted(missing)[:5]}"
+    for k, v in back.items():
+        np.testing.assert_array_equal(v, state_dict[k], err_msg=k)
+
+
+def test_exported_torch_model_matches_flax(torch_model_and_outputs):
+    """A TPU-trained (here: random-init) flax model exported with
+    flax_to_torch_state_dict reproduces identical outputs in the actual
+    reference TomoConvUNet."""
+    import torch
+
+    import jax
+
+    from cet_pick.models.networks.unet_small import get_tomo_unet_small
+
+    from cet_pick_tpu.config import Config
+    from cet_pick_tpu.models.convert import flax_to_torch_state_dict
+    from cet_pick_tpu.models.detector import create_detector
+
+    cfg = Config(task="semi", arch="unet_4").finalize()
+    model = create_detector(cfg)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, 6, 32, 32)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(3), x, train=False)
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    ours = model.apply({"params": params, "batch_stats": stats}, x,
+                       train=False)
+
+    sd = flax_to_torch_state_dict(
+        jax.tree_util.tree_map(np.asarray, params),
+        jax.tree_util.tree_map(np.asarray, stats), 4, cfg.heads)
+    tm = get_tomo_unet_small(4, dict(cfg.heads), 32)
+    missing, unexpected = tm.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=False,
+    )
+    assert not unexpected, unexpected
+    assert all(k.endswith("num_batches_tracked") for k in missing), missing
+    tm.eval()
+    with torch.no_grad():
+        t_out = tm(torch.from_numpy(x))[0]
+    hm_t = t_out["hm"][0].numpy().transpose(1, 2, 3, 0)
+    np.testing.assert_allclose(np.asarray(ours["hm"][0]), hm_t, atol=2e-4)

@@ -4,6 +4,8 @@ The "fake backend" tests from SURVEY.md §4: an 8-device virtual CPU mesh
 validates the sharding strategy without TPU hardware.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -65,17 +67,45 @@ def test_dp_step_matches_single_device(rng):
 
     # single-device reference
     step1 = make_train_step(model, config)
-    _, metrics1 = step1(state, jax.device_put(batch))
+    new1, metrics1 = step1(state, jax.device_put(batch))
 
     # 8-way data-parallel
     mesh = make_mesh((8,), ("data",))
     step8, place_state, place_batch = make_dp_train_step(model, config, mesh)
     state8 = place_state(state)
-    _, metrics8 = step8(state8, place_batch(batch))
+    new8, metrics8 = step8(state8, place_batch(batch))
 
     assert float(metrics8["loss"]) == pytest.approx(float(metrics1["loss"]),
                                                     rel=2e-4)
     assert float(metrics8["num_pos"]) == float(metrics1["num_pos"])
+
+    # BatchNorm under GSPMD data parallelism has SyncBatchNorm semantics:
+    # the batch-mean over the sharded axis gets a global all-reduce, so the
+    # updated running statistics equal the single-device ones (matching the
+    # reference's DDP SyncBatchNorm path, main.py:52-53)
+    bs1 = jax.tree_util.tree_leaves(new1.batch_stats)
+    bs8 = jax.tree_util.tree_leaves(new8.batch_stats)
+    for a, b in zip(bs1, bs8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_dp_step_accepts_raw_numpy_batch(rng):
+    """Pinned in_shardings: a caller skipping place_batch still gets the
+    sharded step (VERDICT r1 weak #4), not a silent single-device run."""
+    config = _tiny(contrastive=False)
+    model = create_detector(config)
+    batch = _batch(rng, h=16, w=16)
+    state = create_train_state(
+        model, config, jax.random.PRNGKey(0),
+        batch["input"].reshape(-1, *batch["input"].shape[2:]),
+    )
+    mesh = make_mesh((8,), ("data",))
+    step8, place_state, _ = make_dp_train_step(model, config, mesh)
+    new_state, metrics = step8(place_state(state), batch)  # raw numpy batch
+    assert np.isfinite(float(metrics["loss"]))
+    # outputs respect the declared replicated sharding
+    leaf = jax.tree_util.tree_leaves(new_state.params)[0]
+    assert len(leaf.sharding.device_set) == 8
 
 
 def test_spatial_sharding_matches_unsharded(rng):
@@ -142,3 +172,40 @@ def test_train_refine_dp_loop_matches_single(rng, tmp_path):
         assert a["loss"] == pytest.approx(b["loss"], rel=2e-2)
         assert a["num_pos"] == b["num_pos"]
     assert h8[-1]["loss"] < h8[0]["loss"]
+
+
+@pytest.mark.slow
+def test_multihost_dp_two_processes(tmp_path):
+    """2 processes x 4 virtual CPU devices: jax.distributed init + per-host
+    batch sharding + cross-host gradient all-reduce (the reference's
+    multi-node DDP capability, main.py:24-41)."""
+    import re
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(root, "tests", "multihost_worker.py"),
+             str(pid), "2", str(port)],
+            env=env, cwd=root,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=1800)  # 1-core box: compiles serialize
+        outs.append(out)
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+    losses = [float(re.search(r"MULTIHOST pid=\d loss=([\d.e+-]+)", o).group(1))
+              for o in outs]
+    assert losses[0] == pytest.approx(losses[1], rel=1e-6), losses

@@ -66,3 +66,141 @@ def test_train_scan_head_separates(rng):
     assert len(set(assign[:60].tolist())) == 1
     assert len(set(assign[60:].tolist())) == 1
     assert assign[0] != assign[-1]
+
+
+# ---------------------------------------------------------------------------
+# full-model SCAN fine-tune + self-labeling
+# (tomo_scan_trainer.py:17-103, base_trainer.py:59-109, loss.py:15-66)
+# ---------------------------------------------------------------------------
+
+def _two_class_patches(rng, n_per=16, size=24):
+    """Blob patches (class 0) vs stripe patches (class 1)."""
+    yy, xx = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
+    patches, labels = [], []
+    for i in range(2 * n_per):
+        lb = i % 2
+        base = rng.standard_normal((size, size)).astype(np.float32) * 0.3
+        if lb == 0:
+            base += np.exp(-(((yy - size / 2) ** 2 + (xx - size / 2) ** 2)
+                           / 20.0)).astype(np.float32) * 3
+        else:
+            base += (np.sin(xx / 2.0) * 2).astype(np.float32)
+        patches.append(base)
+        labels.append(lb)
+    patches = np.stack(patches)
+    labels = np.array(labels)
+    # neighbors: same-class indices (perfect pretext mining)
+    neighbors = np.stack([
+        rng.choice(np.setdiff1d(np.where(labels == lb)[0], [i]), size=4)
+        for i, lb in enumerate(labels)
+    ])
+    return patches, labels, neighbors
+
+
+def _scan_cfg():
+    from cet_pick_tpu.config import Config
+
+    return Config(task="scan", arch="simsiam2d_18", bbox=24,
+                  nclusters=2, batch_size=16).finalize()
+
+
+@pytest.mark.slow
+def test_scan_full_finetune_updates_backbone(rng):
+    from cet_pick_tpu.train.scan import scan_evaluate, train_scan_full
+
+    patches, labels, neighbors = _two_class_patches(rng)
+    cfg = _scan_cfg()
+    state0 = None
+
+    state, model, assign = train_scan_full(
+        cfg, patches, None, neighbors, n_clusters=2, num_steps=30,
+        batch_size=16, lr=1e-3, seed=0, log_fn=lambda *_: None,
+    )
+    assert assign.shape == (len(patches),)
+    # with perfect neighbors the SCAN objective should keep mined neighbors
+    # together clearly better than chance (0.5 for 2 balanced clusters)
+    consistency = scan_evaluate(assign, neighbors)
+    assert consistency > 0.6, f"neighbor consistency {consistency:.3f}"
+
+
+@pytest.mark.slow
+def test_scan_head_only_freezes_backbone(rng):
+    import jax
+
+    from cet_pick_tpu.models.simsiam import create_scan_model
+    from cet_pick_tpu.train.scan import (
+        create_scan_state, make_scan_finetune_step,
+    )
+
+    patches, labels, neighbors = _two_class_patches(rng, n_per=8)
+    cfg = _scan_cfg()
+    p = patches[..., None]
+    model = create_scan_model(cfg, n_clusters=2)
+    state = create_scan_state(model, cfg, jax.random.PRNGKey(0), p[:1], None)
+    before = jax.tree_util.tree_map(np.copy, state.params["backbone"])
+    head_before = np.copy(np.asarray(state.params["head0"]["kernel"]))
+
+    step = make_scan_finetune_step(model, head_only=True)
+    state, _ = step(state, jnp.asarray(p[:8]), None, jnp.asarray(p[8:16]), None)
+    after = state.params["backbone"]
+    leaves_b = jax.tree_util.tree_leaves(before)
+    leaves_a = jax.tree_util.tree_leaves(after)
+    for b, a in zip(leaves_b, leaves_a):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+    assert not np.allclose(head_before,
+                           np.asarray(state.params["head0"]["kernel"]))
+
+    # full fine-tune DOES move the backbone
+    state2 = create_scan_state(model, cfg, jax.random.PRNGKey(0), p[:1], None)
+    step2 = make_scan_finetune_step(model, head_only=False)
+    state2, _ = step2(state2, jnp.asarray(p[:8]), None,
+                      jnp.asarray(p[8:16]), None)
+    changed = any(
+        not np.allclose(np.asarray(b), np.asarray(a))
+        for b, a in zip(leaves_b,
+                        jax.tree_util.tree_leaves(state2.params["backbone"]))
+    )
+    assert changed, "full fine-tune did not update the backbone"
+
+
+def test_selflabel_step_confident_mask(rng):
+    import jax
+
+    from cet_pick_tpu.models.simsiam import create_scan_model
+    from cet_pick_tpu.train.scan import create_scan_state, make_selflabel_step
+
+    patches, _, _ = _two_class_patches(rng, n_per=8)
+    cfg = _scan_cfg()
+    p = patches[..., None]
+    model = create_scan_model(cfg, n_clusters=2)
+    state = create_scan_state(model, cfg, jax.random.PRNGKey(0), p[:1], None)
+    # threshold 0 -> every sample is confident; loss must be finite
+    step = make_selflabel_step(model, threshold=0.0)
+    state, metrics = step(state, jnp.asarray(p[:8]), None,
+                          jnp.asarray(p[8:16]), None)
+    assert float(metrics["n_confident"]) == 8
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_load_pretext_backbone(rng):
+    import jax
+
+    from cet_pick_tpu.config import Config
+    from cet_pick_tpu.models.simsiam import create_scan_model, create_simsiam
+    from cet_pick_tpu.train.explore import create_simsiam_state
+    from cet_pick_tpu.train.scan import create_scan_state, load_pretext_backbone
+
+    cfg = _scan_cfg()
+    enc = create_simsiam(Config(task="simsiam", arch="simsiam2d_18",
+                                head_conv=128).finalize())
+    sample = {"anchor": np.zeros((1, 1, 24, 24), np.float32)}
+    enc_state = create_simsiam_state(enc, cfg, jax.random.PRNGKey(1), sample)
+
+    model = create_scan_model(cfg, n_clusters=2)
+    p = np.zeros((1, 24, 24, 1), np.float32)
+    state = create_scan_state(model, cfg, jax.random.PRNGKey(0), p, None)
+    state = load_pretext_backbone(state, enc_state.params,
+                                  enc_state.batch_stats)
+    got = np.asarray(jax.tree_util.tree_leaves(state.params["backbone"])[0])
+    want = np.asarray(jax.tree_util.tree_leaves(enc_state.params)[0])
+    np.testing.assert_array_equal(got, want)
