@@ -79,26 +79,20 @@ def tomo_decode_classify(heat, r, threshold):
     )
 
 
-@partial(jax.jit, static_argnames=("kernel", "k", "if_fiber", "use_pallas"))
-def decode_detections(hm_logits, kernel=3, k=900, if_fiber=False,
-                      use_pallas=False):
+@partial(jax.jit, static_argnames=("kernel", "k", "if_fiber"))
+def decode_detections(hm_logits, kernel=3, k=900, if_fiber=False):
     """Fused sigmoid-clamp + NMS + top-K from raw heatmap logits.
 
     One jit region = one XLA program: the sigmoid, pooling, keep-mask and
     masked scores all fuse; only the (k, 5) detection table leaves the device.
 
-    use_pallas=True routes the sigmoid+NMS stage through the single-HBM-pass
-    Pallas kernel (ops/pallas_nms.py) — full 3D NMS only (fiber mode keeps
-    the separable XLA path).
+    This XLA path IS the measured-fastest implementation: a hand-written
+    double-buffered Pallas sigmoid+NMS kernel was A/B'd on a real v5e
+    (benchmarks/decode_ab.py, 2026-08) and lost — 40.8 ms vs 39.2 ms for a
+    128x256x256 volume with bit-identical outputs — because the op is
+    HBM-bandwidth-bound and XLA already fuses sigmoid + reduce_window +
+    compare into one pass. The kernel was deleted rather than shipped as
+    shelf-ware (git history has it).
     """
-    if use_pallas and not if_fiber:
-        from cet_pick_tpu.ops.pallas_nms import fused_sigmoid_nms
-
-        heat = fused_sigmoid_nms(hm_logits, kernel=kernel)
-        scores, z, y, x, _ = topk_3d(heat, k=k)
-        xs = x.astype(jnp.float32) + 0.25
-        ys = y.astype(jnp.float32) + 0.25
-        s = scores.astype(jnp.float32)
-        return jnp.stack([xs, ys, z.astype(jnp.float32), s, s], axis=1)
     heat = sigmoid_clamped(hm_logits)
     return tomo_decode(heat, kernel=kernel, k=k, if_fiber=if_fiber)

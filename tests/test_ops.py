@@ -222,62 +222,3 @@ class TestDog:
             ), f"missing candidate near {target}"
 
 
-class TestPallasNMS:
-    """Interpret-mode validation of the fused Pallas sigmoid+NMS kernel."""
-
-    def _check(self, rng, shape, kernel):
-        import jax.numpy as jnp
-
-        from cet_pick_tpu.ops.nms import nms3d, sigmoid_clamped
-        from cet_pick_tpu.ops.pallas_nms import fused_sigmoid_nms
-
-        x = rng.standard_normal(shape).astype(np.float32) * 3
-        ref = np.asarray(nms3d(sigmoid_clamped(jnp.asarray(x)), kernel=kernel))
-        out = np.asarray(fused_sigmoid_nms(jnp.asarray(x), kernel=kernel,
-                                           interpret=True))
-        np.testing.assert_allclose(out, ref, atol=1e-6)
-
-    def test_single_slab(self, rng):
-        self._check(rng, (8, 16, 128), 3)
-
-    def test_multi_slab(self, rng):
-        self._check(rng, (16, 32, 128), 3)
-
-    def test_kernel5(self, rng):
-        self._check(rng, (16, 16, 128), 5)
-
-    def test_odd_depth_slabs(self, rng):
-        self._check(rng, (12, 16, 256), 3)
-
-    def test_ties_keep_both(self):
-        """Equal neighbors both survive, matching max-pool == semantics."""
-        import jax.numpy as jnp
-
-        from cet_pick_tpu.ops.nms import nms3d, sigmoid_clamped
-        from cet_pick_tpu.ops.pallas_nms import fused_sigmoid_nms
-
-        x = np.zeros((4, 8, 128), np.float32)
-        x[1, 3, 10] = 2.0
-        x[1, 3, 11] = 2.0
-        ref = np.asarray(nms3d(sigmoid_clamped(jnp.asarray(x)), kernel=3))
-        out = np.asarray(fused_sigmoid_nms(jnp.asarray(x), kernel=3,
-                                           interpret=True))
-        np.testing.assert_allclose(out, ref, atol=1e-6)
-
-    def test_decode_detections_pallas_route(self, rng):
-        from cet_pick_tpu.ops import decode as D
-        from cet_pick_tpu.ops import pallas_nms as P
-        import jax.numpy as jnp
-        from unittest import mock
-
-        x = rng.standard_normal((8, 16, 128)).astype(np.float32) * 3
-        ref = np.asarray(D.decode_detections(jnp.asarray(x), kernel=3, k=20))
-        real = P.fused_sigmoid_nms
-
-        def interp(h, kernel=3):
-            return real(h, kernel=kernel, interpret=True)
-
-        with mock.patch.object(P, "fused_sigmoid_nms", interp):
-            out = np.asarray(D.decode_detections(jnp.asarray(x), kernel=3,
-                                                 k=20, use_pallas=True))
-        np.testing.assert_allclose(out, ref, atol=1e-5)
