@@ -117,6 +117,7 @@ class Config:
     nclusters: int = 3
 
     # -- TPU-native additions (no reference equivalent)
+    profile_dir: str = ""           # write jax.profiler xplane traces here
     root_dir: str = "."
     dtype: str = "float32"          # compute dtype for the model ("bfloat16" on TPU)
     mesh_shape: Tuple[int, ...] = ()  # data-parallel mesh; () = all visible devices

@@ -202,13 +202,16 @@ def run_test(config, out_dir=None):
         il.image_name, il.rec_path,
         order=config.order, compress=config.compress, denoise=config.gauss,
     )
+    from cet_pick_tpu.utils.profiling import maybe_trace
+
     det = TomoDetector(config)
     out_dir = out_dir or config.out_path
     results = {}
-    for name, vol in images.items():
-        r = det.run(np.asarray(vol, np.float32), name=name, out_dir=out_dir)
-        print(f"{name}: " + " ".join(
-            f"{k} {v:.3f}s" for k, v in r["times"].items()
-        ))
-        results[name] = r["times"]
+    with maybe_trace(config.profile_dir):
+        for name, vol in images.items():
+            r = det.run(np.asarray(vol, np.float32), name=name, out_dir=out_dir)
+            print(f"{name}: " + " ".join(
+                f"{k} {v:.3f}s" for k, v in r["times"].items()
+            ))
+            results[name] = r["times"]
     return results

@@ -235,19 +235,26 @@ def train_refine(config, dataset, val_dataset=None, num_epochs=None, log_fn=prin
             dataset.epoch_batches(rng, config.batch_size),
             device_put=place_batch,
         )
-        for batch in batches:
-            state, metrics = train_step(state, batch)
-            m = {k: float(v) for k, v in metrics.items()}
-            # only the plain PU risk estimator is undefined without positives
-            # (reference loss.py:275-276); pn (focal) and ge tolerate it
-            if not config.pn and not config.ge and m.get("num_pos", 1) == 0:
-                # the reference's PU loss raises here (loss.py:275-276):
-                # zero labeled positives make the PU risk estimate undefined
-                raise ValueError(
-                    "batch contains no positive heatmap voxels — annotations "
-                    "missing or dropped (check --order and coordinate files)"
-                )
-            epoch_metrics.append(m)
+        # --profile_dir: capture the first post-resume epoch as an XLA
+        # profiler trace (utils/profiling.py; view in TensorBoard's profile tab)
+        from cet_pick_tpu.utils.profiling import maybe_trace
+
+        with maybe_trace(config.profile_dir if epoch == start_epoch else None):
+            for batch in batches:
+                state, metrics = train_step(state, batch)
+                m = {k: float(v) for k, v in metrics.items()}
+                # only the plain PU risk estimator is undefined without
+                # positives (reference loss.py:275-276); pn (focal) and ge
+                # tolerate it
+                if not config.pn and not config.ge and m.get("num_pos", 1) == 0:
+                    # the reference's PU loss raises here (loss.py:275-276):
+                    # zero labeled positives make the PU risk estimate undefined
+                    raise ValueError(
+                        "batch contains no positive heatmap voxels — "
+                        "annotations missing or dropped (check --order and "
+                        "coordinate files)"
+                    )
+                epoch_metrics.append(m)
         if not epoch_metrics:
             raise ValueError(
                 f"no training batches: {len(dataset)} samples < batch_size "

@@ -36,3 +36,26 @@ def test_debugger_artifacts(tmp_path, rng):
     txt = dbg.save_detection_txt("volA", dets)
     rows = open(txt).read().strip().splitlines()
     assert rows[0].split("\t")[:3] == ["10", "0", "12"]  # x*2, z, y*2
+
+
+def test_xla_profiler_trace(tmp_path):
+    """--profile_dir writes TensorBoard-readable xplane traces
+    (utils/profiling.py, SURVEY §5 tracing)."""
+    import glob
+
+    import jax
+    import jax.numpy as jnp
+
+    from cet_pick_tpu.utils.profiling import annotate, maybe_trace
+
+    with maybe_trace(str(tmp_path)):
+        with annotate("tiny_matmul"):
+            x = jnp.ones((64, 64))
+            np.asarray(jax.jit(lambda a: a @ a)(x))
+    files = glob.glob(str(tmp_path / "**" / "*.xplane.pb"), recursive=True)
+    assert files, "no xplane trace written"
+    # no-op path: nothing written, nothing raised
+    with maybe_trace(None):
+        pass
+    with maybe_trace(""):
+        pass
