@@ -594,6 +594,73 @@ def cmd_gen_files(argv):
     print(coord_file)
 
 
+def cmd_extract_spectrum(argv):
+    """Radially averaged amplitude spectrum of a tomogram
+    (utils/extract_spectrum.py)."""
+    parser = argparse.ArgumentParser(prog="cet_pick_tpu extract-spectrum")
+    parser.add_argument("-i", "--input", required=True, help=".mrc/.rec tomogram")
+    parser.add_argument("-o", "--output", required=True, help="output .tsv")
+    a = parser.parse_args(argv)
+    from cet_pick_tpu.io.mrc import read_mrc
+    from cet_pick_tpu.utils.reconstruct import extract_spectrum, save_spectrum
+
+    spec = extract_spectrum(read_mrc(a.input).astype("float32"))
+    save_spectrum(a.output, spec)
+    print(f"wrote {len(spec)}-bin spectrum to {a.output}")
+
+
+def cmd_match_spectrum(argv):
+    """Filter a tomogram to match a target amplitude spectrum
+    (utils/match_spectrum.py)."""
+    parser = argparse.ArgumentParser(prog="cet_pick_tpu match-spectrum")
+    parser.add_argument("-i", "--input", required=True)
+    parser.add_argument("-t", "--target", required=True, help="spectrum .tsv")
+    parser.add_argument("-o", "--output", required=True)
+    parser.add_argument("-c", "--cutoff", type=int, default=None)
+    parser.add_argument("-s", "--smoothen", type=float, default=0.0)
+    a = parser.parse_args(argv)
+    from cet_pick_tpu.io.mrc import read_mrc, write_mrc
+    from cet_pick_tpu.utils.reconstruct import load_spectrum, match_spectrum
+
+    tomo = read_mrc(a.input).astype("float32")
+    out = match_spectrum(tomo, load_spectrum(a.target),
+                         cutoff=a.cutoff, smooth=a.smoothen)
+    write_mrc(a.output, out)
+    print(f"wrote matched tomogram to {a.output}")
+
+
+def cmd_backproject(argv):
+    """Fourier-voxel backprojection of a particle stack with poses
+    (utils/backproject_voxel.py)."""
+    parser = argparse.ArgumentParser(prog="cet_pick_tpu backproject")
+    parser.add_argument("--particles", required=True, help=".mrcs stack")
+    parser.add_argument("--poses", required=True, help="pose .pkl")
+    parser.add_argument("-o", required=True, help="output .mrc")
+    parser.add_argument("--invert-data", action="store_true")
+    parser.add_argument("--first", type=int, default=10000,
+                        help="backproject the first N images")
+    parser.add_argument("--tilt-deg", type=float, default=None,
+                        help="right-handed x-axis tilt offset (deg)")
+    a = parser.parse_args(argv)
+    import numpy as np
+
+    from cet_pick_tpu.io.mrc import read_mrc, write_mrc
+    from cet_pick_tpu.utils.reconstruct import backproject, load_poses
+
+    stack = np.asarray(read_mrc(a.particles), np.float32)
+    if stack.ndim == 2:
+        stack = stack[None]
+    if a.invert_data:
+        stack = -stack
+    n = min(a.first, len(stack))
+    rots, trans = load_poses(a.poses, len(stack), stack.shape[-1])
+    vol = backproject(stack[:n], rots[:n],
+                      trans=None if trans is None else trans[:n],
+                      tilt_deg=a.tilt_deg)
+    write_mrc(a.o, vol)
+    print(f"backprojected {n} images -> {a.o}")
+
+
 COMMANDS = {
     "train": cmd_train,
     "test": cmd_test,
@@ -615,6 +682,9 @@ COMMANDS = {
     "pr-curve": cmd_pr_curve,
     "remove-golds": cmd_remove_golds,
     "gen-files": cmd_gen_files,
+    "extract-spectrum": cmd_extract_spectrum,
+    "match-spectrum": cmd_match_spectrum,
+    "backproject": cmd_backproject,
 }
 
 

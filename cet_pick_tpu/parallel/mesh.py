@@ -120,6 +120,51 @@ def make_dp_train_step(model, config, mesh: Mesh, axis: str = "data"):
     return step, place_state, place_batch
 
 
+def make_dp_step(inner, mesh: Mesh, axis: str = "data", donate=(0,)):
+    """Generic data-parallel wrapper for ``(state, batch, *extra) -> (state,
+    metrics)`` train steps (explore/moco/classify — any step whose first
+    argument is the replicated state and second is the per-sample batch).
+
+    Like :func:`make_dp_train_step` but step-agnostic: shardings are pinned
+    on the jit boundary — outputs are declared replicated (forcing the GSPMD
+    gradient all-reduce) and every batch leaf whose leading dimension splits
+    evenly over the mesh is constrained to ``P(axis)`` *inside* the traced
+    function (``with_sharding_constraint`` sees static shapes at trace time,
+    so non-batch leaves such as per-channel normalization constants stay
+    replicated). A caller passing raw numpy batches still gets a genuinely
+    sharded step. Extra positional args (e.g. a PRNG key) ride replicated.
+
+    Returns (step, place_state, place_batch).
+    """
+    repl = NamedSharding(mesh, P())
+    bsh = NamedSharding(mesh, P(axis))
+    size = mesh.devices.size
+
+    def _is_batch_leaf(x):
+        return np.ndim(x) >= 1 and x.shape[0] > 0 and x.shape[0] % size == 0
+
+    def wrapped(state, batch, *extra):
+        batch = jax.tree_util.tree_map(
+            lambda x: jax.lax.with_sharding_constraint(x, bsh)
+            if _is_batch_leaf(x) else x,
+            batch,
+        )
+        return inner(state, batch, *extra)
+
+    step = jax.jit(wrapped, donate_argnums=donate, out_shardings=(repl, repl))
+
+    def place_state(state):
+        return jax.device_put(state, repl)
+
+    def place_batch(batch):
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, bsh if _is_batch_leaf(x) else repl),
+            batch,
+        )
+
+    return step, place_state, place_batch
+
+
 def init_distributed(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
                      process_id: Optional[int] = None):

@@ -63,6 +63,15 @@ def simsiam_lr_at_epoch(config, epoch):
 
 def make_simsiam_train_step(model, config, mode: str):
     """Jitted step: device augs -> two-view forward -> neg-cosine -> SGD."""
+    return jax.jit(simsiam_step_fn(model, config, mode))
+
+
+def simsiam_step_fn(model, config, mode: str):
+    """Un-jitted (state, batch, key) -> (state, metrics) step body.
+
+    Exposed separately so parallel.mesh.make_dp_step can jit it with pinned
+    data-parallel shardings (the DDP analog of reference simsiam_main.py:28-45).
+    """
     out_size = config.bbox
     two_channel = mode == "2d3d"
 
@@ -85,7 +94,6 @@ def make_simsiam_train_step(model, config, mode: str):
         )
         return loss, (updates["batch_stats"], {"loss": loss, "std": std})
 
-    @jax.jit
     def train_step(state: TrainState, batch, key):
         k1, k2 = jax.random.split(key)
         # per-channel normalization constants travel in the batch dict
@@ -122,7 +130,30 @@ def train_explore(config, dataset, num_epochs=None, log_fn=print):
         state = load_checkpoint(config.load_model, state, resume=config.resume)
         log_fn(f"loaded checkpoint from {config.load_model} (epoch {state.epoch})")
 
-    step = make_simsiam_train_step(model, config, model.mode)
+    # data-parallel mesh when requested (--mesh_shape N) or when several
+    # devices are visible and the batch shards evenly — same policy as
+    # train_refine; the reference's DDP path (simsiam_main.py:28-45)
+    n_dev = len(jax.devices())
+    want_mesh = bool(config.mesh_shape) or (
+        n_dev > 1 and config.batch_size % n_dev == 0
+    )
+    place_batch = jax.device_put
+    if want_mesh:
+        from cet_pick_tpu.parallel.mesh import make_dp_step, make_mesh
+
+        mesh = make_mesh(tuple(config.mesh_shape) or (n_dev,), ("data",))
+        if config.batch_size % mesh.devices.size:
+            raise ValueError(
+                f"batch_size {config.batch_size} must divide evenly over the "
+                f"{mesh.devices.size}-device mesh"
+            )
+        step, place_state, place_batch = make_dp_step(
+            simsiam_step_fn(model, config, model.mode), mesh
+        )
+        state = place_state(state)
+        log_fn(f"data-parallel over {mesh.devices.size} devices")
+    else:
+        step = make_simsiam_train_step(model, config, model.mode)
     norm_mean = (
         np.array([dataset.mean_2d, dataset.mean_3d], np.float32)
         if model.mode == "2d3d" else np.array([dataset.mean_3d], np.float32)
@@ -148,7 +179,8 @@ def train_explore(config, dataset, num_epochs=None, log_fn=print):
                 yield b
 
         batches = PrefetchIterator(
-            with_norm(dataset.epoch_batches(rng, config.batch_size))
+            with_norm(dataset.epoch_batches(rng, config.batch_size)),
+            device_put=place_batch,
         )
         for batch in batches:
             key, sub = jax.random.split(key)

@@ -70,6 +70,13 @@ def create_moco_state(model, config, rng, sample_batch, r=1024, lr=None):
 
 
 def make_moco_train_step(model, config, mode: str, m=0.999, temperature=0.1):
+    """Jitted (state, batch, key) -> (state, metrics) MoCo step."""
+    return jax.jit(moco_step_fn(model, config, mode, m=m, temperature=temperature))
+
+
+def moco_step_fn(model, config, mode: str, m=0.999, temperature=0.1):
+    """Un-jitted MoCo step body — jit directly or hand to
+    parallel.mesh.make_dp_step for the data-parallel (DDP-analog) path."""
     out_size = config.bbox
     two_channel = mode == "2d3d"
 
@@ -109,7 +116,6 @@ def make_moco_train_step(model, config, mode: str, m=0.999, temperature=0.1):
         acc = jnp.mean(jnp.argmax(logits, axis=1) == 0)
         return loss, (new_bs, {"loss": loss, "acc": acc})
 
-    @jax.jit
     def train_step(state: MoCoState, batch, rng_key):
         k1, k2 = jax.random.split(rng_key)
         mnorm, snorm = batch["norm_mean"], batch["norm_std"]
@@ -206,7 +212,32 @@ def train_moco(config, dataset, num_epochs=None, r=1024, log_fn=print):
     # queue size must divide evenly by batch (moco.py:46 assert)
     r = max(config.batch_size, r - r % config.batch_size)
     state = create_moco_state(model, config, init_rng, sample, r=r)
-    step = make_moco_train_step(model, config, model.mode)
+
+    # data-parallel mesh (same policy as train_refine/train_explore); the
+    # queue + momentum encoder are replicated state, the key embeddings that
+    # feed the queue update are the all-gathered global batch, so the queue
+    # stays bit-identical to the single-device run
+    n_dev = len(jax.devices())
+    want_mesh = bool(config.mesh_shape) or (
+        n_dev > 1 and config.batch_size % n_dev == 0
+    )
+    place_batch = jax.device_put
+    if want_mesh:
+        from cet_pick_tpu.parallel.mesh import make_dp_step, make_mesh
+
+        mesh = make_mesh(tuple(config.mesh_shape) or (n_dev,), ("data",))
+        if config.batch_size % mesh.devices.size:
+            raise ValueError(
+                f"batch_size {config.batch_size} must divide evenly over the "
+                f"{mesh.devices.size}-device mesh"
+            )
+        step, place_state, place_batch = make_dp_step(
+            moco_step_fn(model, config, model.mode), mesh
+        )
+        state = place_state(state)
+        log_fn(f"data-parallel over {mesh.devices.size} devices")
+    else:
+        step = make_moco_train_step(model, config, model.mode)
 
     norm_mean = (
         np.array([dataset.mean_2d, dataset.mean_3d], np.float32)
@@ -228,7 +259,7 @@ def train_moco(config, dataset, num_epochs=None, r=1024, log_fn=print):
             batch["norm_mean"] = norm_mean
             batch["norm_std"] = norm_std
             key, sub = jax.random.split(key)
-            state, metrics = step(state, jax.device_put(batch), sub)
+            state, metrics = step(state, place_batch(batch), sub)
             epoch_metrics.append({k: float(v) for k, v in metrics.items()})
         if not epoch_metrics:
             raise ValueError(

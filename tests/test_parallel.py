@@ -174,6 +174,87 @@ def test_train_refine_dp_loop_matches_single(rng, tmp_path):
     assert h8[-1]["loss"] < h8[0]["loss"]
 
 
+def _simsiam_batch(rng, b=8, bbox=24):
+    return {
+        "anchor": rng.standard_normal((b, 1, bbox, bbox)).astype(np.float32),
+        "aug": rng.standard_normal((b, 1, bbox, bbox)).astype(np.float32),
+        "norm_mean": np.zeros(1, np.float32),
+        "norm_std": np.ones(1, np.float32),
+    }
+
+
+def test_explore_dp_step_matches_single(rng):
+    """make_dp_step over the SimSiam step == single-device step (the
+    explore loop's DDP analog, reference simsiam_main.py:28-45)."""
+    from cet_pick_tpu.models.simsiam import create_simsiam
+    from cet_pick_tpu.parallel.mesh import make_dp_step
+    from cet_pick_tpu.train.explore import (
+        create_simsiam_state, make_simsiam_train_step, simsiam_step_fn,
+    )
+
+    cfg = Config(task="simsiam3d", arch="simsiam2d_18", bbox=24,
+                 batch_size=8, lr=0.05, head_conv=32).finalize()
+    model = create_simsiam(cfg)
+    batch = _simsiam_batch(rng)
+    state = create_simsiam_state(model, cfg, jax.random.PRNGKey(0), batch)
+    key = jax.random.PRNGKey(7)
+
+    step1 = make_simsiam_train_step(model, cfg, model.mode)
+    new1, m1 = step1(state, jax.device_put(batch), key)
+
+    mesh = make_mesh((8,), ("data",))
+    step8, place_state, place_batch = make_dp_step(
+        simsiam_step_fn(model, cfg, model.mode), mesh
+    )
+    new8, m8 = step8(place_state(state), place_batch(batch), key)
+
+    assert float(m8["loss"]) == pytest.approx(float(m1["loss"]), rel=2e-4)
+    assert float(m8["std"]) == pytest.approx(float(m1["std"]), rel=2e-3)
+    # sharded partial-sum reduction order differs from the single-device
+    # loop; through BatchNorm + lr=0.05 SGD that compounds to ~1e-4
+    for a, b in zip(jax.tree_util.tree_leaves(new1.params),
+                    jax.tree_util.tree_leaves(new8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+    # non-batch leaves (norm constants) stayed replicated; batch got sharded
+    pb = place_batch(batch)
+    assert pb["anchor"].sharding.spec == jax.sharding.PartitionSpec("data")
+    assert pb["norm_mean"].sharding.spec == jax.sharding.PartitionSpec()
+
+
+def test_moco_dp_step_matches_single(rng):
+    """MoCo under the DP mesh: loss, queue contents and momentum-encoder
+    update all match the single-device step."""
+    from cet_pick_tpu.models.simsiam import create_simsiam
+    from cet_pick_tpu.parallel.mesh import make_dp_step
+    from cet_pick_tpu.train.moco import (
+        create_moco_state, make_moco_train_step, moco_step_fn,
+    )
+
+    cfg = Config(task="moco", arch="simsiam2d_18", bbox=24,
+                 batch_size=8, lr=0.05, head_conv=32).finalize()
+    model = create_simsiam(cfg)
+    batch = _simsiam_batch(rng)
+    state = create_moco_state(model, cfg, jax.random.PRNGKey(0), batch, r=16)
+    key = jax.random.PRNGKey(3)
+
+    step1 = make_moco_train_step(model, cfg, model.mode)
+    new1, m1 = step1(state, jax.device_put(batch), key)
+
+    mesh = make_mesh((8,), ("data",))
+    step8, place_state, place_batch = make_dp_step(
+        moco_step_fn(model, cfg, model.mode), mesh
+    )
+    new8, m8 = step8(place_state(state), place_batch(batch), key)
+
+    assert float(m8["loss"]) == pytest.approx(float(m1["loss"]), rel=2e-4)
+    np.testing.assert_allclose(np.asarray(new8.queue), np.asarray(new1.queue),
+                               atol=5e-5)
+    assert int(new8.queue_ptr) == int(new1.queue_ptr)
+    for a, b in zip(jax.tree_util.tree_leaves(new1.key_params),
+                    jax.tree_util.tree_leaves(new8.key_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
 @pytest.mark.slow
 def test_multihost_dp_two_processes(tmp_path):
     """2 processes x 4 virtual CPU devices: jax.distributed init + per-host
