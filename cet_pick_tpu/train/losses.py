@@ -207,7 +207,13 @@ def _row_stats_blocked(feats_all, pos_mask, other_mask, temp, block):
         return pos_sum * z, other_sum * z, total_sum * z, partner * z
 
     starts = jnp.arange(0, m + pad, block)
-    pos_s, other_s, tot_s, part = jax.lax.map(one_block, starts)
+    # remat the block body: without it the lax.map backward stores every
+    # block's (block, 2N) exp-matrix — O((2N)^2) HBM, a 64 GB allocation at
+    # 2N=131k that OOMs a v5e (measured, benchmarks/gram_profile.py).
+    # Recomputing the block gram in the backward keeps HBM at
+    # O(block * 2N) for ~2x gram FLOPs, which is negligible next to the
+    # model convs.
+    pos_s, other_s, tot_s, part = jax.lax.map(jax.checkpoint(one_block), starts)
     flat = lambda a: a.reshape(-1)[:m]
     return flat(pos_s), flat(other_s), flat(tot_s), flat(part)
 
