@@ -226,6 +226,7 @@ def train_refine(config, dataset, val_dataset=None, num_epochs=None, log_fn=prin
     num_epochs = num_epochs or config.num_epochs
     start_epoch = state.epoch + 1
     history = []
+    best_val = float("inf")
     for epoch in range(start_epoch, num_epochs + 1):
         state = set_learning_rate(state, lr_at_epoch(config, epoch))
         epoch_metrics = []
@@ -277,7 +278,15 @@ def train_refine(config, dataset, val_dataset=None, num_epochs=None, log_fn=prin
                     vals.append(float(val_step(state, item["input"], item["hm"])))
                     if config.debug > 0:
                         _debug_val_volume(config, model, state, item, epoch, i)
-                log_fn(f"epoch {epoch}: val_focal={np.mean(vals):.5f}")
+                val_mean = float(np.mean(vals))
+                log_fn(f"epoch {epoch}: val_focal={val_mean:.5f}")
+                # best-val checkpoint, the reference's
+                # model_best_contrastive.pth (main.py:106-128)
+                if val_mean < best_val:
+                    best_val = val_mean
+                    save_checkpoint(
+                        os.path.join(config.save_dir, "model_best"), state, config
+                    )
             save_checkpoint(
                 os.path.join(config.save_dir, f"model_{epoch}"), state, config
             )

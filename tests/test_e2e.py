@@ -68,3 +68,64 @@ def test_train_pick_f1(tmp_path, rng):
     })
     res = evaluate_detections(df, pred, radius=5)
     assert res["best_f1"] > 0.7, f"F1 too low: {res['best_f1']:.3f} (auprc {res['auprc']:.3f})"
+
+
+def test_validation_loop_saves_best_checkpoint(tmp_path, rng):
+    """train_refine with a val dataset runs the whole-volume focal val step
+    every val_intervals epochs and writes model_best on improvement (the reference's
+    model_best_contrastive.pth, main.py:106-128) plus model_{epoch}."""
+    vol, df = make_synthetic(rng, d=20, h=96, w=96, n_part=8)
+    cfg = Config(
+        task="semi", arch="unet_2", contrastive=False, batch_size=4,
+        lr=1e-3, num_epochs=2, val_intervals=1, bbox=8, K=20,
+        root_dir=str(tmp_path),
+    ).finalize()
+    ds = RefineDataset(cfg, "train", images={"syn0": vol}, coords_df=df)
+    val_ds = RefineDataset(cfg, "val", images={"syn0": vol}, coords_df=df)
+    logs = []
+    train_refine(cfg, ds, val_dataset=val_ds, num_epochs=2,
+                 log_fn=logs.append)
+    import os
+
+    assert os.path.isdir(os.path.join(cfg.save_dir, "model_best"))
+    assert os.path.isdir(os.path.join(cfg.save_dir, "model_2"))
+    assert any("val_focal=" in m for m in logs)
+
+
+@pytest.mark.slow
+def test_pu_recovers_unlabeled_particles(tmp_path, rng):
+    """The PU study (round-2): train with only 40% of particles labeled
+    under the default PU-focal objective; picking must recover the FULL
+    particle set, unlabeled ones included (measured 0.98 F1 — the point of
+    positive-unlabeled learning, reference loss.py:255-308).
+
+    The --ge variant was measured on this same fixture to converge ~10x
+    slower (F1 0.21 after 30 epochs vs 0.98 here after 8; heatmap peaks
+    re-grow slowly under the binomial count prior) — its loss math is
+    golden-tested (test_golden_losses.py), so the schedule behavior is the
+    objective's, not a port bug."""
+    rng = np.random.default_rng(7)  # fixed: label subsample must be stable
+    vol, df = make_synthetic(rng)
+    labeled = df.sample(frac=0.4, random_state=0)
+    cfg = Config(
+        task="semi", arch="unet_2", contrastive=False, batch_size=4,
+        lr=1e-3, num_epochs=8, val_intervals=-1, bbox=8, K=60,
+        out_thresh=0.3, cutoff_z=2, nms=5, tau=0.01, root_dir=str(tmp_path),
+    ).finalize()
+    ds = RefineDataset(cfg, "train", images={"syn0": vol}, coords_df=labeled)
+    state, _ = train_refine(cfg, ds, num_epochs=cfg.num_epochs,
+                            log_fn=lambda *_: None)
+    det = TomoDetector(cfg, params=state.params, batch_stats=state.batch_stats,
+                       tile_z=16)
+    _, dets = det.process(vol)
+    dets = np.asarray(dets).copy()
+    dets[:, :2] *= cfg.down_ratio
+    pred = pd.DataFrame({
+        "image_name": "syn0",
+        "x_coord": dets[:, 0], "y_coord": dets[:, 1], "z_coord": dets[:, 2],
+        "score": dets[:, 3],
+    })
+    res = evaluate_detections(df, pred, radius=5)  # scored against ALL 25
+    assert res["best_f1"] > 0.9, (
+        f"PU failed to recover unlabeled particles: F1 {res['best_f1']:.3f}"
+    )
