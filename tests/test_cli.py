@@ -88,3 +88,37 @@ def test_remove_golds_cli(tmp_path):
           "--out", str(out_dir)])
     kept = (out_dir / "TS1.txt").read_text().strip().splitlines()
     assert kept == ["100\t100\t100"]
+
+
+def test_spectrum_cli_roundtrip(tmp_path, rng, capsys):
+    """extract-spectrum -> match-spectrum through the real file formats."""
+    from cet_pick_tpu.io.mrc import read_mrc, write_mrc
+
+    tomo = rng.standard_normal((16, 16, 16)).astype(np.float32)
+    write_mrc(str(tmp_path / "t.mrc"), tomo)
+    main(["extract-spectrum", "-i", str(tmp_path / "t.mrc"),
+          "-o", str(tmp_path / "s.tsv")])
+    spec = pd.read_csv(tmp_path / "s.tsv", sep="\t")
+    assert list(spec.columns) == ["freq", "intensity"]
+    main(["match-spectrum", "-i", str(tmp_path / "t.mrc"),
+          "-t", str(tmp_path / "s.tsv"), "-o", str(tmp_path / "m.mrc"),
+          "-c", "6", "-s", "2.0"])
+    out = read_mrc(str(tmp_path / "m.mrc"))
+    assert out.shape == (16, 16, 16) and np.isfinite(out).all()
+
+
+def test_backproject_cli(tmp_path, rng):
+    from cet_pick_tpu.io.mrc import read_mrc, write_mrc
+    from cet_pick_tpu.utils.geometry import random_so3
+    from cet_pick_tpu.utils.reconstruct import save_poses
+
+    imgs = rng.standard_normal((6, 16, 16)).astype(np.float32)
+    write_mrc(str(tmp_path / "p.mrcs"), imgs)
+    rots = random_so3(6, rng).astype(np.float32)
+    trans = rng.uniform(-0.1, 0.1, (6, 2)).astype(np.float32)
+    save_poses(str(tmp_path / "pose.pkl"), rots, trans, d=16)
+    main(["backproject", "--particles", str(tmp_path / "p.mrcs"),
+          "--poses", str(tmp_path / "pose.pkl"), "-o", str(tmp_path / "v.mrc"),
+          "--first", "6"])
+    vol = read_mrc(str(tmp_path / "v.mrc"))
+    assert vol.shape == (16, 16, 16) and np.isfinite(vol).all()
