@@ -122,3 +122,41 @@ def test_backproject_cli(tmp_path, rng):
           "--first", "6"])
     vol = read_mrc(str(tmp_path / "v.mrc"))
     assert vol.shape == (16, 16, 16) and np.isfinite(vol).all()
+
+
+@pytest.mark.slow
+def test_cli_train_then_test_from_disk(tmp_path, rng):
+    """The real user surface end to end: .rec volume + image/coord lists on
+    disk -> `cet_pick_tpu train` -> `cet_pick_tpu test` -> reference-format
+    detection outputs (reference main.py + test.py driven via files)."""
+    from test_e2e import make_synthetic
+
+    from cet_pick_tpu.io.mrc import write_mrc
+
+    vol, df = make_synthetic(np.random.default_rng(3))
+    data = tmp_path / "data"
+    data.mkdir()
+    write_mrc(str(data / "syn0.rec"), vol)
+    listing = f"image_name\trec_path\nsyn0\t{data / 'syn0.rec'}\n"
+    (data / "train_images.txt").write_text(listing)
+    (data / "test_images.txt").write_text(listing)
+    df.to_csv(data / "train_coords.txt", sep="\t", index=False)
+
+    common = ["--task", "semi", "--arch", "unet_2", "--order", "zxy",
+              "--K", "60", "--data_dir", str(data),
+              "--root_dir", str(tmp_path)]
+    main(["train", *common, "--no-contrastive", "--batch_size", "4",
+          "--num_epochs", "2", "--bbox", "8", "--val_intervals", "-1",
+          "--lr", "1e-3"])
+    from cet_pick_tpu.config import Config as C
+
+    cfg = C(task="semi", root_dir=str(tmp_path)).finalize()
+    assert os.path.isdir(os.path.join(cfg.save_dir, "model_last"))
+
+    main(["test", *common, "--out_thresh", "0.0", "--cutoff_z", "2",
+          "--nms", "5"])
+    out_txt = os.path.join(cfg.out_path, "syn0.txt")
+    out_hm = os.path.join(cfg.out_path, "syn0_hm.mrc")
+    assert os.path.exists(out_txt) and os.path.exists(out_hm)
+    picks = np.loadtxt(out_txt, ndmin=2)
+    assert len(picks) > 0 and picks.shape[1] in (3, 4)
