@@ -193,24 +193,43 @@ def init_distributed(coordinator_address: Optional[str] = None,
 
 
 def make_multihost_dp_train_step(model, config, axis: str = "data"):
-    """Data-parallel train step across ALL hosts' devices.
+    """Data-parallel REFINE train step across ALL hosts' devices (the
+    reference's DDP path, base_trainer.py:229-238). Thin wrapper over
+    :func:`make_multihost_dp_step`."""
+    from cet_pick_tpu.train.refine import make_train_step
+
+    return make_multihost_dp_step(make_train_step(model, config), axis=axis)
+
+
+def make_multihost_dp_step(inner, axis: str = "data"):
+    """Step-agnostic multi-host data parallelism for any
+    ``(state, batch, *extra) -> (state, metrics)`` step.
 
     The per-host input is that host's shard of the global batch (the
     reference's DistributedSampler split, base_trainer.py:229-238);
     ``jax.make_array_from_process_local_data`` assembles the global sharded
     array without ever materializing the full batch on any one host.
 
-    Returns (step, place_state, place_batch) like make_dp_train_step; the
-    gradient all-reduce spans hosts (GSPMD inserts it over ICI+DCN).
+    Returns (step, place_state, place_batch); the gradient all-reduce spans
+    hosts (GSPMD inserts it over ICI+DCN).
     """
     import jax
 
-    from cet_pick_tpu.train.refine import make_train_step
-
     mesh = make_mesh((len(jax.devices()),), (axis,))
-    inner = make_train_step(model, config)
     repl = NamedSharding(mesh, P())
-    batch_sharding = NamedSharding(mesh, P(axis))
+    bsh = NamedSharding(mesh, P(axis))
+    size = mesh.devices.size
+
+    def _is_batch_leaf(x):
+        return np.ndim(x) >= 1 and x.shape[0] > 0 and x.shape[0] % size == 0
+
+    def wrapped(state, batch, *extra):
+        batch = jax.tree_util.tree_map(
+            lambda x: jax.lax.with_sharding_constraint(x, bsh)
+            if _is_batch_leaf(x) else x,
+            batch,
+        )
+        return inner(state, batch, *extra)
 
     def place_state(state):
         # parameters are identical on every host (same seed init / same
@@ -219,19 +238,22 @@ def make_multihost_dp_train_step(model, config, axis: str = "data"):
 
     def place_batch(local_batch):
         def put(x):
-            spec = P(axis) if np.ndim(x) >= 1 else P()
+            x = np.asarray(x)
+            # per-host shards concatenate into the global batch; non-batch
+            # leaves (e.g. norm constants) are identical on every host
+            n_local = x.shape[0] if np.ndim(x) >= 1 else 0
+            spec = (
+                P(axis)
+                if n_local > 0 and (n_local * jax.process_count()) % size == 0
+                else P()
+            )
             return jax.make_array_from_process_local_data(
-                NamedSharding(mesh, spec), np.asarray(x)
+                NamedSharding(mesh, spec), x
             )
 
         return jax.tree_util.tree_map(put, local_batch)
 
-    step = jax.jit(
-        inner,
-        donate_argnums=(0,),
-        in_shardings=(repl, batch_sharding),
-        out_shardings=(repl, repl),
-    )
+    step = jax.jit(wrapped, donate_argnums=(0,), out_shardings=(repl, repl))
     return step, place_state, place_batch
 
 

@@ -255,6 +255,36 @@ def test_moco_dp_step_matches_single(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
 
 
+def test_multihost_dp_step_generic_single_process(rng):
+    """make_multihost_dp_step (the step-agnostic multi-host wrapper) on a
+    single process over the virtual 8-device mesh: the SimSiam step matches
+    the plain single-device step; norm constants stay replicated."""
+    from cet_pick_tpu.models.simsiam import create_simsiam
+    from cet_pick_tpu.parallel.mesh import make_multihost_dp_step
+    from cet_pick_tpu.train.explore import (
+        create_simsiam_state, make_simsiam_train_step, simsiam_step_fn,
+    )
+
+    cfg = Config(task="simsiam3d", arch="simsiam2d_18", bbox=24,
+                 batch_size=8, lr=0.05, head_conv=32).finalize()
+    model = create_simsiam(cfg)
+    batch = _simsiam_batch(rng)
+    state = create_simsiam_state(model, cfg, jax.random.PRNGKey(0), batch)
+    key = jax.random.PRNGKey(5)
+
+    step1 = make_simsiam_train_step(model, cfg, model.mode)
+    _, m1 = step1(state, jax.device_put(batch), key)
+
+    step_mh, place_state, place_batch = make_multihost_dp_step(
+        simsiam_step_fn(model, cfg, model.mode)
+    )
+    pb = place_batch(batch)
+    assert pb["anchor"].sharding.spec == jax.sharding.PartitionSpec("data")
+    assert pb["norm_mean"].sharding.spec == jax.sharding.PartitionSpec()
+    _, m8 = step_mh(place_state(state), pb, key)
+    assert float(m8["loss"]) == pytest.approx(float(m1["loss"]), rel=2e-4)
+
+
 @pytest.mark.slow
 def test_multihost_dp_two_processes(tmp_path):
     """2 processes x 4 virtual CPU devices: jax.distributed init + per-host
