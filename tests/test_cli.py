@@ -160,3 +160,50 @@ def test_cli_train_then_test_from_disk(tmp_path, rng):
     assert os.path.exists(out_txt) and os.path.exists(out_hm)
     picks = np.loadtxt(out_txt, ndmin=2)
     assert len(picks) > 0 and picks.shape[1] in (3, 4)
+
+
+@pytest.mark.slow
+def test_cli_explore_chain_from_disk(tmp_path, rng):
+    """The exploration workflow through the real CLI surface: .rec on disk
+    -> `explore` (SimSiam training) -> `embed` (all_output_info.npz) ->
+    `plot2d` (clusters + parquet + colors) -> `to-coords` (training
+    coordinates) — the reference's simsiam_main.py -> simsiam_test_hm ->
+    plot_2d.py -> interactive_to_training_coords.py chain."""
+    from test_explore import make_explore_fixture
+
+    from cet_pick_tpu.io.mrc import write_mrc
+
+    rec, _, _ = make_explore_fixture(np.random.default_rng(5))
+    data = tmp_path / "data"
+    data.mkdir()
+    write_mrc(str(data / "syn.rec"), rec)
+    listing = f"image_name\trec_path\nsyn\t{data / 'syn.rec'}\n"
+    (data / "train_images.txt").write_text(listing)
+    (data / "test_images.txt").write_text(listing)
+
+    common = ["--task", "simsiam3d", "--arch", "simsiam2d_18", "--order",
+              "zxy", "--bbox", "24", "--dog", "2", "4", "--head_conv", "32",
+              "--data_dir", str(data), "--root_dir", str(tmp_path)]
+    main(["explore", *common, "--batch_size", "4", "--num_epochs", "1",
+          "--lr", "0.05", "--val_intervals", "-1"])
+    from cet_pick_tpu.config import Config as C
+
+    cfg = C(task="simsiam3d", root_dir=str(tmp_path)).finalize()
+    assert os.path.isdir(os.path.join(cfg.save_dir, "model_last"))
+
+    main(["embed", *common])
+    npz = os.path.join(cfg.save_dir, "all_output_info.npz")
+    assert os.path.exists(npz)
+
+    viz = tmp_path / "viz"
+    main(["plot2d", "--input", npz, "--path", str(viz), "--n_cluster", "2",
+          "--mode", "tsne", "--num_neighbor", "5", "--save_out_img", "0"])
+    parquet = viz / "interactive_info_parquet.gzip"
+    assert parquet.exists()
+    assert (viz / "all_colors.npy").exists()
+
+    out_coords = tmp_path / "training_coords.txt"
+    main(["to-coords", "--input", str(parquet), "--output", str(out_coords)])
+    table = pd.read_csv(out_coords, sep="\t")
+    assert list(table.columns) == ["image_name", "x_coord", "y_coord", "z_coord"]
+    assert len(table) > 0 and set(table.image_name) == {"syn"}
