@@ -622,10 +622,12 @@ def cmd_match_spectrum(argv):
     from cet_pick_tpu.io.mrc import read_mrc, write_mrc
     from cet_pick_tpu.utils.reconstruct import load_spectrum, match_spectrum
 
-    tomo = read_mrc(a.input).astype("float32")
-    out = match_spectrum(tomo, load_spectrum(a.target),
+    tomo, hdr = read_mrc(a.input, return_header=True)
+    out = match_spectrum(tomo.astype("float32"), load_spectrum(a.target),
                          cutoff=a.cutoff, smooth=a.smoothen)
-    write_mrc(a.output, out)
+    # carry the input's voxel size forward, like the reference's
+    # set_extended_header(tomo_h) (match_spectrum.py:66-69)
+    write_mrc(a.output, out, voxel_size=hdr.voxel_size)
     print(f"wrote matched tomogram to {a.output}")
 
 
@@ -639,7 +641,9 @@ def cmd_backproject(argv):
     parser.add_argument("--invert-data", action="store_true")
     parser.add_argument("--first", type=int, default=10000,
                         help="backproject the first N images")
-    parser.add_argument("--tilt-deg", type=float, default=None,
+    parser.add_argument("--tilt", default=None,
+                        help="tilt-pair .mrcs image stack")
+    parser.add_argument("--tilt-deg", type=float, default=45.0,
                         help="right-handed x-axis tilt offset (deg)")
     a = parser.parse_args(argv)
     import numpy as np
@@ -650,12 +654,22 @@ def cmd_backproject(argv):
     stack = np.asarray(read_mrc(a.particles), np.float32)
     if stack.ndim == 2:
         stack = stack[None]
+    tilt_stack = None
+    if a.tilt is not None:
+        tilt_stack = np.asarray(read_mrc(a.tilt), np.float32)
+        if tilt_stack.ndim == 2:
+            tilt_stack = tilt_stack[None]
     if a.invert_data:
         stack = -stack
+        if tilt_stack is not None:
+            tilt_stack = -tilt_stack
     n = min(a.first, len(stack))
-    rots, trans = load_poses(a.poses, len(stack), stack.shape[-1])
+    # fraction-of-box translations scale by the symmetrized lattice size
+    # D = box+1, the reference's dataset.D (backproject_voxel.py:89)
+    rots, trans = load_poses(a.poses, len(stack), stack.shape[-1] + 1)
     vol = backproject(stack[:n], rots[:n],
                       trans=None if trans is None else trans[:n],
+                      tilt_images=None if tilt_stack is None else tilt_stack[:n],
                       tilt_deg=a.tilt_deg)
     write_mrc(a.o, vol)
     print(f"backprojected {n} images -> {a.o}")

@@ -87,37 +87,38 @@ def spatial_sharding(mesh: Mesh, axis: str = "space", h_dim: int = 2):
 
 
 def make_dp_train_step(model, config, mesh: Mesh, axis: str = "data"):
-    """Data-parallel train step: batch sharded over `axis`, state replicated.
-
-    Returns (step_fn, place_state, place_batch). The grads all-reduce is
-    implicit: params come in replicated and must leave replicated, so GSPMD
-    emits a psum over the data axis — the TPU-native equivalent of DDP's
-    NCCL allreduce (base_trainer.py:229-238).
-
-    Shardings are PINNED on the jit boundary (in_shardings/out_shardings):
-    a caller passing raw numpy batches still gets a genuinely sharded step —
-    jit places the inputs per the declared shardings instead of silently
-    replicating onto one device.
-    """
+    """Data-parallel REFINE train step: batch sharded over `axis`, state
+    replicated. Thin wrapper over :func:`make_dp_step`; the grads
+    all-reduce is implicit — params come in replicated and must leave
+    replicated, so GSPMD emits a psum over the data axis, the TPU-native
+    equivalent of DDP's NCCL allreduce (base_trainer.py:229-238)."""
     from cet_pick_tpu.train.refine import make_train_step
 
-    inner = make_train_step(model, config)
-    repl = NamedSharding(mesh, P())
-    batch_sharding = NamedSharding(mesh, P(axis))
+    return make_dp_step(make_train_step(model, config), mesh, axis=axis)
 
-    def place_state(state):
-        return jax.device_put(state, repl)
 
-    def place_batch(batch):
-        return shard_batch(mesh, batch, axis=axis)
+def auto_dp_step(config, inner, log_fn=print, axis: str = "data"):
+    """The train loops' shared auto-mesh policy: go data-parallel when
+    ``--mesh_shape`` is set, or when several devices are visible and the
+    batch shards evenly; otherwise jit the step single-device.
 
-    step = jax.jit(
-        inner,
-        donate_argnums=(0,),
-        in_shardings=(repl, batch_sharding),
-        out_shardings=(repl, repl),
+    Returns (step, place_state, place_batch, is_dp).
+    """
+    n_dev = len(jax.devices())
+    want_mesh = bool(config.mesh_shape) or (
+        n_dev > 1 and config.batch_size % n_dev == 0
     )
-    return step, place_state, place_batch
+    if not want_mesh:
+        return jax.jit(inner), (lambda s: s), jax.device_put, False
+    mesh = make_mesh(tuple(config.mesh_shape) or (n_dev,), (axis,))
+    if config.batch_size % mesh.devices.size:
+        raise ValueError(
+            f"batch_size {config.batch_size} must divide evenly over the "
+            f"{mesh.devices.size}-device mesh"
+        )
+    step, place_state, place_batch = make_dp_step(inner, mesh, axis=axis)
+    log_fn(f"data-parallel over {mesh.devices.size} devices")
+    return step, place_state, place_batch, True
 
 
 def make_dp_step(inner, mesh: Mesh, axis: str = "data", donate=(0,)):
@@ -201,7 +202,11 @@ def make_multihost_dp_train_step(model, config, axis: str = "data"):
     return make_multihost_dp_step(make_train_step(model, config), axis=axis)
 
 
-def make_multihost_dp_step(inner, axis: str = "data"):
+REPLICATED_BATCH_KEYS = ("norm_mean", "norm_std")
+
+
+def make_multihost_dp_step(inner, axis: str = "data",
+                           replicated_keys=REPLICATED_BATCH_KEYS):
     """Step-agnostic multi-host data parallelism for any
     ``(state, batch, *extra) -> (state, metrics)`` step.
 
@@ -209,6 +214,12 @@ def make_multihost_dp_step(inner, axis: str = "data"):
     reference's DistributedSampler split, base_trainer.py:229-238);
     ``jax.make_array_from_process_local_data`` assembles the global sharded
     array without ever materializing the full batch on any one host.
+
+    Whether a leaf is a per-host shard or a host-identical constant cannot
+    be inferred from shapes alone (a (2,)-norm constant on a 2-device host
+    looks exactly like a 2-sample shard), so replication is declared by
+    top-level dict key: leaves under ``replicated_keys`` are replicated
+    verbatim, everything else is concatenated across hosts along axis 0.
 
     Returns (step, place_state, place_batch); the gradient all-reduce spans
     hosts (GSPMD inserts it over ICI+DCN).
@@ -219,16 +230,29 @@ def make_multihost_dp_step(inner, axis: str = "data"):
     repl = NamedSharding(mesh, P())
     bsh = NamedSharding(mesh, P(axis))
     size = mesh.devices.size
+    replicated_keys = frozenset(replicated_keys)
+
+    def _split_batch(batch):
+        if isinstance(batch, dict):
+            shard = {k: v for k, v in batch.items() if k not in replicated_keys}
+            const = {k: v for k, v in batch.items() if k in replicated_keys}
+            return shard, const
+        return batch, {}
 
     def _is_batch_leaf(x):
         return np.ndim(x) >= 1 and x.shape[0] > 0 and x.shape[0] % size == 0
 
     def wrapped(state, batch, *extra):
-        batch = jax.tree_util.tree_map(
+        shard, const = _split_batch(batch)
+        shard = jax.tree_util.tree_map(
             lambda x: jax.lax.with_sharding_constraint(x, bsh)
             if _is_batch_leaf(x) else x,
-            batch,
+            shard,
         )
+        if isinstance(batch, dict):
+            batch = {**shard, **const}
+        else:
+            batch = shard
         return inner(state, batch, *extra)
 
     def place_state(state):
@@ -237,21 +261,25 @@ def make_multihost_dp_step(inner, axis: str = "data"):
         return jax.device_put(state, repl)
 
     def place_batch(local_batch):
-        def put(x):
-            x = np.asarray(x)
-            # per-host shards concatenate into the global batch; non-batch
-            # leaves (e.g. norm constants) are identical on every host
-            n_local = x.shape[0] if np.ndim(x) >= 1 else 0
-            spec = (
-                P(axis)
-                if n_local > 0 and (n_local * jax.process_count()) % size == 0
-                else P()
-            )
+        shard, const = _split_batch(local_batch)
+
+        def put_shard(x):
             return jax.make_array_from_process_local_data(
-                NamedSharding(mesh, spec), x
+                NamedSharding(mesh, P(axis) if np.ndim(x) >= 1 else P()),
+                np.asarray(x),
             )
 
-        return jax.tree_util.tree_map(put, local_batch)
+        def put_const(x):
+            return jax.make_array_from_process_local_data(
+                NamedSharding(mesh, P()), np.asarray(x)
+            )
+
+        placed = jax.tree_util.tree_map(put_shard, shard)
+        if isinstance(local_batch, dict):
+            placed.update(
+                {k: jax.tree_util.tree_map(put_const, v) for k, v in const.items()}
+            )
+        return placed
 
     step = jax.jit(wrapped, donate_argnums=(0,), out_shardings=(repl, repl))
     return step, place_state, place_batch

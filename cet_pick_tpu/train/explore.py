@@ -131,29 +131,14 @@ def train_explore(config, dataset, num_epochs=None, log_fn=print):
         log_fn(f"loaded checkpoint from {config.load_model} (epoch {state.epoch})")
 
     # data-parallel mesh when requested (--mesh_shape N) or when several
-    # devices are visible and the batch shards evenly — same policy as
-    # train_refine; the reference's DDP path (simsiam_main.py:28-45)
-    n_dev = len(jax.devices())
-    want_mesh = bool(config.mesh_shape) or (
-        n_dev > 1 and config.batch_size % n_dev == 0
-    )
-    place_batch = jax.device_put
-    if want_mesh:
-        from cet_pick_tpu.parallel.mesh import make_dp_step, make_mesh
+    # devices are visible and the batch shards evenly — shared policy with
+    # train_refine/train_moco; the reference's DDP path (simsiam_main.py:28-45)
+    from cet_pick_tpu.parallel.mesh import auto_dp_step
 
-        mesh = make_mesh(tuple(config.mesh_shape) or (n_dev,), ("data",))
-        if config.batch_size % mesh.devices.size:
-            raise ValueError(
-                f"batch_size {config.batch_size} must divide evenly over the "
-                f"{mesh.devices.size}-device mesh"
-            )
-        step, place_state, place_batch = make_dp_step(
-            simsiam_step_fn(model, config, model.mode), mesh
-        )
-        state = place_state(state)
-        log_fn(f"data-parallel over {mesh.devices.size} devices")
-    else:
-        step = make_simsiam_train_step(model, config, model.mode)
+    step, place_state, place_batch, _ = auto_dp_step(
+        config, simsiam_step_fn(model, config, model.mode), log_fn=log_fn
+    )
+    state = place_state(state)
     norm_mean = (
         np.array([dataset.mean_2d, dataset.mean_3d], np.float32)
         if model.mode == "2d3d" else np.array([dataset.mean_3d], np.float32)

@@ -213,31 +213,16 @@ def train_moco(config, dataset, num_epochs=None, r=1024, log_fn=print):
     r = max(config.batch_size, r - r % config.batch_size)
     state = create_moco_state(model, config, init_rng, sample, r=r)
 
-    # data-parallel mesh (same policy as train_refine/train_explore); the
+    # data-parallel mesh (shared policy with train_refine/train_explore); the
     # queue + momentum encoder are replicated state, the key embeddings that
     # feed the queue update are the all-gathered global batch, so the queue
     # stays bit-identical to the single-device run
-    n_dev = len(jax.devices())
-    want_mesh = bool(config.mesh_shape) or (
-        n_dev > 1 and config.batch_size % n_dev == 0
-    )
-    place_batch = jax.device_put
-    if want_mesh:
-        from cet_pick_tpu.parallel.mesh import make_dp_step, make_mesh
+    from cet_pick_tpu.parallel.mesh import auto_dp_step
 
-        mesh = make_mesh(tuple(config.mesh_shape) or (n_dev,), ("data",))
-        if config.batch_size % mesh.devices.size:
-            raise ValueError(
-                f"batch_size {config.batch_size} must divide evenly over the "
-                f"{mesh.devices.size}-device mesh"
-            )
-        step, place_state, place_batch = make_dp_step(
-            moco_step_fn(model, config, model.mode), mesh
-        )
-        state = place_state(state)
-        log_fn(f"data-parallel over {mesh.devices.size} devices")
-    else:
-        step = make_moco_train_step(model, config, model.mode)
+    step, place_state, place_batch, _ = auto_dp_step(
+        config, moco_step_fn(model, config, model.mode), log_fn=log_fn
+    )
+    state = place_state(state)
 
     norm_mean = (
         np.array([dataset.mean_2d, dataset.mean_3d], np.float32)

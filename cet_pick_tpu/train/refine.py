@@ -200,27 +200,12 @@ def train_refine(config, dataset, val_dataset=None, num_epochs=None, log_fn=prin
     # data-parallel mesh when requested (--mesh_shape N) or when several
     # devices are visible and the batch shards evenly: state replicated,
     # batch sharded, gradient all-reduce inserted by GSPMD (parallel/mesh.py)
-    n_dev = len(jax.devices())
-    want_mesh = bool(config.mesh_shape) or (
-        n_dev > 1 and config.batch_size % n_dev == 0
-    )
-    place_batch = jax.device_put
-    if want_mesh:
-        from cet_pick_tpu.parallel.mesh import make_dp_train_step, make_mesh
+    from cet_pick_tpu.parallel.mesh import auto_dp_step
 
-        mesh = make_mesh(tuple(config.mesh_shape) or (n_dev,), ("data",))
-        if config.batch_size % mesh.devices.size:
-            raise ValueError(
-                f"batch_size {config.batch_size} must divide evenly over the "
-                f"{mesh.devices.size}-device mesh"
-            )
-        train_step, place_state, place_batch = make_dp_train_step(
-            model, config, mesh
-        )
-        state = place_state(state)
-        log_fn(f"data-parallel over {mesh.devices.size} devices")
-    else:
-        train_step = make_train_step(model, config)
+    train_step, place_state, place_batch, _ = auto_dp_step(
+        config, make_train_step(model, config), log_fn=log_fn
+    )
+    state = place_state(state)
     val_step = make_val_step(model) if val_dataset is not None else None
 
     num_epochs = num_epochs or config.num_epochs

@@ -106,7 +106,12 @@ def translate_ht(ff, t, freqs):
 def load_poses(path, n_img: int, d: int) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """Load a cryoDRGN-format pose pickle: (rots,) or (rots, trans) with
     trans in fraction-of-box units (pose.py:38-80). Returns rots (N, 3, 3)
-    float32 and trans (N, 2) in PIXELS (or None)."""
+    float32 and trans (N, 2) in PIXELS (or None).
+
+    ``d`` is the lattice box size the fractions are scaled by — for
+    backprojection that is the SYMMETRIZED size (image box + 1), matching
+    the reference's ``PoseTracker.load(..., data.D)`` (backproject_voxel.py:89).
+    """
     with open(path, "rb") as f:
         poses = pickle.load(f)
     if not isinstance(poses, tuple):
@@ -157,16 +162,17 @@ def symmetrize_ht(ht: np.ndarray) -> np.ndarray:
     return out
 
 
-def backproject(images, rots, trans=None, ctf_params=None, tilt_deg=None):
+def backproject(images, rots, trans=None, ctf_params=None,
+                tilt_images=None, tilt_deg=45.0):
     """Weighted Fourier (Hartley) voxel backprojection of a particle stack.
 
     images: (N, d, d) real-space particles (d even); rots: (N, 3, 3);
     trans: optional (N, 2) pixel shifts; ctf_params: optional (N, 9) rows of
     [Apix, dfu, dfv, dfang, volt, cs, w, phase_shift, bfactor] used for CTF
-    phase flipping (backproject_voxel.py:121-126); tilt_deg: optional
-    right-handed x-axis tilt applied as a second insertion per image for
-    tilt pairs (backproject_voxel.py:129-137 — here the caller passes the
-    tilt images as extra stack entries instead).
+    phase flipping (backproject_voxel.py:121-126); tilt_images: optional
+    (N, d, d) tilt-pair stack inserted at the extra right-handed x-axis
+    rotation ``tilt_deg`` on top of each pose — the reference's --tilt mode
+    (backproject_voxel.py:129-137).
 
     Returns the (d, d, d) real-space reconstruction.
     """
@@ -175,22 +181,29 @@ def backproject(images, rots, trans=None, ctf_params=None, tilt_deg=None):
     assert d == d2_ and d % 2 == 0, "images must be square with even box size"
     D = d + 1
 
-    ht = symmetrize_ht(ht2_center(images))          # (N, D, D)
     mask = circular_mask(D, D // 2)                  # (D^2,)
     coords = lattice_coords(D)[mask]                 # (M, 3), integer-spaced
     freqs = coords[:, :2] / (D // 2) / 2.0           # cycles/pixel
 
-    ff = ht.reshape(n, -1)[:, mask]                  # (N, M)
+    def masked_ht(stack):
+        ht = symmetrize_ht(ht2_center(np.asarray(stack, np.float32)))
+        return ht.reshape(len(stack), -1)[:, mask]   # (N, M)
 
+    ff = masked_ht(images)
+    sign = None
     if ctf_params is not None:
+        import jax as _jax
+
         ctf_params = np.asarray(ctf_params, np.float32)
-        apix = ctf_params[:, 0:1]
-        c = np.stack([
-            np.asarray(compute_ctf(freqs / apix[i], *ctf_params[i, 1:8],
-                                   bfactor=None))
-            for i in range(n)
-        ])
-        ff = ff * np.sign(c)
+        freqs_j = jnp.asarray(freqs)
+        c = _jax.vmap(
+            lambda ap, row: compute_ctf(
+                freqs_j / ap, row[0], row[1], row[2], row[3], row[4],
+                row[5], row[6],
+            )
+        )(jnp.asarray(ctf_params[:, 0]), jnp.asarray(ctf_params[:, 1:8]))
+        sign = np.sign(np.asarray(c))
+        ff = ff * sign
 
     if trans is None:
         trans = np.zeros((n, 2), np.float32)
@@ -199,13 +212,23 @@ def backproject(images, rots, trans=None, ctf_params=None, tilt_deg=None):
         trans = np.asarray(trans, np.float32)
         use_trans = True
 
-    rot_list = [np.asarray(rots, np.float32)]
-    if tilt_deg is not None:
+    rots = np.asarray(rots, np.float32)
+    # (ff_stack, rots_stack) insertion passes: the base pose, plus the
+    # tilt-pair images at xrot(tilt_deg) @ r (backproject_voxel.py:129-137;
+    # the tilt pair shares its mate's CTF sign and translation, :131-136)
+    passes = [(ff, rots)]
+    if tilt_images is not None:
+        assert np.asarray(tilt_images).shape == images.shape, (
+            "tilt stack must match the particle stack shape"
+        )
         t = np.deg2rad(tilt_deg)
         xrot = np.array([[1, 0, 0],
                          [0, np.cos(t), -np.sin(t)],
                          [0, np.sin(t), np.cos(t)]], np.float32)
-        rot_list.append(xrot @ np.asarray(rots, np.float32))
+        ff_tilt = masked_ht(tilt_images)
+        if sign is not None:
+            ff_tilt = ff_tilt * sign
+        passes.append((ff_tilt, xrot @ rots))
 
     coords_j = jnp.asarray(coords)
     freqs_j = jnp.asarray(freqs)
@@ -252,8 +275,8 @@ def backproject(images, rots, trans=None, ctf_params=None, tilt_deg=None):
 
     vol = jnp.zeros((D, D, D), jnp.float32)
     counts = jnp.zeros((D, D, D), jnp.float32)
-    for rmats in rot_list:
-        v, c = run(jnp.asarray(ff), jnp.asarray(rmats), jnp.asarray(trans))
+    for ff_pass, rmats in passes:
+        v, c = run(jnp.asarray(ff_pass), jnp.asarray(rmats), jnp.asarray(trans))
         vol = vol + v
         counts = counts + c
 

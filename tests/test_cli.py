@@ -116,7 +116,8 @@ def test_backproject_cli(tmp_path, rng):
     write_mrc(str(tmp_path / "p.mrcs"), imgs)
     rots = random_so3(6, rng).astype(np.float32)
     trans = rng.uniform(-0.1, 0.1, (6, 2)).astype(np.float32)
-    save_poses(str(tmp_path / "pose.pkl"), rots, trans, d=16)
+    # fractions scale by the symmetrized lattice size box+1 (load_poses doc)
+    save_poses(str(tmp_path / "pose.pkl"), rots, trans, d=17)
     main(["backproject", "--particles", str(tmp_path / "p.mrcs"),
           "--poses", str(tmp_path / "pose.pkl"), "-o", str(tmp_path / "v.mrc"),
           "--first", "6"])

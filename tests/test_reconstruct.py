@@ -149,6 +149,42 @@ def test_backproject_translation_consistency(rng):
     assert corr > 0.95, f"translation correction broken: corr={corr}"
 
 
+def test_backproject_ctf_phase_flip_smoke(rng):
+    """CTF phase flipping (vmapped compute_ctf over per-image params,
+    backproject_voxel.py:121-126) runs and returns a finite volume."""
+    d = 12
+    images = rng.standard_normal((4, d, d)).astype(np.float32)
+    rots = random_so3(4, rng).astype(np.float32)
+    params = np.tile(
+        np.array([[1.0, 10000.0, 9000.0, 10.0, 300.0, 2.7, 0.1, 0.0, 0.0]],
+                 np.float32), (4, 1))
+    rec = backproject(images, rots, ctf_params=params)
+    assert rec.shape == (d, d, d) and np.isfinite(rec).all()
+
+
+@pytest.mark.slow
+def test_backproject_tilt_pairs(rng):
+    """--tilt mode: tilt-pair images inserted at xrot(tilt_deg) @ r
+    (backproject_voxel.py:129-137) sharpen the reconstruction rather than
+    corrupting it."""
+    d = 16
+    vol = _blob_volume(rng, d)
+    rots = random_so3(60, rng).astype(np.float32)
+    t = np.deg2rad(45.0)
+    xrot = np.array([[1, 0, 0],
+                     [0, np.cos(t), -np.sin(t)],
+                     [0, np.sin(t), np.cos(t)]], np.float32)
+    proj = Projector(vol)
+    images = np.stack([np.asarray(proj.project(r)) for r in rots])
+    tilt_imgs = np.stack([np.asarray(proj.project(xrot @ r)) for r in rots])
+
+    rec = backproject(images, rots, tilt_images=tilt_imgs, tilt_deg=45.0)
+    a = vol - vol.mean()
+    b = rec - rec.mean()
+    corr = float((a * b).sum() / np.sqrt((a ** 2).sum() * (b ** 2).sum()))
+    assert corr > 0.6, f"tilt-pair reconstruction correlation too low: {corr}"
+
+
 # -- spectrum tools ------------------------------------------------------------
 
 def test_rad_avg_shell(rng):
