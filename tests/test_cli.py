@@ -208,3 +208,39 @@ def test_cli_explore_chain_from_disk(tmp_path, rng):
     table = pd.read_csv(out_coords, sep="\t")
     assert list(table.columns) == ["image_name", "x_coord", "y_coord", "z_coord"]
     assert len(table) > 0 and set(table.image_name) == {"syn"}
+
+
+@pytest.mark.slow
+def test_cli_semiclass_train_then_classify_test_from_disk(tmp_path, rng):
+    """The semiclass workflow through the real CLI: .rec + lists on disk ->
+    `train --task semiclass` (fill/unfill focal mode) -> `classify-test`
+    (greedy spherical NMS picking) -> reference-format outputs
+    (reference main.py --task semiclass + test_class.py driven via files)."""
+    from test_e2e import make_synthetic
+
+    from cet_pick_tpu.io.mrc import write_mrc
+
+    vol, df = make_synthetic(np.random.default_rng(11))
+    data = tmp_path / "data"
+    data.mkdir()
+    write_mrc(str(data / "syn0.rec"), vol)
+    listing = f"image_name\trec_path\nsyn0\t{data / 'syn0.rec'}\n"
+    (data / "train_images.txt").write_text(listing)
+    (data / "test_images.txt").write_text(listing)
+    df.to_csv(data / "train_coords.txt", sep="\t", index=False)
+
+    common = ["--task", "semiclass", "--arch", "unet_2", "--order", "zxy",
+              "--K", "60", "--data_dir", str(data), "--root_dir", str(tmp_path)]
+    main(["train", *common, "--no-contrastive", "--no-ge", "--pn",
+          "--batch_size", "8", "--num_epochs", "3", "--num_iters", "64",
+          "--bbox", "8", "--val_intervals", "-1", "--lr", "1e-3"])
+    from cet_pick_tpu.config import Config as C
+
+    cfg = C(task="semiclass", root_dir=str(tmp_path)).finalize()
+    assert os.path.isdir(os.path.join(cfg.save_dir, "model_last"))
+
+    main(["classify-test", *common, "--no-ge", "--pn", "--out_thresh", "0.0",
+          "--cutoff_z", "2", "--nms", "5"])
+    out_txt = os.path.join(cfg.out_path, "syn0.txt")
+    assert os.path.exists(out_txt)
+    assert os.path.exists(os.path.join(cfg.out_path, "syn0_hm.mrc"))
