@@ -138,18 +138,29 @@ class FewshotDataset:
         xc, yc, zc, ti = self.all_anns[index % len(self.all_anns)]
         tomo, hm, lb = self.tomos[ti], self.hms[ti], self.lb_maps[ti]
         d, hgt, wid = tomo.shape
-        half = self.crop_xy // 2 // cfg.down_ratio  # heatmap-grid half width
-        dz = self.crop_d // 2
-        xc = int(np.clip(xc, half + 1, wid // cfg.down_ratio - half - 1))
-        yc = int(np.clip(yc, half + 1, hgt // cfg.down_ratio - half - 1))
-        zc = int(np.clip(zc, dz, d - dz))
-        ux, uy = xc * cfg.down_ratio, yc * cfg.down_ratio
-        uhalf = half * cfg.down_ratio
+        # heatmap-grid half widths, clamped so the window always fits — with
+        # crop_xy == volume extent the reference-style (half+1, size-half-1)
+        # clip bounds invert and numpy returns an EMPTY crop
+        half_x = min(self.crop_xy, wid) // 2 // cfg.down_ratio
+        half_y = min(self.crop_xy, hgt) // 2 // cfg.down_ratio
+        dz = min(self.crop_d, d) // 2
 
-        ct = tomo[zc - dz : zc + dz, uy - uhalf : uy + uhalf,
-                  ux - uhalf : ux + uhalf]
-        ch = hm[zc - dz : zc + dz, yc - half : yc + half, xc - half : xc + half]
-        cl = lb[zc - dz : zc + dz, yc - half : yc + half, xc - half : xc + half]
+        def center(c, half, grid):
+            lo, hi = half + 1, grid - half - 1
+            return grid // 2 if hi < lo else int(np.clip(c, lo, hi))
+
+        xc = center(xc, half_x, wid // cfg.down_ratio)
+        yc = center(yc, half_y, hgt // cfg.down_ratio)
+        zc = int(np.clip(zc, dz, max(dz, d - dz)))
+        ux, uy = xc * cfg.down_ratio, yc * cfg.down_ratio
+        uhx, uhy = half_x * cfg.down_ratio, half_y * cfg.down_ratio
+
+        ct = tomo[zc - dz : zc + dz, uy - uhy : uy + uhy,
+                  ux - uhx : ux + uhx]
+        ch = hm[zc - dz : zc + dz, yc - half_y : yc + half_y,
+                xc - half_x : xc + half_x]
+        cl = lb[zc - dz : zc + dz, yc - half_y : yc + half_y,
+                xc - half_x : xc + half_x]
 
         flip_prob = rng.random()
         if flip_prob <= 0.5:

@@ -244,3 +244,53 @@ def test_cli_semiclass_train_then_classify_test_from_disk(tmp_path, rng):
     out_txt = os.path.join(cfg.out_path, "syn0.txt")
     assert os.path.exists(out_txt)
     assert os.path.exists(os.path.join(cfg.out_path, "syn0_hm.mrc"))
+
+
+@pytest.mark.slow
+def test_cli_denoise_from_disk(tmp_path, rng):
+    """`cet_pick_tpu denoise` trains the blind-spot denoiser from a .rec on
+    disk and writes the denoised volume (reference denoise workflow)."""
+    from cet_pick_tpu.io.mrc import read_mrc, write_mrc
+
+    vol = rng.standard_normal((16, 64, 64)).astype(np.float32)
+    data = tmp_path / "data"
+    data.mkdir()
+    write_mrc(str(data / "n.rec"), vol)
+    (data / "train_images.txt").write_text(
+        f"image_name\trec_path\nn\t{data / 'n.rec'}\n")
+    main(["denoise", "--order", "zxy", "--data_dir", str(data),
+          "--root_dir", str(tmp_path), "--batch_size", "4",
+          "--num_iters", "16", "--crop", "32", "--write_denoised"])
+    from cet_pick_tpu.config import Config as C
+
+    cfg = C(task="denoise", root_dir=str(tmp_path)).finalize()
+    den = read_mrc(os.path.join(cfg.save_dir, "n_denoised.mrc"))
+    assert den.shape == vol.shape and np.isfinite(den).all()
+
+
+@pytest.mark.slow
+def test_cli_fewshot_from_disk(tmp_path, rng):
+    """`cet_pick_tpu fewshot --write_picks` from labeled coordinates on
+    disk (task fs, reference tomo_fewshot_cr_trainer.py driven via files)."""
+    from test_e2e import make_synthetic
+
+    from cet_pick_tpu.io.mrc import write_mrc
+
+    vol, df = make_synthetic(np.random.default_rng(9))
+    df["label"] = [1 + (i % 2) for i in range(len(df))]
+    data = tmp_path / "data"
+    data.mkdir()
+    write_mrc(str(data / "syn0.rec"), vol)
+    listing = f"image_name\trec_path\nsyn0\t{data / 'syn0.rec'}\n"
+    (data / "train_images.txt").write_text(listing)
+    df.to_csv(data / "train_coords.txt", sep="\t", index=False)
+
+    main(["fewshot", "--task", "fs", "--arch", "unet_2", "--order", "zxy",
+          "--data_dir", str(data), "--root_dir", str(tmp_path),
+          "--num_epochs", "2", "--K", "30", "--out_thresh", "0.0",
+          "--write_picks"])
+    from cet_pick_tpu.config import Config as C
+
+    cfg = C(task="fs", root_dir=str(tmp_path)).finalize()
+    out = os.path.join(cfg.out_path, "syn0.txt")
+    assert os.path.exists(out)
