@@ -186,11 +186,19 @@ def load_pretext_backbone(state, simsiam_params, simsiam_batch_stats):
     opts.py:259-263 + main.py load_model)."""
     import flax
 
+    def graft(target, source):
+        # keep the clustering backbone's own structure: take matching
+        # modules from the SimSiam checkpoint, ignore its extras (e.g. the
+        # predictor head) — a structure change would desync the optimizer
+        # state initialized over the original params
+        source = flax.core.unfreeze(source)
+        return {k: source.get(k, v) for k, v in target.items()}
+
     params = flax.core.unfreeze(state.params)
-    params["backbone"] = flax.core.unfreeze(simsiam_params)
+    params["backbone"] = graft(params["backbone"], simsiam_params)
     bs = flax.core.unfreeze(state.batch_stats)
     if simsiam_batch_stats:
-        bs["backbone"] = flax.core.unfreeze(simsiam_batch_stats)
+        bs["backbone"] = graft(bs.get("backbone", {}), simsiam_batch_stats)
     return state.replace(
         params=flax.core.freeze(params) if isinstance(state.params, core.FrozenDict) else params,
         batch_stats=flax.core.freeze(bs) if isinstance(state.batch_stats, core.FrozenDict) else bs,

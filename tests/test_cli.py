@@ -209,6 +209,22 @@ def test_cli_explore_chain_from_disk(tmp_path, rng):
     assert list(table.columns) == ["image_name", "x_coord", "y_coord", "z_coord"]
     assert len(table) > 0 and set(table.image_name) == {"syn"}
 
+    # SCAN head over the extracted embeddings (reference scan task)
+    scan_out = tmp_path / "scan_labels.npz"
+    main(["scan", "--input", npz, "--out", str(scan_out), "--n_clusters", "2",
+          "--neighbors", "3", "--steps", "30"])
+    labels = np.load(scan_out)
+    assert len(labels["label"]) == len(table)
+
+    # full-model SCAN fine-tune off the pretext checkpoint
+    sf_out = tmp_path / "scan_ft.npz"
+    main(["scan-finetune", *common, "--load_model",
+          os.path.join(cfg.save_dir, "model_last"), "--out", str(sf_out),
+          "--neighbors", "3", "--steps", "8", "--nclusters", "2",
+          "--batch_size", "8"])
+    assert len(np.load(sf_out)["label"]) == len(table)
+    assert os.path.isdir(os.path.join(cfg.save_dir, "scan_model_last"))
+
 
 @pytest.mark.slow
 def test_cli_semiclass_train_then_classify_test_from_disk(tmp_path, rng):
