@@ -310,3 +310,67 @@ def test_cli_fewshot_from_disk(tmp_path, rng):
     cfg = C(task="fs", root_dir=str(tmp_path)).finalize()
     out = os.path.join(cfg.out_path, "syn0.txt")
     assert os.path.exists(out)
+
+
+@pytest.mark.slow
+def test_cli_moco_from_disk(tmp_path, rng):
+    """`cet_pick_tpu moco` (momentum-contrast exploration) from a .rec on
+    disk (reference moco_main.py via files)."""
+    from test_explore import make_explore_fixture
+
+    from cet_pick_tpu.io.mrc import write_mrc
+
+    rec, _, _ = make_explore_fixture(np.random.default_rng(6))
+    data = tmp_path / "data"
+    data.mkdir()
+    write_mrc(str(data / "syn.rec"), rec)
+    (data / "train_images.txt").write_text(
+        f"image_name\trec_path\nsyn\t{data / 'syn.rec'}\n")
+    main(["moco", "--task", "moco", "--arch", "simsiam2d_18", "--order",
+          "zxy", "--bbox", "24", "--dog", "2", "4", "--head_conv", "32",
+          "--data_dir", str(data), "--root_dir", str(tmp_path),
+          "--batch_size", "4", "--num_epochs", "1", "--lr", "0.05",
+          "--val_intervals", "-1"])
+    from cet_pick_tpu.config import Config as C
+
+    cfg = C(task="moco", root_dir=str(tmp_path)).finalize()
+    assert os.path.exists(os.path.join(cfg.save_dir, "model_last",
+                                       "moco_state.msgpack"))
+
+
+def test_cli_sublabels_and_visualize3d(tmp_path, rng):
+    """`sublabels` (cluster-label coordinate export) and `visualize3d`
+    (napari overlay volumes) from synthetic embedding artifacts."""
+    from cet_pick_tpu.io.mrc import write_mrc
+
+    n = 12
+    names = np.array(["syn"] * n)
+    coords = rng.uniform(10, 50, (n, 3)).astype(np.float32)
+    labels = np.array([i % 2 for i in range(n)])
+    parquet = tmp_path / "interactive_info_parquet.gzip"
+    pd.DataFrame({
+        "name": list(names),
+        "coord": [[str(v) for v in c] for c in coords],
+        "label": list(labels),
+    }).to_parquet(parquet, compression="gzip")
+    main(["sublabels", "--input", str(parquet), "--out_path",
+          str(tmp_path / "sub"), "--use_classes", "1"])
+    out = tmp_path / "sub" / "syn.txt"
+    assert out.exists() and len(out.read_text().strip().splitlines()) == 6
+
+    npz = tmp_path / "emb.npz"
+    np.savez(npz, name=names, coords=coords,
+             proj=rng.standard_normal((n, 8)).astype(np.float32),
+             pred=rng.standard_normal((n, 8)).astype(np.float32))
+    colors = np.clip(rng.random((n, 3)), 0, 1).astype(np.float32)
+    np.save(tmp_path / "all_colors.npy", colors)
+    write_mrc(str(tmp_path / "syn.rec"),
+              rng.standard_normal((64, 64, 64)).astype(np.float32))
+    main(["visualize3d", "--input", str(npz), "--color",
+          str(tmp_path / "all_colors.npy"), "--dir_simsiam",
+          str(tmp_path / "v3d"), "--rec_dir", str(tmp_path),
+          "--order", "zxy"])
+    import glob as _glob
+
+    written = _glob.glob(str(tmp_path / "v3d" / "*.npy"))
+    assert len(written) >= 2  # _rec3d + _hm3d_simsiam volumes
