@@ -27,12 +27,7 @@ from typing import Dict, Optional
 import numpy as np
 
 from cet_pick_tpu.infer.detector import TomoDetector
-from cet_pick_tpu.io.mrc import write_mrc
 from cet_pick_tpu.ops.decode import tomo_decode_classify
-from cet_pick_tpu.utils.post_process import (
-    fiber_postprocess,
-    spike_group_postprocess,
-)
 
 
 class TomoClassDetector(TomoDetector):
@@ -60,12 +55,17 @@ class TomoClassDetector(TomoDetector):
         hm[:, :, -b:] = 0
         # z boundary planes are off-distribution (the 3D head's zero padding)
         # and the reference drops them at save time anyway (cutoff_z filter,
-        # tomo_det_classify.py:193); zeroing them pre-decode keeps the greedy
-        # NMS candidate set on real content
+        # tomo_det_classify.py:193); zero them on a DECODE-ONLY copy so the
+        # saved _hm.mrc keeps the reference's content (xy borders zeroed, z
+        # untouched), and mirror the save filter's INCLUSIVE upper bound
+        # (z <= max_z - cutoff_z survives)
         if cfg.cutoff_z > 0:
-            hm[: cfg.cutoff_z] = 0
-            hm[-cfg.cutoff_z :] = 0
-        dets = tomo_decode_classify(hm, cfg.nms, cfg.out_thresh)
+            hm_dec = hm.copy()
+            hm_dec[: cfg.cutoff_z] = 0
+            hm_dec[hm.shape[0] - cfg.cutoff_z + 1 :] = 0
+        else:
+            hm_dec = hm
+        dets = tomo_decode_classify(hm_dec, cfg.nms, cfg.out_thresh)
         return hm, dets
 
     def post_process(self, dets: np.ndarray, z_dim_tot: int = None):
@@ -98,61 +98,12 @@ class TomoClassDetector(TomoDetector):
     def save_detection(self, hm: np.ndarray, dets: np.ndarray, path: str,
                        name: str):
         """Write ``{name}_hm.mrc`` + filtered ``{name}.txt``
-        (tomo_det_classify.py:172-216)."""
-        cfg = self.config
-        os.makedirs(path, exist_ok=True)
-        max_z, max_y, max_x = hm.shape
-        max_x, max_y = max_x * cfg.down_ratio, max_y * cfg.down_ratio
-        if np.isnan(hm).any():
-            raise ValueError("Output contains NaN values")
-        write_mrc(os.path.join(path, f"{name}_hm.mrc"),
-                  np.float32(np.swapaxes(hm, 1, 0)))
+        (tomo_det_classify.py:172-216 — identical frozen filters/formats to
+        the refine detector's writer, shared via write_detection_outputs)."""
+        from cet_pick_tpu.infer.detector import write_detection_outputs
 
-        lines = []
-        pre_coords = []
-        for c in np.asarray(dets, dtype=np.float32).reshape(-1, 4):
-            x, y, z = int(np.floor(c[0])), int(np.floor(c[1])), int(np.floor(c[2]))
-            score = float(c[3])
-            keep = (
-                score > cfg.out_thresh
-                and cfg.cutoff_z <= z <= max_z - cfg.cutoff_z
-                and 20 < x < max_x - 20
-                and 20 < y < max_y - 20
-            )
-            if not keep:
-                continue
-            if cfg.compress:
-                z = z * 2
-            if cfg.fiber or cfg.spike:
-                pre_coords.append([x, y, z, score])
-            elif cfg.with_score:
-                lines.append(f"{x}\t{z}\t{y}\t{score}")
-            else:
-                lines.append(f"{x}\t{z}\t{y}")
-
-        if cfg.fiber and pre_coords:
-            post = fiber_postprocess(
-                [c[:3] for c in pre_coords],
-                distance_cutoff=cfg.distance_cutoff,
-                res_cutoff=cfg.r2_cutoff,
-                curvature_cutoff=cfg.curvature_cutoff,
-                scale=cfg.distance_scale,
-            )
-            lines += [f"{c[0]}\t{c[1]}\t{c[2]}" for c in post]
-        elif cfg.spike and pre_coords:
-            post = spike_group_postprocess(
-                pre_coords, distance_cutoff=cfg.distance_cutoff,
-                min_per_group=5,
-            )
-            for c in post:
-                if cfg.with_score:
-                    lines.append(f"{int(c[0])}\t{int(c[2])}\t{int(c[1])}\t{c[3]}")
-                else:
-                    lines.append(f"{int(c[0])}\t{int(c[2])}\t{int(c[1])}")
-
-        with open(os.path.join(path, f"{name}.txt"), "w") as f:
-            f.write("\n".join(lines) + ("\n" if lines else ""))
-        return lines
+        rows = np.asarray(dets, dtype=np.float32).reshape(-1, 4)
+        return write_detection_outputs(self.config, hm, rows, path, name)
 
 
 def run_classify_test(config, out_dir=None):

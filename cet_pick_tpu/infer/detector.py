@@ -132,63 +132,73 @@ class TomoDetector:
     def save_detection(self, hm: np.ndarray, z_groups: Dict, path: str,
                        name: str):
         """Write ``{name}_hm.mrc`` + filtered ``{name}.txt`` (tomo_det.py:53-95)."""
-        cfg = self.config
-        os.makedirs(path, exist_ok=True)
+        rows = (c for _, rs in z_groups.items() for c in rs)
+        return write_detection_outputs(self.config, hm, rows, path, name)
 
-        max_z, max_y, max_x = hm.shape
-        max_x, max_y = max_x * cfg.down_ratio, max_y * cfg.down_ratio
-        if np.isnan(hm).any():
-            raise ValueError("Output contains NaN values")
-        # heatmap saved with y/z axes swapped, matching the reference's
-        # np.swapaxes(hm, 1, 0) before mrc write (tomo_det.py:60-67)
-        write_mrc(os.path.join(path, f"{name}_hm.mrc"),
-                  np.float32(np.swapaxes(hm, 1, 0)))
 
-        lines = []
-        pre_coords = []
-        for _, rows in z_groups.items():
-            for c in rows:
-                x, y, z = int(np.floor(c[0])), int(np.floor(c[1])), int(np.floor(c[2]))
-                score = float(c[3])
-                keep = (
-                    score > cfg.out_thresh
-                    and cfg.cutoff_z <= z <= max_z - cfg.cutoff_z
-                    and 20 < x < max_x - 20
-                    and 20 < y < max_y - 20
-                )
-                if not keep:
-                    continue
-                if cfg.compress:
-                    z = z * 2
-                if cfg.fiber or cfg.spike:
-                    pre_coords.append([x, y, z, score])
-                elif cfg.with_score:
-                    lines.append(f"{x}\t{z}\t{y}\t{score}")
-                else:
-                    lines.append(f"{x}\t{z}\t{y}")
+def write_detection_outputs(cfg, hm: np.ndarray, rows, path: str, name: str):
+    """Shared reference-format detection writer (tomo_det.py:53-95 ==
+    tomo_det_classify.py:172-216): ``{name}_hm.mrc`` with y/z axes swapped +
+    ``{name}.txt`` after the frozen score / cutoff_z / 20-px-border filters
+    and the fiber/spike post-processing branches.
 
-        if cfg.fiber and pre_coords:
-            post = fiber_postprocess(
-                [c[:3] for c in pre_coords],
-                distance_cutoff=cfg.distance_cutoff,
-                res_cutoff=cfg.r2_cutoff,
-                curvature_cutoff=cfg.curvature_cutoff,
-                scale=cfg.distance_scale,
-            )
-            lines += [f"{c[0]}\t{c[1]}\t{c[2]}" for c in post]
-        elif cfg.spike and pre_coords:
-            post = spike_group_postprocess(
-                pre_coords, distance_cutoff=cfg.distance_cutoff, min_per_group=5
-            )
-            for c in post:
-                if cfg.with_score:
-                    lines.append(f"{int(c[0])}\t{int(c[2])}\t{int(c[1])}\t{c[3]}")
-                else:
-                    lines.append(f"{int(c[0])}\t{int(c[2])}\t{int(c[1])}")
+    rows: iterable of (x, y, z, score) with xy already at input resolution.
+    """
+    os.makedirs(path, exist_ok=True)
 
-        with open(os.path.join(path, f"{name}.txt"), "w") as f:
-            f.write("\n".join(lines) + ("\n" if lines else ""))
-        return lines
+    max_z, max_y, max_x = hm.shape
+    max_x, max_y = max_x * cfg.down_ratio, max_y * cfg.down_ratio
+    if np.isnan(hm).any():
+        raise ValueError("Output contains NaN values")
+    # heatmap saved with y/z axes swapped, matching the reference's
+    # np.swapaxes(hm, 1, 0) before mrc write (tomo_det.py:60-67)
+    write_mrc(os.path.join(path, f"{name}_hm.mrc"),
+              np.float32(np.swapaxes(hm, 1, 0)))
+
+    lines = []
+    pre_coords = []
+    for c in rows:
+        x, y, z = int(np.floor(c[0])), int(np.floor(c[1])), int(np.floor(c[2]))
+        score = float(c[3])
+        keep = (
+            score > cfg.out_thresh
+            and cfg.cutoff_z <= z <= max_z - cfg.cutoff_z
+            and 20 < x < max_x - 20
+            and 20 < y < max_y - 20
+        )
+        if not keep:
+            continue
+        if cfg.compress:
+            z = z * 2
+        if cfg.fiber or cfg.spike:
+            pre_coords.append([x, y, z, score])
+        elif cfg.with_score:
+            lines.append(f"{x}\t{z}\t{y}\t{score}")
+        else:
+            lines.append(f"{x}\t{z}\t{y}")
+
+    if cfg.fiber and pre_coords:
+        post = fiber_postprocess(
+            [c[:3] for c in pre_coords],
+            distance_cutoff=cfg.distance_cutoff,
+            res_cutoff=cfg.r2_cutoff,
+            curvature_cutoff=cfg.curvature_cutoff,
+            scale=cfg.distance_scale,
+        )
+        lines += [f"{c[0]}\t{c[1]}\t{c[2]}" for c in post]
+    elif cfg.spike and pre_coords:
+        post = spike_group_postprocess(
+            pre_coords, distance_cutoff=cfg.distance_cutoff, min_per_group=5
+        )
+        for c in post:
+            if cfg.with_score:
+                lines.append(f"{int(c[0])}\t{int(c[2])}\t{int(c[1])}\t{c[3]}")
+            else:
+                lines.append(f"{int(c[0])}\t{int(c[2])}\t{int(c[1])}")
+
+    with open(os.path.join(path, f"{name}.txt"), "w") as f:
+        f.write("\n".join(lines) + ("\n" if lines else ""))
+    return lines
 
 
 def run_test(config, out_dir=None):

@@ -52,23 +52,36 @@ def extract_embeddings(config, dataset, params, batch_stats, batch_size=256):
             p2s.append(p2)
 
     n = len(p3s)
+    if n == 0:
+        raise ValueError(
+            "no candidate patches to embed — DoG mining found nothing in the "
+            "test tomogram(s); lower --dog sigmas or check the input volume"
+        )
     projs, preds = [], []
-    pad = (-n) % batch_size
     sub3 = np.stack(p3s).astype(np.float32)
     x3_all = (sub3 - dataset.mean_3d) / dataset.std_3d
     if mode == "2d3d":
         sub2 = np.stack(p2s).astype(np.float32)
         x2_all = (sub2 - dataset.mean_2d) / dataset.std_2d
+
+    def pad_batch(x, end, start):
+        # pad the remainder batch up to batch_size so the jitted forward
+        # compiles for ONE shape; the extra rows are sliced off below
+        if end - start < batch_size:
+            reps = np.repeat(x[-1:], batch_size - (end - start), axis=0)
+            return np.concatenate([x, reps])
+        return x
+
     for start in range(0, n, batch_size):
         end = min(start + batch_size, n)
-        x3 = jnp.asarray(x3_all[start:end])[..., None]
+        x3 = jnp.asarray(pad_batch(x3_all[start:end], end, start))[..., None]
         if mode == "2d3d":
-            x2 = jnp.asarray(x2_all[start:end])[..., None]
+            x2 = jnp.asarray(pad_batch(x2_all[start:end], end, start))[..., None]
             out = fwd(x2, x3)
         else:
             out = fwd_2donly(x3)
-        projs.append(np.asarray(out["proj"]))
-        preds.append(np.asarray(out["pred"]))
+        projs.append(np.asarray(out["proj"])[: end - start])
+        preds.append(np.asarray(out["pred"])[: end - start])
 
     result = {
         "proj": np.concatenate(projs),

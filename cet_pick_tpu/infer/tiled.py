@@ -16,9 +16,11 @@ fixed-shape z-tiles through a single compiled program:
 * NMS/top-K decode runs once on the stitched full heatmap, so tile
   boundaries cannot split or duplicate peaks.
 
-Volumes whose z is not a multiple of the tile depth are zero-padded up (the
-model pads convolutions with zeros anyway); padded slices are cropped before
-decode so they can never produce detections.
+Volumes are never zero-padded: tile windows near the z borders are shifted
+INWARD (window start clamped to [0, d - win]), so every core slice either has
+>= halo slices of real context inside its window or sits at the true volume
+border where the convolutions' own zero padding applies — exactly as in a
+full-volume forward.
 """
 
 from __future__ import annotations
@@ -131,7 +133,6 @@ class TiledHeatmapInference:
         single full-volume forward.
         """
         d, h, w = volume.shape
-        tz, halo = self.tile_z, self.halo
         # ONE bulk async host->device transfer, then slice on device.
         # jax.device_put streams ~GB/s where jnp.asarray / per-tile host
         # slices fall into a ~40 MB/s synchronous path on remote-attached
@@ -140,18 +141,14 @@ class TiledHeatmapInference:
             volume = jax.device_put(volume)
         lo = jnp.float32(lo)
         hi = jnp.float32(hi)
-        win = tz + 2 * halo
+        plan, win = self._window_plan(d)
         if d <= win:
             # single window covers the volume; exact by construction
             return self._tile_forward(self.variables, volume, lo, hi)
 
-        n_tiles = -(-d // tz)
         cores = []
-        for t in range(n_tiles):
-            z0 = t * tz
-            z1 = min(z0 + tz, d)
-            s = min(max(z0 - halo, 0), d - win)
+        for s, core_lo, core_hi in plan:
             window = jax.lax.slice_in_dim(volume, s, s + win, axis=0)
             hm = self._tile_forward(self.variables, window, lo, hi)
-            cores.append(hm[z0 - s : z1 - s])
+            cores.append(hm[core_lo:core_hi])
         return jnp.concatenate(cores, axis=0)

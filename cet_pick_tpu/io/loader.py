@@ -38,6 +38,9 @@ def quantize(x, mi=-2.5, ma=2.0, dtype=np.uint8):
 def _standardize(x, axis=None):
     m = x.mean(axis=axis, keepdims=axis is not None)
     s = x.std(axis=axis, keepdims=axis is not None)
+    # constant input (zero std) -> zeros, matching the uint8 path's
+    # lo == hi dequantization instead of silently producing NaN
+    s = np.where(s == 0, 1.0, s)
     return (x - m) / s
 
 
@@ -95,7 +98,8 @@ def load_rec(path, order="xyz", compress=False, is_tilt=False):
 def _minmax01(x, axis=None):
     mn = x.min(axis=axis, keepdims=axis is not None)
     mx = x.max(axis=axis, keepdims=axis is not None)
-    return (x - mn) / (mx - mn)
+    rng = np.where(mx == mn, 1.0, mx - mn)  # constant input -> zeros
+    return (x - mn) / rng
 
 
 def preprocess(vol, denoise=0, is_tilt=False):

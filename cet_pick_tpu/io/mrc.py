@@ -128,6 +128,11 @@ def read_mrc(path: str, return_header: bool = False):
     data = data.reshape(hdr.nz, hdr.ny, hdr.nx)
     if order == ">":
         data = data.astype(data.dtype.newbyteorder("<"))
+    if hdr.mode == 3:
+        # complex int16 pairs -> complex64, so downstream float casts see a
+        # numeric dtype instead of a structured array they crash on
+        data = data["re"].astype(np.float32) + 1j * data["im"].astype(np.float32)
+        data = data.astype(np.complex64)
     if return_header:
         return data, hdr
     return data

@@ -252,3 +252,25 @@ def test_prefetch_iterator_order_and_errors(rng):
     with _pytest.raises(RuntimeError, match="producer failed"):
         for _ in it:
             pass
+
+
+def test_constant_volume_preprocess_consistent():
+    """A constant (zero-variance) volume must give zeros on BOTH the float
+    and uint8 preprocess paths — not NaN on one and dequant blow-up on the
+    other (round-2 review finding)."""
+    from cet_pick_tpu.io.loader import preprocess, preprocess_quantized
+
+    vol = np.full((8, 16, 16), 3.25, np.float32)
+    f = preprocess(vol)
+    assert np.isfinite(f).all()
+    np.testing.assert_array_equal(f, np.zeros_like(f))
+
+    q, lo, hi = preprocess_quantized(vol)
+    deq = (q.astype(np.float64) - lo) / max(hi - lo, 1e-12)
+    np.testing.assert_array_equal(deq, np.zeros_like(deq))
+
+    # per-slice tilt path with one constant slice stays finite too
+    tilt = np.random.default_rng(0).standard_normal((3, 16, 16)).astype(np.float32)
+    tilt[1] = 7.0
+    t = preprocess(tilt, is_tilt=True)
+    assert np.isfinite(t).all()
