@@ -220,6 +220,10 @@ class SemiClassDataset:
             yield self.sample_batch(
                 rng, range(b * batch_size, (b + 1) * batch_size)
             )
+        if not drop_last and self.num_samples % batch_size:
+            yield self.sample_batch(
+                rng, range(n_full * batch_size, self.num_samples)
+            )
 
     def val_item(self, i):
         """Whole-volume validation item (particle_moco_classify.py:127-142)."""

@@ -191,6 +191,8 @@ class FewshotDataset:
         n_full = len(order) // batch_size
         for b in range(n_full):
             yield self.sample_batch(rng, order[b * batch_size : (b + 1) * batch_size])
+        if not drop_last and len(order) % batch_size:
+            yield self.sample_batch(rng, order[n_full * batch_size :])
 
     def val_item(self, i):
         tomo, hm, lb = self.tomos[i], self.hms[i], self.lb_maps[i]

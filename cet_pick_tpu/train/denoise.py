@@ -162,9 +162,11 @@ def train_denoise(config, dataset, num_iters=200, crop=128,
                                          crop=crop)
     step = make_denoise_train_step(models)
     history = []
+    from cet_pick_tpu.train.state import set_learning_rate
+
     for it in range(num_iters):
         lr = compute_ramped_lrate(it, num_iters, ramp_up, ramp_down, config.lr)
-        state.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        state = set_learning_rate(state, lr)
         batch = jnp.asarray(dataset.sample_batch(rng, config.batch_size))
         state, metrics = step(state, batch)
         history.append({k: float(v) for k, v in metrics.items()})

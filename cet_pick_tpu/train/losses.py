@@ -178,8 +178,6 @@ def _row_stats_blocked(feats_all, pos_mask, other_mask, temp, block):
     m = feats_all.shape[0]
     n = m // 2
     pad = (-m) % block
-    row_idx_all = jnp.arange(m + pad)
-
     fT = feats_all.T  # (C, 2N)
 
     def one_block(start):
@@ -328,7 +326,9 @@ def _row_logit_stats_blocked(feats_all, pos_mask, temp, block):
         return logit_pos_sum * z, partner * z, total_sum * z
 
     starts = jnp.arange(0, m + pad, block)
-    lps, part, tot = jax.lax.map(one_block, starts)
+    # remat for the same reason as _row_stats_blocked: without it the
+    # lax.map backward stores every block's (block, 2N) logits/exp matrices
+    lps, part, tot = jax.lax.map(jax.checkpoint(one_block), starts)
     flat = lambda a: a.reshape(-1)[:m]
     return flat(lps), flat(part), flat(tot)
 

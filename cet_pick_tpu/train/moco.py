@@ -236,9 +236,10 @@ def train_moco(config, dataset, num_epochs=None, r=1024, log_fn=print):
     num_epochs = num_epochs or config.num_epochs
     history = []
     key = jax.random.PRNGKey(config.seed + 1)
+    from cet_pick_tpu.train.state import set_learning_rate
+
     for epoch in range(1, num_epochs + 1):
-        lr = simsiam_lr_at_epoch(config, epoch)
-        state.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        state = set_learning_rate(state, simsiam_lr_at_epoch(config, epoch))
         epoch_metrics = []
         for batch in dataset.epoch_batches(rng, config.batch_size):
             batch["norm_mean"] = norm_mean

@@ -78,12 +78,19 @@ class ClusteringHead(nn.Module):
 
 
 def mine_neighbors(embeddings, k=20):
-    """Top-k neighbor indices (self excluded) — memory_bank.py:44-85."""
-    from cet_pick_tpu.ops.kmeans import knn_search
+    """Top-k neighbor indices (self excluded) — memory_bank.py:44-85.
 
-    emb = jnp.asarray(np.asarray(embeddings, np.float32))
-    _, idx = knn_search(emb, emb, k=k + 1)
-    return np.asarray(idx)[:, 1:]
+    Self-exclusion is by INDEX, not rank: with duplicate/tied embeddings
+    top-k can rank another point ahead of self, and dropping column 0 would
+    then keep the anchor among its own neighbors (trivially satisfying the
+    SCAN consistency term and inflating scan_evaluate)."""
+    x = jnp.asarray(np.asarray(embeddings, np.float32))
+    x_sq = jnp.sum(x * x, axis=1)
+    d2 = x_sq[:, None] - 2 * (x @ x.T) + x_sq[None, :]  # knn_search's metric
+    n = d2.shape[0]
+    d2 = jnp.where(jnp.eye(n, dtype=bool), jnp.inf, d2)
+    _, idx = jax.lax.top_k(-d2, min(k, n - 1))
+    return np.asarray(idx)
 
 
 class ScanState(struct.PyTreeNode):

@@ -68,19 +68,33 @@ def supcon_v2_loss(feats, hm, temp=0.07, thresh=0.5):
     return loss_pos + loss_neg
 
 
-def tomo_site_supcon(feats, hm, temp=0.2, thresh=0.5):
+def tomo_site_supcon(feats, hm, key=None, temp=0.2, thresh=0.5):
     """Gathered-site supcon for the tomo task (tomo_trainer.py:39-90).
 
     Gathers up to GATHER_K positive pixels (hm > thresh) and GATHER_K
     negative pixels into one labeled set and applies the two-group
     supervised contrastive objective; rows the gather could not fill carry
     label 0 and are masked out inside partial_sup_loss.
+
+    ``key`` randomizes WHICH members of each group are gathered (the
+    reference samples sites on the CPU, tomo_trainer.py:47-58). Without it
+    top_k's tie-break deterministically returns flat indices 0..K-1 — the
+    same corner pixels of z-slice 0 every single step, which is only
+    acceptable in tests.
     """
     k = min(GATHER_K, feats.shape[0])
-    pos_ind = (hm > thresh).astype(jnp.float32)
-    neg_ind = (hm <= thresh).astype(jnp.float32)
-    pv, pi = jax.lax.top_k(pos_ind, k)
-    nv, ni = jax.lax.top_k(neg_ind, k)
+    pos = hm > thresh
+    neg = hm <= thresh
+    if key is None:
+        tie_p = tie_n = jnp.zeros_like(hm)
+    else:
+        kp, kn = jax.random.split(key)
+        tie_p = jax.random.uniform(kp, hm.shape)
+        tie_n = jax.random.uniform(kn, hm.shape)
+    # score in [1, 2) for group members, 0 otherwise: membership dominates,
+    # the random tie-break picks a fresh subset each step
+    pv, pi = jax.lax.top_k(jnp.where(pos, 1.0 + tie_p, 0.0), k)
+    nv, ni = jax.lax.top_k(jnp.where(neg, 1.0 + tie_n, 0.0), k)
     f = jnp.concatenate([feats[pi], feats[ni]], axis=0)
     f = f / jnp.maximum(jnp.linalg.norm(f, axis=1, keepdims=True), 1e-12)
     labels = jnp.concatenate([
@@ -96,7 +110,7 @@ def make_supervised_train_step(model, config, task):
     cr_weight = config.cr_weight
     contrastive = config.contrastive
 
-    def loss_fn(params, batch_stats, batch):
+    def loss_fn(params, batch_stats, batch, key):
         x = batch["input"]
         b, p, d, h, w = x.shape
         if batch_stats:
@@ -125,9 +139,12 @@ def make_supervised_train_step(model, config, task):
                     lambda f, l: supcon_v2_loss(f, l, temp=temp, thresh=thresh)
                 )(feats, labels).mean()
             else:  # tomo
+                keys = jax.random.split(key, feats.shape[0])
                 cr = jax.vmap(
-                    lambda f, l: tomo_site_supcon(f, l, temp=0.2, thresh=thresh)
-                )(feats, labels).mean()
+                    lambda f, l, kk: tomo_site_supcon(
+                        f, l, key=kk, temp=0.2, thresh=thresh
+                    )
+                )(feats, labels, keys).mean()
             metrics["cr_loss"] = cr
             loss = loss + cr * cr_weight
 
@@ -135,10 +152,10 @@ def make_supervised_train_step(model, config, task):
         return loss, (new_bs, metrics)
 
     @jax.jit
-    def step(state, batch):
+    def step(state, batch, key):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (new_bs, metrics)), grads = grad_fn(
-            state.params, state.batch_stats, batch
+            state.params, state.batch_stats, batch, key
         )
         return state.apply_gradients(grads, batch_stats=new_bs), metrics
 
@@ -178,11 +195,13 @@ def train_supervised(config, dataset, num_epochs=None, log_fn=print):
     step = make_supervised_train_step(model, config, config.task)
     num_epochs = num_epochs or config.num_epochs
     history = []
+    key = jax.random.PRNGKey(config.seed + 1)
     for epoch in range(state.epoch + 1, num_epochs + 1):
         state = set_learning_rate(state, lr_at_epoch(config, epoch))
         epoch_metrics = []
         for batch in dataset.epoch_batches(rng, config.batch_size):
-            state, metrics = step(state, jax.device_put(batch))
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, jax.device_put(batch), sub)
             epoch_metrics.append({k: float(v) for k, v in metrics.items()})
         if not epoch_metrics:
             raise ValueError(
