@@ -130,7 +130,10 @@ class ExploreDataset:
     # -- patch extraction ----------------------------------------------------
 
     def _extract_slice(self, rec, coord):
-        """2D z-slice crop, min-max normalized (extract_3d_tomo, :102-111)."""
+        """2D z-slice crop, min-max normalized (extract_3d_tomo, :102-111).
+
+        Scalar reference path — kept for the batch-parity test; the hot path
+        is _slices_batch."""
         half = self.bbox // 2
         x, y, z = coord
         if self.config.compress:
@@ -142,7 +145,10 @@ class ExploreDataset:
 
     def _extract_tilt_sum(self, tilt, used_angles, coord, tomo_size):
         """Sum of per-tilt crops at the projected coordinate, min-max
-        normalized (extract_patches, :113-133)."""
+        normalized (extract_patches, :113-133).
+
+        Scalar reference path — kept for the batch-parity test; the hot path
+        is _tilt_sums_batch."""
         half = self.bbox // 2
         margin = self.bbox // 1.8
         acc = None
@@ -159,59 +165,166 @@ class ExploreDataset:
             return None
         return _minmax(acc.astype(np.float32))
 
+    def _slices_batch(self, rec, coords):
+        """Vectorized _extract_slice over (M, 3) int coords (x, y, z_full):
+        one strided fancy-index for ALL windows (SURVEY §3.3 'EXPENSIVE
+        PREPROCESS' hot loop, rebuilt vector-first).
+
+        Returns (patches (M, b, b) float32, valid (M,) bool). Bit-identical
+        to the scalar path, including python's negative-z wraparound
+        (rec[-1] = last slice — the reference's extract_3d_tomo has the same
+        semantics) and the drop-on-truncated-window shape check."""
+        b = self.bbox
+        half = b // 2
+        d, h, w = rec.shape
+        m = coords.shape[0]
+        if m == 0 or h < b or w < b:
+            return np.zeros((m, b, b), np.float32), np.zeros(m, bool)
+        x = coords[:, 0].astype(np.int64)
+        y = coords[:, 1].astype(np.int64)
+        z = coords[:, 2].astype(np.int64)
+        if self.config.compress:
+            z = z // 2  # floor division, matching int(z) // 2
+        valid = (
+            (y - half >= 0) & (y + half <= h)
+            & (x - half >= 0) & (x + half <= w)
+            & (z >= -d) & (z < d)
+        )
+        zi = np.where(z < 0, z + d, z)  # python negative indexing
+        win = np.lib.stride_tricks.sliding_window_view(rec, (b, b), axis=(1, 2))
+        p = win[
+            np.clip(zi, 0, d - 1),
+            np.clip(y - half, 0, h - b),
+            np.clip(x - half, 0, w - b),
+        ].astype(np.float32)
+        lo = p.min(axis=(1, 2))
+        hi = p.max(axis=(1, 2))
+        valid &= hi > lo
+        denom = np.where(hi > lo, hi - lo, 1.0)
+        return (p - lo[:, None, None]) / denom[:, None, None], valid
+
+    def _tilt_sums_batch(self, tilt, used_angles, coords, tomo_size):
+        """Vectorized _extract_tilt_sum over (M, 3) int coords: project ALL
+        candidates into ALL used tilts at once (the affine map of
+        tomo_to_tilt), gather every window per tilt with one strided
+        fancy-index, reject borders by mask.
+
+        Accumulation stays sequential over tilts (python loop over the ~41
+        angles, NOT over candidates) so float addition order — and thus the
+        result — is bit-identical to the scalar path."""
+        b = self.bbox
+        half = b // 2
+        margin = b // 1.8  # float, like the reference's crop_size//1.8
+        xs, ys, zs = tomo_size
+        t = len(used_angles)
+        m = coords.shape[0]
+        if m == 0 or t == 0:
+            return np.zeros((m, b, b), np.float32), np.zeros(m, bool)
+        x = coords[:, 0].astype(np.float64)
+        y = coords[:, 1].astype(np.int64)
+        zf = (zs - coords[:, 2]).astype(np.float64)  # z flip, tomo_to_tilt
+        a = np.asarray(used_angles, np.float64) * np.pi / 180.0
+        cx, cz = xs // 2, zs // 2
+        tx_f = (
+            (x[:, None] - cx) * np.cos(a)[None, :]
+            + (zf[:, None] - cz) * np.sin(a)[None, :]
+            + cx
+        )
+        tx = tx_f.astype(np.int64)  # int() truncation toward zero
+        ok = (
+            (tx > margin) & (tx < xs - margin)
+            & (y[:, None] > margin) & (y[:, None] < ys - margin)
+        )
+        # window-fits check (the scalar path's patch-shape guard; margin >
+        # half makes this redundant for interior points but tilt images can
+        # be smaller than tomo_size in y)
+        th, tw = tilt.shape[1], tilt.shape[2]
+        ok &= (
+            (y[:, None] - half >= 0) & (y[:, None] + half <= th)
+            & (tx - half >= 0) & (tx + half <= tw)
+        )
+        if th < b or tw < b:
+            return np.zeros((m, b, b), np.float32), np.zeros(m, bool)
+        acc = np.zeros((m, b, b), tilt.dtype)
+        win = np.lib.stride_tricks.sliding_window_view(tilt, (b, b), axis=(1, 2))
+        for ti in range(t):
+            sel = ok[:, ti]
+            if not sel.any():
+                continue
+            acc[sel] += win[ti, y[sel] - half, tx[sel, ti] - half]
+        valid = ok.any(axis=1)
+        p = acc.astype(np.float32)
+        lo = p.min(axis=(1, 2))
+        hi = p.max(axis=(1, 2))
+        valid &= hi > lo
+        denom = np.where(hi > lo, hi - lo, 1.0)
+        return (p - lo[:, None, None]) / denom[:, None, None], valid
+
     def _mine_tomogram(self, name, rec, tilt, angle):
         cfg = self.config
         d, h, w = rec.shape
         tomo_size = (w, h, d * 2 if cfg.compress else d)
         scores, positions = dog_candidates_pyramid(rec, sigmas=self.sigmas)
+        n = positions.shape[0]
+        if n == 0:
+            return
 
-        if self.mode == "2d3d":
+        two = self.mode == "2d3d"
+        if two:
             used = np.where((angle >= self.low) & (angle <= self.up))[0]
             used_angles = angle[used]
             used_tilt = tilt[used]
 
         margin = self.bbox // 1.8
-        for p in range(positions.shape[0]):
-            x, y, z = (int(v) for v in positions[p])
-            if cfg.compress:
-                z_full = z * 2
-            else:
-                z_full = z
-            if not (margin < x < tomo_size[0] - margin
-                    and margin <= y <= tomo_size[1] - margin):
-                continue
-            coord = (x, y, z_full)
-            patch3d = self._extract_slice(rec, coord)
-            if patch3d is None:
-                continue
-            if self.mode == "2d3d":
-                patch2d = self._extract_tilt_sum(used_tilt, used_angles, coord, tomo_size)
-                if patch2d is None:
-                    continue
-            else:
-                patch2d = None
+        pos = np.asarray(positions)
+        x = pos[:, 0].astype(np.int64)
+        y = pos[:, 1].astype(np.int64)
+        z_rec = pos[:, 2].astype(np.int64)
+        z_full = z_rec * 2 if cfg.compress else z_rec
+        keep = (
+            (x > margin) & (x < tomo_size[0] - margin)
+            & (y >= margin) & (y <= tomo_size[1] - margin)
+        )
+        kx, ky, kz, kzr = x[keep], y[keep], z_full[keep], z_rec[keep]
+        k = kx.shape[0]
+        if k == 0:
+            return
 
-            if self.split == "train":
-                set3d, set2d = [patch3d], [patch2d]
-                for dx, dy, dz in self.AUG_OFFSETS:
-                    c2 = (x + dx, y + dy, z_full + dz)
-                    p3 = self._extract_slice(rec, c2)
-                    if p3 is None:
-                        continue
-                    if self.mode == "2d3d":
-                        p2 = self._extract_tilt_sum(used_tilt, used_angles, c2, tomo_size)
-                        if p2 is None:
-                            continue
-                        set2d.append(p2)
-                    set3d.append(p3)
-                if len(set3d) < 2:
-                    continue
-                self.aug_sets_3d.append(set3d)
-                self.aug_sets_2d.append(set2d)
-            self.patches_3d.append(patch3d)
-            if patch2d is not None:
-                self.patches_2d.append(patch2d)
-            self.coords.append(np.array([x, y, positions[p][2]], dtype=np.float32))
+        # anchor + 4 neighbor-offset variants, extracted in ONE batched
+        # gather each (the reference loops candidates x tilts in python;
+        # SURVEY §3.3's preprocess hot spot)
+        train = self.split == "train"
+        offs = np.array([(0, 0, 0)] + list(self.AUG_OFFSETS), np.int64)
+        offs = offs if train else offs[:1]
+        nv = offs.shape[0]
+        flat = (
+            np.stack([kx, ky, kz], axis=1)[:, None, :] + offs[None, :, :]
+        ).reshape(-1, 3)
+        p3, v3 = self._slices_batch(rec, flat)
+        p3 = p3.reshape(k, nv, self.bbox, self.bbox)
+        member_ok = v3.reshape(k, nv)
+        if two:
+            p2, v2 = self._tilt_sums_batch(used_tilt, used_angles, flat, tomo_size)
+            p2 = p2.reshape(k, nv, self.bbox, self.bbox)
+            member_ok = member_ok & v2.reshape(k, nv)
+
+        cand_ok = member_ok[:, 0]
+        if train:
+            cand_ok = cand_ok & member_ok[:, 1:].any(axis=1)
+
+        for i in np.flatnonzero(cand_ok):
+            members = np.flatnonzero(member_ok[i])  # anchor (0) first, then
+            if train:                               # offsets in AUG_OFFSETS order
+                self.aug_sets_3d.append([p3[i, j] for j in members])
+                self.aug_sets_2d.append(
+                    [p2[i, j] for j in members] if two else [None]
+                )
+            self.patches_3d.append(p3[i, 0])
+            if two:
+                self.patches_2d.append(p2[i, 0])
+            self.coords.append(
+                np.array([kx[i], ky[i], kzr[i]], dtype=np.float32)
+            )
             self.names.append(name)
 
     # -- sampling ------------------------------------------------------------

@@ -14,9 +14,17 @@ Compose over a 2-channel tensor). Shapes are static; randomness flows through
 explicit keys.
 
 Pipelines (matching the reference's strong/weak compositions):
-  strong: hflip(.5) -> vflip(.5) -> rotate(±30°) -> center-crop ->
-          corner-erase(.5) -> rot90(k~U{0..3}) -> normalize
-  weak:   same without the continuous rotation
+  2d3d mode (tomo_pre_proj_angle_select_new2d3d.py:49-82):
+    strong: hflip(.5) -> vflip(.5) -> rotate(±30°) -> center-crop ->
+            corner-erase(.5) -> rot90(k~U{0..3}) -> normalize
+    weak:   same without the continuous rotation
+  3d-only mode (tomo_pre_proj_angle_select_new3d_vol.py:49-89):
+    hflip(.5) -> vflip(.5) -> ColorJitter(0.5,0.2,0.3,0.1) ->
+    RandomResizedCrop(scale 0.8-1.0 strong / 0.9-1.0 weak, ratio 1) ->
+    rot90 -> normalize
+    (on single-channel data ColorJitter reduces to brightness*U[0.5,1.5]
+    and contrast blending with factor U[0.8,1.2], applied in random order —
+    torchvision's saturation/hue are identity on grayscale)
 """
 
 from __future__ import annotations
@@ -128,6 +136,76 @@ def corner_erase(img, key, p=0.5, scale=(0.01, 0.02), ratio=(0.5, 1.5), value=1.
     return jnp.where(jax.random.uniform(k5) < p, erased, img)
 
 
+def color_jitter(img, key, brightness=0.5, contrast=0.2):
+    """torchvision ColorJitter(0.5, 0.2, 0.3, 0.1) on single-channel input
+    (tomo_pre_proj_angle_select_new3d_vol.py:53/77): saturation and hue are
+    identity on grayscale, leaving brightness (img * U[1-b, 1+b]) and
+    contrast ((img - mean)*U[1-c, 1+c] + mean, mean over the grayscale image)
+    applied in random order."""
+    kb, kc, ko = jax.random.split(key, 3)
+    fb = jax.random.uniform(kb, (), minval=1.0 - brightness, maxval=1.0 + brightness)
+    fc = jax.random.uniform(kc, (), minval=1.0 - contrast, maxval=1.0 + contrast)
+
+    def bright(x):
+        return x * fb
+
+    def contr(x):
+        m = jnp.mean(x)
+        return (x - m) * fc + m
+
+    return jnp.where(
+        jax.random.uniform(ko) < 0.5,
+        contr(bright(img)),
+        bright(contr(img)),
+    )
+
+
+def random_resized_crop(img, key, out_size, scale=(0.8, 1.0)):
+    """torchvision RandomResizedCrop(out, scale, ratio=(1,1)) semantics:
+    crop a square covering an area fraction ~U[scale] at a uniform-random
+    location, bilinear-resize to (out_size, out_size). Implemented as one
+    bilinear gather over the source grid (crop+resize fused) so the traced
+    shape stays static; top/left/side are continuous rather than
+    torchvision's integer sampling — same distribution family."""
+    c, h, w = img.shape
+    ka, ki, kj = jax.random.split(key, 3)
+    area_frac = jax.random.uniform(ka, (), minval=scale[0], maxval=scale[1])
+    # square crop (ratio fixed at 1): side = sqrt(area_frac * H * W)
+    side = jnp.sqrt(area_frac * h * w)
+    side = jnp.minimum(side, float(min(h, w)))
+    top = jax.random.uniform(ki, ()) * (h - side)
+    left = jax.random.uniform(kj, ()) * (w - side)
+    # sample grid: out_size points spanning [top, top+side) like PIL resize
+    # (pixel centers at top + (i + 0.5) * side/out - 0.5)
+    step = side / out_size
+    idx = (jnp.arange(out_size) + 0.5) * step - 0.5
+    ys = top + idx
+    xs = left + idx
+    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+    return _bilinear_sample_clamped(img, yy, xx)
+
+
+def _bilinear_sample_clamped(img, ys, xs):
+    """Bilinear sample with edge clamping (PIL resize semantics — no zero
+    fill, unlike the rotation path's _bilinear_sample)."""
+    c, h, w = img.shape
+    ys = jnp.clip(ys, 0.0, h - 1.0)
+    xs = jnp.clip(xs, 0.0, w - 1.0)
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    wy = ys - y0
+    wx = xs - x0
+    out = (
+        img[:, y0, x0] * ((1 - wy) * (1 - wx))[None]
+        + img[:, y0, x1] * ((1 - wy) * wx)[None]
+        + img[:, y1, x0] * (wy * (1 - wx))[None]
+        + img[:, y1, x1] * (wy * wx)[None]
+    )
+    return out
+
+
 def normalize(img, mean, std):
     """Per-channel (C,) mean/std normalization."""
     mean = jnp.asarray(mean, img.dtype).reshape(-1, 1, 1)
@@ -149,6 +227,29 @@ def simsiam_augment(imgs, keys, mean, std, out_size, strong=True):
             x = random_rotate(x, ks[2], max_deg=30.0)
         x = center_crop(x, out_size, out_size)
         x = corner_erase(x, ks[3], p=0.5, scale=(0.01, 0.02), ratio=(0.5, 1.5))
+        x = rot90_random(x, ks[4])
+        return normalize(x, mean, std)
+
+    return jax.vmap(one)(imgs, keys)
+
+
+@partial(jax.jit, static_argnames=("out_size", "strong"))
+def simsiam_augment_3d(imgs, keys, mean, std, out_size, strong=True):
+    """Batched 3d-only-mode pipeline (rec-only exploration, no tilt series):
+    imgs (B, C, H, W), keys (B, 2) uint32 -> (B, C, out_size, out_size).
+
+    Matches tomo_pre_proj_angle_select_new3d_vol.py:49-89: flips ->
+    ColorJitter -> RandomResizedCrop(0.8-1.0 strong / 0.9-1.0 weak, square)
+    -> rot90 -> normalize. No continuous rotation or corner erasing (those
+    are the 2d3d pipeline's; the reference comments them out here)."""
+    scale = (0.8, 1.0) if strong else (0.9, 1.0)
+
+    def one(img, key):
+        ks = jax.random.split(key, 5)
+        x = random_hflip(img, ks[0])
+        x = random_vflip(x, ks[1])
+        x = color_jitter(x, ks[2])
+        x = random_resized_crop(x, ks[3], out_size, scale=scale)
         x = rot90_random(x, ks[4])
         return normalize(x, mean, std)
 

@@ -80,12 +80,38 @@ def kmeans(x, k=256, iters=300, seed=1234):
     return np.asarray(cents), np.asarray(assign), float(inertia)
 
 
-@partial(jax.jit, static_argnames=("k",))
-def knn_search(queries, base, k=20):
-    """Exact kNN by matmul distance; returns (dists, indices), excluding
-    nothing (caller drops self-matches). queries (Q, D), base (N, D)."""
-    q_sq = jnp.sum(queries * queries, axis=1, keepdims=True)
+@partial(jax.jit, static_argnames=("k", "block", "exclude_self"))
+def knn_search(queries, base, k=20, block=1024, exclude_self=False):
+    """Exact kNN by BLOCKED matmul distance; returns (dists, indices).
+
+    Replaces the FAISS flat index of reference utils/memory_bank.py:44-49.
+    ``lax.map`` over query blocks keeps peak memory O(block * N) instead of
+    O(Q * N) — the same trick as the contrastive gram (train/losses.py) —
+    so reference-scale candidate counts (10^5+) fit on one chip. Each block
+    is one (block, D) x (D, N) matmul + top_k.
+
+    exclude_self=True masks base[j] from query j's neighbors BY INDEX
+    (requires queries is base; tie-safe — with duplicate embeddings rank-
+    based exclusion can keep the anchor among its own neighbors).
+    queries (Q, D), base (N, D).
+    """
+    q, d = queries.shape
+    n = base.shape[0]
+    block = min(block, q)  # shapes are static under jit
     b_sq = jnp.sum(base * base, axis=1)
-    d2 = q_sq - 2 * (queries @ base.T) + b_sq[None, :]
-    neg_d, idx = jax.lax.top_k(-d2, k)
-    return -neg_d, idx
+    nb = -(-q // block)
+    qp = jnp.pad(queries, ((0, nb * block - q), (0, 0)))
+    base_idx = jnp.arange(n)
+
+    def one(start):
+        chunk = jax.lax.dynamic_slice(qp, (start, 0), (block, d))
+        c_sq = jnp.sum(chunk * chunk, axis=1, keepdims=True)
+        d2 = c_sq - 2 * (chunk @ base.T) + b_sq[None, :]
+        if exclude_self:
+            rows = start + jnp.arange(block)
+            d2 = jnp.where(rows[:, None] == base_idx[None, :], jnp.inf, d2)
+        neg_d, idx = jax.lax.top_k(-d2, k)
+        return -neg_d, idx
+
+    dists, idxs = jax.lax.map(one, jnp.arange(nb) * block)
+    return dists.reshape(-1, k)[:q], idxs.reshape(-1, k)[:q]

@@ -26,7 +26,7 @@ import numpy as np
 import optax
 from flax import core
 
-from cet_pick_tpu.ops.augment import simsiam_augment
+from cet_pick_tpu.ops.augment import simsiam_augment, simsiam_augment_3d
 from cet_pick_tpu.train.losses import simsiam_loss
 from cet_pick_tpu.train.state import TrainState
 
@@ -61,6 +61,32 @@ def simsiam_lr_at_epoch(config, epoch):
     return lr * config.lr_decay_rate ** steps if steps > 0 else lr
 
 
+WARM_EPOCHS = 10
+WARMUP_FROM = 0.01
+
+
+def simsiam_warmup_lr(config, epoch, batch_id, total_batches):
+    """SupContrast-style per-batch linear LR warmup for --warm
+    (utils/utils.py:73-80 with warm_epochs/warmup_from/warmup_to set at
+    opts.py:216-224). Returns the warm LR, or None outside the warm phase.
+
+    The reference defines and imports warmup_learning_rate in its
+    simsiam/moco mains but the per-batch call was dropped from the loops;
+    here the flag is honored (linear 0.01 -> warmup_to over the first 10
+    epochs) so --warm is not a silent no-op."""
+    if not config.warm or epoch > WARM_EPOCHS:
+        return None
+    if config.cosine:
+        eta_min = config.lr * config.lr_decay_rate ** 3
+        warmup_to = eta_min + (config.lr - eta_min) * (
+            1 + np.cos(np.pi * WARM_EPOCHS / config.num_epochs)
+        ) / 2
+    else:
+        warmup_to = config.lr
+    p = (batch_id + (epoch - 1) * total_batches) / (WARM_EPOCHS * total_batches)
+    return WARMUP_FROM + p * (warmup_to - WARMUP_FROM)
+
+
 def make_simsiam_train_step(model, config, mode: str):
     """Jitted step: device augs -> two-view forward -> neg-cosine -> SGD."""
     return jax.jit(simsiam_step_fn(model, config, mode))
@@ -74,6 +100,10 @@ def simsiam_step_fn(model, config, mode: str):
     """
     out_size = config.bbox
     two_channel = mode == "2d3d"
+    # rec-only (3d) exploration uses the reference's distinct pipeline:
+    # ColorJitter + RandomResizedCrop, no rotation/corner-erase
+    # (tomo_pre_proj_angle_select_new3d_vol.py:49-89)
+    augment = simsiam_augment if two_channel else simsiam_augment_3d
 
     def split_views(x):
         # (B, C, H, W) -> NHWC single-channel 2d / 3d inputs
@@ -101,8 +131,8 @@ def simsiam_step_fn(model, config, mode: str):
         s = batch["norm_std"]
         keys1 = jax.random.split(k1, batch["anchor"].shape[0])
         keys2 = jax.random.split(k2, batch["aug"].shape[0])
-        v1 = simsiam_augment(batch["anchor"], keys1, m, s, out_size, strong=True)
-        v2 = simsiam_augment(batch["aug"], keys2, m, s, out_size, strong=False)
+        v1 = augment(batch["anchor"], keys1, m, s, out_size, strong=True)
+        v2 = augment(batch["aug"], keys2, m, s, out_size, strong=False)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (new_bs, metrics)), grads = grad_fn(
             state.params, state.batch_stats, v1, v2
@@ -167,7 +197,13 @@ def train_explore(config, dataset, num_epochs=None, log_fn=print):
             with_norm(dataset.epoch_batches(rng, config.batch_size)),
             device_put=place_batch,
         )
-        for batch in batches:
+        total_batches = max(len(dataset) // config.batch_size, 1)
+        for it, batch in enumerate(batches):
+            if 0 <= config.num_iters <= it:
+                break  # per-epoch iteration cap (base_trainer.py:263-268)
+            wlr = simsiam_warmup_lr(config, epoch, it, total_batches)
+            if wlr is not None:
+                state = set_learning_rate(state, wlr)
             key, sub = jax.random.split(key)
             state, metrics = step(state, batch, sub)
             epoch_metrics.append({k: float(v) for k, v in metrics.items()})

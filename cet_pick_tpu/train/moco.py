@@ -29,7 +29,7 @@ import numpy as np
 import optax
 from flax import core, struct
 
-from cet_pick_tpu.ops.augment import simsiam_augment
+from cet_pick_tpu.ops.augment import simsiam_augment, simsiam_augment_3d
 
 
 class MoCoState(struct.PyTreeNode):
@@ -79,6 +79,9 @@ def moco_step_fn(model, config, mode: str, m=0.999, temperature=0.1):
     parallel.mesh.make_dp_step for the data-parallel (DDP-analog) path."""
     out_size = config.bbox
     two_channel = mode == "2d3d"
+    # rec-only mode: ColorJitter+RandomResizedCrop pipeline, as in explore
+    # (tomo_pre_proj_angle_select_new3d_vol.py:49-89)
+    augment = simsiam_augment if two_channel else simsiam_augment_3d
 
     def split_views(x):
         x2d = x[:, 0, :, :, None]
@@ -121,8 +124,8 @@ def moco_step_fn(model, config, mode: str, m=0.999, temperature=0.1):
         mnorm, snorm = batch["norm_mean"], batch["norm_std"]
         keys1 = jax.random.split(k1, batch["anchor"].shape[0])
         keys2 = jax.random.split(k2, batch["aug"].shape[0])
-        v_q = simsiam_augment(batch["anchor"], keys1, mnorm, snorm, out_size, strong=True)
-        v_k = simsiam_augment(batch["aug"], keys2, mnorm, snorm, out_size, strong=False)
+        v_q = augment(batch["anchor"], keys1, mnorm, snorm, out_size, strong=True)
+        v_k = augment(batch["aug"], keys2, mnorm, snorm, out_size, strong=False)
 
         # momentum update BEFORE the key forward (moco.py:118-121)
         new_key_params = jax.tree_util.tree_map(
@@ -203,7 +206,7 @@ def load_moco_checkpoint(path, state: MoCoState) -> MoCoState:
 def train_moco(config, dataset, num_epochs=None, r=1024, log_fn=print):
     """MoCo epoch loop (moco_main.py)."""
     from cet_pick_tpu.models.simsiam import create_simsiam
-    from cet_pick_tpu.train.explore import simsiam_lr_at_epoch
+    from cet_pick_tpu.train.explore import simsiam_lr_at_epoch, simsiam_warmup_lr
 
     model = create_simsiam(config)
     rng = np.random.default_rng(config.seed)
@@ -241,7 +244,13 @@ def train_moco(config, dataset, num_epochs=None, r=1024, log_fn=print):
     for epoch in range(1, num_epochs + 1):
         state = set_learning_rate(state, simsiam_lr_at_epoch(config, epoch))
         epoch_metrics = []
-        for batch in dataset.epoch_batches(rng, config.batch_size):
+        total_batches = max(len(dataset) // config.batch_size, 1)
+        for it, batch in enumerate(dataset.epoch_batches(rng, config.batch_size)):
+            if 0 <= config.num_iters <= it:
+                break  # per-epoch iteration cap (base_trainer.py:263-268)
+            wlr = simsiam_warmup_lr(config, epoch, it, total_batches)
+            if wlr is not None:
+                state = set_learning_rate(state, wlr)
             batch["norm_mean"] = norm_mean
             batch["norm_std"] = norm_std
             key, sub = jax.random.split(key)

@@ -211,7 +211,10 @@ def train_refine(config, dataset, val_dataset=None, num_epochs=None, log_fn=prin
     num_epochs = num_epochs or config.num_epochs
     start_epoch = state.epoch + 1
     history = []
-    best_val = float("inf")
+    # cross-restart best tracking: the reference resets best to inf on every
+    # invocation (main.py:105) so a resumed run's first val always overwrites
+    # model_best; we persist it beside the checkpoints instead (ADVICE r2)
+    best_val = _load_best_val(config.save_dir) if config.resume else float("inf")
     for epoch in range(start_epoch, num_epochs + 1):
         state = set_learning_rate(state, lr_at_epoch(config, epoch))
         epoch_metrics = []
@@ -226,7 +229,10 @@ def train_refine(config, dataset, val_dataset=None, num_epochs=None, log_fn=prin
         from cet_pick_tpu.utils.profiling import maybe_trace
 
         with maybe_trace(config.profile_dir if epoch == start_epoch else None):
-            for batch in batches:
+            for it, batch in enumerate(batches):
+                # per-epoch iteration cap (base_trainer.py:263-268; -1 = all)
+                if 0 <= config.num_iters <= it:
+                    break
                 state, metrics = train_step(state, batch)
                 m = {k: float(v) for k, v in metrics.items()}
                 # only the plain PU risk estimator is undefined without
@@ -272,10 +278,35 @@ def train_refine(config, dataset, val_dataset=None, num_epochs=None, log_fn=prin
                     save_checkpoint(
                         os.path.join(config.save_dir, "model_best"), state, config
                     )
+                    _save_best_val(config.save_dir, best_val, epoch)
             save_checkpoint(
                 os.path.join(config.save_dir, f"model_{epoch}"), state, config
             )
     return state, history
+
+
+def _best_val_path(save_dir):
+    import os
+
+    return os.path.join(save_dir, "best_val.json")
+
+
+def _load_best_val(save_dir):
+    import json
+    import os
+
+    p = _best_val_path(save_dir)
+    if os.path.exists(p):
+        with open(p) as f:
+            return float(json.load(f)["val"])
+    return float("inf")
+
+
+def _save_best_val(save_dir, val, epoch):
+    import json
+
+    with open(_best_val_path(save_dir), "w") as f:
+        json.dump({"val": float(val), "epoch": int(epoch)}, f)
 
 
 def _debug_val_volume(config, model, state, item, epoch, idx):

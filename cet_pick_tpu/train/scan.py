@@ -77,19 +77,21 @@ class ClusteringHead(nn.Module):
                 for i in range(self.n_heads)]
 
 
-def mine_neighbors(embeddings, k=20):
+def mine_neighbors(embeddings, k=20, block=1024):
     """Top-k neighbor indices (self excluded) — memory_bank.py:44-85.
 
     Self-exclusion is by INDEX, not rank: with duplicate/tied embeddings
     top-k can rank another point ahead of self, and dropping column 0 would
     then keep the anchor among its own neighbors (trivially satisfying the
-    SCAN consistency term and inflating scan_evaluate)."""
+    SCAN consistency term and inflating scan_evaluate).
+
+    Delegates to the blocked ops/kmeans.knn_search so peak memory stays
+    O(block * N) at reference-scale candidate counts."""
+    from cet_pick_tpu.ops.kmeans import knn_search
+
     x = jnp.asarray(np.asarray(embeddings, np.float32))
-    x_sq = jnp.sum(x * x, axis=1)
-    d2 = x_sq[:, None] - 2 * (x @ x.T) + x_sq[None, :]  # knn_search's metric
-    n = d2.shape[0]
-    d2 = jnp.where(jnp.eye(n, dtype=bool), jnp.inf, d2)
-    _, idx = jax.lax.top_k(-d2, min(k, n - 1))
+    n = x.shape[0]
+    _, idx = knn_search(x, x, k=min(k, n - 1), block=block, exclude_self=True)
     return np.asarray(idx)
 
 

@@ -74,6 +74,66 @@ def test_simsiam_augment_shapes(rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_color_jitter_matches_torchvision(rng):
+    """Golden check of the ColorJitter math: torchvision adjust_brightness
+    on a float tensor is x*f; adjust_contrast blends with the grayscale
+    mean ((x - m)*f + m). torchvision itself isn't in this image, so the
+    formulas (torchvision/transforms/_functional_tensor.py) are restated
+    in numpy here and the jax path is checked against them."""
+    img_np = rng.random((1, 16, 16)).astype(np.float32)
+    fb, fc = 1.3, 0.85
+    bright = img_np * fb
+    ref = (bright - bright.mean()) * fc + bright.mean()
+    x = jnp.asarray(img_np) * fb
+    m = jnp.mean(x)
+    ours = np.asarray((x - m) * fc + m)
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_color_jitter_factor_range(rng):
+    img = jnp.asarray(rng.random((1, 16, 16)).astype(np.float32))
+    outs = [np.asarray(A.color_jitter(img, jax.random.PRNGKey(i)))
+            for i in range(16)]
+    assert all(np.isfinite(o).all() for o in outs)
+    # brightness/contrast actually vary across keys
+    assert np.std([o.mean() for o in outs]) > 1e-3
+
+
+def test_random_resized_crop_identity_at_full_scale(rng):
+    img = jnp.asarray(rng.standard_normal((2, 24, 24)).astype(np.float32))
+    out = A.random_resized_crop(img, jax.random.PRNGKey(0), 24, scale=(1.0, 1.0))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+
+
+def test_resized_crop_matches_opencv(rng):
+    """Golden check: fused crop+bilinear-resize == cv2.resize INTER_LINEAR
+    (same half-pixel src = (dst+0.5)*scale-0.5 convention as torchvision
+    bilinear antialias=False) for integer crop parameters."""
+    import cv2
+
+    img_np = rng.random((1, 32, 32)).astype(np.float32)
+    top, left, side, out = 3, 5, 22, 16
+    crop = img_np[0, top : top + side, left : left + side]
+    ref = cv2.resize(crop, (out, out), interpolation=cv2.INTER_LINEAR)[None]
+    step = side / out
+    idx = (jnp.arange(out) + 0.5) * step - 0.5
+    yy, xx = jnp.meshgrid(top + idx, left + idx, indexing="ij")
+    ours = np.asarray(A._bilinear_sample_clamped(jnp.asarray(img_np), yy, xx))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_simsiam_augment_3d_shapes(rng):
+    imgs = rng.standard_normal((4, 1, 24, 24)).astype(np.float32)
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    out = A.simsiam_augment_3d(imgs, keys, np.zeros(1, np.float32),
+                               np.ones(1, np.float32), 24, strong=True)
+    assert out.shape == (4, 1, 24, 24)
+    assert np.isfinite(np.asarray(out)).all()
+    weak = A.simsiam_augment_3d(imgs, keys, np.zeros(1, np.float32),
+                                np.ones(1, np.float32), 24, strong=False)
+    assert not np.allclose(np.asarray(out), np.asarray(weak))
+
+
 # -- geometry ---------------------------------------------------------------
 
 def test_tomo_to_tilt_zero_angle():
@@ -112,6 +172,150 @@ def test_simsiam_forward_shapes(simsiam_cfg, rng):
 def test_simsiam_default_head_conv(simsiam_cfg):
     # simsiam tasks default to head_conv 128 (opts.py:207-211)
     assert simsiam_cfg.head_conv == 128
+
+
+# -- vectorized patch extraction parity --------------------------------------
+
+def _bare_ds(bbox=16, compress=False):
+    from types import SimpleNamespace
+
+    ds = ExploreDataset.__new__(ExploreDataset)
+    ds.bbox = bbox
+    ds.config = SimpleNamespace(compress=compress)
+    return ds
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_slices_batch_matches_scalar(rng, compress):
+    ds = _bare_ds(bbox=16, compress=compress)
+    rec = rng.standard_normal((12, 48, 48)).astype(np.float32)
+    # includes interior, boundary-straddling, and negative-z coords
+    coords = np.array(
+        [[24, 24, 8], [8, 8, 0], [7, 24, 3], [24, 7, 3], [41, 24, 3],
+         [24, 41, 3], [24, 24, -1], [24, 24, 23], [40, 40, 11]], np.int64
+    )
+    pb, vb = ds._slices_batch(rec, coords)
+    for i, c in enumerate(coords):
+        try:
+            ref = ds._extract_slice(rec, tuple(int(v) for v in c))
+        except IndexError:
+            # scalar path raises on z >= depth; batch marks invalid instead
+            ref = None
+        assert (ref is not None) == bool(vb[i]), f"coord {c} validity differs"
+        if ref is not None:
+            np.testing.assert_array_equal(pb[i], ref, err_msg=f"coord {c}")
+
+
+def test_tilt_sums_batch_matches_scalar(rng):
+    ds = _bare_ds(bbox=16)
+    tomo_size = (64, 64, 32)
+    tilts = rng.standard_normal((5, 64, 64)).astype(np.float32)
+    angles = np.array([-20.0, -10.0, 0.0, 10.0, 20.0])
+    coords = np.array(
+        [[32, 32, 16], [12, 32, 5], [50, 32, 28], [32, 10, 16],
+         [32, 55, 16], [20, 20, 2], [45, 45, 30]], np.int64
+    )
+    pb, vb = ds._tilt_sums_batch(tilts, angles, coords, tomo_size)
+    for i, c in enumerate(coords):
+        ref = ds._extract_tilt_sum(tilts, angles, tuple(int(v) for v in c),
+                                   tomo_size)
+        assert (ref is not None) == bool(vb[i]), f"coord {c} validity differs"
+        if ref is not None:
+            np.testing.assert_array_equal(pb[i], ref, err_msg=f"coord {c}")
+
+
+def _mine_loop_reference(ds_cls, config, rec, tilt, angle, split, bbox,
+                         sigmas, low, up, mode):
+    """The pre-vectorization per-candidate mining loop, kept as the parity
+    oracle for _mine_tomogram."""
+    from cet_pick_tpu.ops.dog import dog_candidates_pyramid
+
+    d, h, w = rec.shape
+    tomo_size = (w, h, d * 2 if config.compress else d)
+    _, positions = dog_candidates_pyramid(rec, sigmas=sigmas)
+    ds = ds_cls.__new__(ds_cls)
+    ds.bbox = bbox
+    ds.config = config
+    out = {"p3": [], "p2": [], "coords": [], "sets3": [], "sets2": []}
+    if mode == "2d3d":
+        used = np.where((angle >= low) & (angle <= up))[0]
+        used_angles = angle[used]
+        used_tilt = tilt[used]
+    margin = bbox // 1.8
+    for p in range(positions.shape[0]):
+        x, y, z = (int(v) for v in positions[p])
+        z_full = z * 2 if config.compress else z
+        if not (margin < x < tomo_size[0] - margin
+                and margin <= y <= tomo_size[1] - margin):
+            continue
+        coord = (x, y, z_full)
+        patch3d = ds._extract_slice(rec, coord)
+        if patch3d is None:
+            continue
+        if mode == "2d3d":
+            patch2d = ds._extract_tilt_sum(used_tilt, used_angles, coord, tomo_size)
+            if patch2d is None:
+                continue
+        else:
+            patch2d = None
+        if split == "train":
+            set3d, set2d = [patch3d], [patch2d]
+            for dx, dy, dz in ds_cls.AUG_OFFSETS:
+                c2 = (x + dx, y + dy, z_full + dz)
+                p3 = ds._extract_slice(rec, c2)
+                if p3 is None:
+                    continue
+                if mode == "2d3d":
+                    p2 = ds._extract_tilt_sum(used_tilt, used_angles, c2, tomo_size)
+                    if p2 is None:
+                        continue
+                    set2d.append(p2)
+                set3d.append(p3)
+            if len(set3d) < 2:
+                continue
+            out["sets3"].append(set3d)
+            out["sets2"].append(set2d)
+        out["p3"].append(patch3d)
+        if patch2d is not None:
+            out["p2"].append(patch2d)
+        out["coords"].append(np.array([x, y, positions[p][2]], np.float32))
+    return out
+
+
+@pytest.mark.parametrize("mode,split", [("2d3d", "train"), ("2d3d", "test"),
+                                        ("3d", "train")])
+def test_mine_tomogram_matches_loop(rng, mode, split):
+    task = "simsiam2d3d" if mode == "2d3d" else "simsiam3d"
+    arch = "simsiam2d3d_18" if mode == "2d3d" else "simsiam2d_18"
+    cfg = Config(task=task, arch=arch, bbox=24, dog=(2, 4)).finalize()
+    rec, tilts, angles = make_explore_fixture(rng)
+    kw = (dict(tilts={"syn": tilts}, angles={"syn": angles})
+          if mode == "2d3d" else {})
+    ds = ExploreDataset(cfg, split, images={"syn": rec}, **kw)
+    ref = _mine_loop_reference(
+        ExploreDataset, cfg, rec,
+        tilts if mode == "2d3d" else None,
+        angles if mode == "2d3d" else None,
+        split, cfg.bbox, ds.sigmas, ds.low, ds.up, mode,
+    )
+    assert len(ds.patches_3d) == len(ref["p3"]) > 0
+    for a, b in zip(ds.patches_3d, ref["p3"]):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(ds.patches_2d, ref["p2"]):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(ds.coords, ref["coords"]):
+        np.testing.assert_array_equal(a, b)
+    if split == "train":
+        assert len(ds.aug_sets_3d) == len(ref["sets3"])
+        for sa, sb in zip(ds.aug_sets_3d, ref["sets3"]):
+            assert len(sa) == len(sb)
+            for a, b in zip(sa, sb):
+                np.testing.assert_array_equal(a, b)
+        if mode == "2d3d":
+            for sa, sb in zip(ds.aug_sets_2d, ref["sets2"]):
+                assert len(sa) == len(sb)
+                for a, b in zip(sa, sb):
+                    np.testing.assert_array_equal(a, b)
 
 
 # -- dataset + training + embedding e2e -------------------------------------

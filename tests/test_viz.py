@@ -41,6 +41,50 @@ def test_knn_search_finds_self(rng):
     np.testing.assert_array_equal(np.asarray(idx)[:, 0], np.arange(30))
 
 
+def test_knn_search_blocked_matches_dense(rng):
+    """Blocked lax.map path == dense reference at uneven block boundaries."""
+    import jax.numpy as jnp
+
+    pts = rng.standard_normal((37, 8)).astype(np.float32)
+    base = rng.standard_normal((53, 8)).astype(np.float32)
+    d_blk, i_blk = knn_search(jnp.asarray(pts), jnp.asarray(base), k=5, block=16)
+    # dense reference
+    d2 = ((pts[:, None] - base[None]) ** 2).sum(-1)
+    ref_idx = np.argsort(d2, axis=1)[:, :5]
+    np.testing.assert_array_equal(np.asarray(i_blk), ref_idx)
+    np.testing.assert_allclose(
+        np.asarray(d_blk), np.take_along_axis(d2, ref_idx, 1), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_knn_search_memory_stays_blocked():
+    """Peak temp memory of the compiled kNN is O(block*N), not O(N^2):
+    at N=100k, D=16, block=512 the dense distance matrix would be 40 GB;
+    the compiled executable must budget far less (compile-only check, no
+    100k-point execution needed)."""
+    import jax
+    import jax.numpy as jnp
+
+    n, d, block = 100_000, 16, 512
+    x = jax.ShapeDtypeStruct((n, d), jnp.float32)
+    compiled = (
+        jax.jit(
+            lambda q: knn_search(q, q, k=20, block=block, exclude_self=True)
+        )
+        .lower(x)
+        .compile()
+    )
+    mem = compiled.memory_analysis()
+    if mem is None or not hasattr(mem, "temp_size_in_bytes"):
+        pytest.skip("memory_analysis unavailable on this backend")
+    # dense would need n*n*4 = 40e9 temp bytes; blocked needs ~block*n*4*
+    # (a few buffers). Allow a generous 16x slack over one block buffer.
+    assert mem.temp_size_in_bytes < 16 * block * n * 4, (
+        f"temp {mem.temp_size_in_bytes/1e9:.1f} GB suggests an unblocked "
+        f"(N,N) distance matrix"
+    )
+
+
 def test_colormap_distinct_corners():
     cm = ColorMap2D("ziegler")
     corners = [cm(0, 0), cm(1, 0), cm(0, 1), cm(1, 1)]
