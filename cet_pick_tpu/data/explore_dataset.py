@@ -247,11 +247,17 @@ class ExploreDataset:
             return np.zeros((m, b, b), np.float32), np.zeros(m, bool)
         acc = np.zeros((m, b, b), tilt.dtype)
         win = np.lib.stride_tricks.sliding_window_view(tilt, (b, b), axis=(1, 2))
+        yc = np.clip(y - half, 0, th - b)
         for ti in range(t):
             sel = ok[:, ti]
             if not sel.any():
                 continue
-            acc[sel] += win[ti, y[sel] - half, tx[sel, ti] - half]
+            # gather all rows with clipped indices + zero the invalid ones:
+            # a plain add is ~7x cheaper than a boolean scatter-add
+            g = win[ti, yc, np.clip(tx[:, ti] - half, 0, tw - b)]
+            if not sel.all():
+                g[~sel] = 0
+            acc += g
         valid = ok.any(axis=1)
         p = acc.astype(np.float32)
         lo = p.min(axis=(1, 2))
