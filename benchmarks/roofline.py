@@ -1,0 +1,200 @@
+"""Roofline / MFU breakdown of the picking forward on the real TPU chip.
+
+VERDICT r2 weak #1: the 11.8% device-resident MFU had no analysis showing
+whether the forward is HBM-bound or leaving MXU cycles on the table. This
+script apportions the compiled tile forward across components (stem / UNet /
+3D head / decode), measures FLOPs + bytes accessed from XLA cost analysis,
+and microbenchmarks each conv shape in isolation to get the empirical
+per-shape efficiency ceiling of this architecture's narrow channels.
+
+Run from the repo root (TPU attached): python benchmarks/roofline.py
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+V5E_BF16_PEAK = 197e12
+V5E_HBM_GBS = 819e9  # v5e HBM bandwidth
+RIDGE = V5E_BF16_PEAK / V5E_HBM_GBS  # FLOP/byte at the bf16 ridge point
+
+
+def _timed(fn, *args, reps=20):
+    """Amortized per-call device time: enqueue `reps` calls back-to-back
+    (TPU executes them in order on one stream), fence once with a tiny
+    np.asarray fetch. This removes the per-dispatch tunnel round-trip
+    (~29 ms through axon) that otherwise floors every measurement;
+    block_until_ready is a no-op through the tunnel."""
+    out = fn(*args)
+    np.asarray(out)  # compile + warm
+    t0 = time.perf_counter()
+    outs = [fn(*args) for _ in range(reps)]
+    np.asarray(outs[-1])
+    return (time.perf_counter() - t0) / reps
+
+
+def _cost(fn, *args):
+    import jax
+
+    c = jax.jit(fn).lower(*args).compile().cost_analysis()
+    if isinstance(c, (list, tuple)):
+        c = c[0]
+    flops = float(c.get("flops", 0.0))
+    byts = float(c.get("bytes accessed", 0.0))
+    return flops, byts
+
+
+def report(name, t, flops, byts):
+    tf = flops / t / 1e12
+    gbs = byts / t / 1e9
+    inten = flops / max(byts, 1.0)
+    bound = "HBM" if inten < RIDGE else "MXU"
+    print(f"{name:<28} {t*1e3:8.2f} ms  {tf:7.2f} TF/s ({100*tf*1e12/V5E_BF16_PEAK:5.1f}% MFU)"
+          f"  {gbs:7.1f} GB/s  {inten:7.1f} F/B [{bound}-side]")
+    return tf
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cet_pick_tpu.config import Config
+    from cet_pick_tpu.models.detector import FeatureHead3D, create_detector
+    from cet_pick_tpu.models.unet import UNet2D
+    from cet_pick_tpu.train.state import create_train_state
+
+    print(f"devices: {jax.devices()}")
+    print(f"v5e ridge: {RIDGE:.0f} FLOP/byte")
+
+    # dispatch floor: round-trip of a trivial op, and amortized cost
+    one = jnp.ones(())
+
+    @jax.jit
+    def null(a):
+        return a + 1
+
+    np.asarray(null(one))
+    t0 = time.perf_counter()
+    np.asarray(null(one))
+    rt = time.perf_counter() - t0
+    print(f"single-dispatch round trip: {rt*1e3:.1f} ms "
+          f"(amortized {_timed(null, one)*1e3:.2f} ms)\n")
+
+    cfg = Config(task="semi", arch="unet_4", dtype="bfloat16").finalize()
+    model = create_detector(cfg)
+    state = create_train_state(
+        model, cfg, jax.random.PRNGKey(0), np.zeros((1, 8, 64, 64), np.float32)
+    )
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    TD, H, W = 70, 512, 512  # the bench's z-tile (64 + 2*3 halo)
+    x = jnp.zeros((1, TD, H, W), jnp.float32)
+
+    # ---- full tile forward (hm head only, as the picking path runs it)
+    @jax.jit
+    def full(v, t):
+        out = model.apply(v, t, train=False, active_heads=("hm",))
+        return jnp.sum(out["hm"])
+
+    t_full = _timed(full, variables, x)
+    f_full, b_full = _cost(lambda v, t: full(v, t), variables, x)
+    print("component                      time        throughput            "
+          "bandwidth  intensity")
+    report("full tile forward", t_full, f_full, b_full)
+
+    # ---- components ---------------------------------------------------------
+    # stem: (B*D, H, W, 1) -> (B*D, H/2, W/2, 16)
+    stem_in = jnp.zeros((TD, H, W, 1), jnp.bfloat16)
+
+    @jax.jit
+    def stem_fn(v, t):
+        from flax import linen as nn
+
+        y = nn.Conv(16, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, dtype=jnp.bfloat16, name="stem").apply(
+            {"params": v["params"]["stem"]}, t)
+        return jnp.sum(y)
+
+    t_stem = _timed(stem_fn, variables, stem_in)
+    f_stem, b_stem = _cost(stem_fn, variables, stem_in)
+    report("stem k7s2 1->16", t_stem, f_stem, b_stem)
+
+    # UNet trunk: (B*D, H/2, W/2, 16) -> (B*D, H/2, W/2, 32)
+    unet = UNet2D(n_blocks=4, start_filts=32, out_channels=32,
+                  normalization="batch", dtype=jnp.bfloat16)
+    unet_in = jnp.zeros((TD, H // 2, W // 2, 16), jnp.bfloat16)
+    uvars = {"params": state.params["unet"],
+             "batch_stats": state.batch_stats["unet"]}
+
+    @jax.jit
+    def unet_fn(v, t):
+        return jnp.sum(unet.apply(v, t, False))
+
+    t_unet = _timed(unet_fn, uvars, unet_in)
+    f_unet, b_unet = _cost(unet_fn, uvars, unet_in)
+    report("2D UNet trunk", t_unet, f_unet, b_unet)
+
+    # 3D feature head: (1, D, H/2, W/2, 32)
+    fh = FeatureHead3D(32, dtype=jnp.bfloat16)
+    fh_in = jnp.zeros((1, TD, H // 2, W // 2, 32), jnp.bfloat16)
+    fvars = {"params": state.params["feature_head"]}
+
+    @jax.jit
+    def fh_fn(v, t):
+        return jnp.sum(fh.apply(v, t))
+
+    t_fh = _timed(fh_fn, fvars, fh_in)
+    f_fh, b_fh = _cost(fh_fn, fvars, fh_in)
+    report("3D head 2x k3 dil(1,4,4)", t_fh, f_fh, b_fh)
+
+    other = t_full - t_stem - t_unet - t_fh
+    print(f"{'unattributed (heads/glue)':<28} {other*1e3:8.2f} ms")
+
+    # ---- isolated conv shapes: empirical ceiling of each channel width ----
+    print("\nisolated conv shapes (bf16, SAME, bias-free):")
+    from flax import linen as nn
+
+    shapes = [
+        ("3x3 32->32 @256^2 x70", 32, 32, (TD, 256, 256)),
+        ("3x3 64->64 @128^2 x70", 64, 64, (TD, 128, 128)),
+        ("3x3 128->128 @64^2 x70", 128, 128, (TD, 64, 64)),
+        ("3x3 256->256 @32^2 x70", 256, 256, (TD, 32, 32)),
+        ("3x3 32->128 @256^2 x70", 32, 128, (TD, 256, 256)),
+        ("3x3 128->128 @256^2 x70", 128, 128, (TD, 256, 256)),
+    ]
+    for name, cin, cout, (b, hh, ww) in shapes:
+        conv = nn.Conv(cout, (3, 3), padding="SAME", use_bias=False,
+                       dtype=jnp.bfloat16)
+        key = jax.random.PRNGKey(0)
+        cx = jnp.zeros((b, hh, ww, cin), jnp.bfloat16)
+        cv = conv.init(key, cx)
+
+        @jax.jit
+        def cf(v, t, conv=conv):
+            return jnp.sum(conv.apply(v, t))
+
+        t_c = _timed(cf, cv, cx)
+        f_c, b_c = _cost(cf, cv, cx)
+        report(name, t_c, f_c, b_c)
+
+    # conv3d dilated, isolated
+    conv3 = nn.Conv(32, (3, 3, 3), kernel_dilation=(1, 4, 4), padding="SAME",
+                    use_bias=False, dtype=jnp.bfloat16)
+    cx = jnp.zeros((1, TD, 256, 256, 32), jnp.bfloat16)
+    cv = conv3.init(jax.random.PRNGKey(0), cx)
+
+    @jax.jit
+    def c3f(v, t):
+        return jnp.sum(conv3.apply(v, t))
+
+    t_c = _timed(c3f, cv, cx)
+    f_c, b_c = _cost(c3f, cv, cx)
+    report("3d k3 dil(1,4,4) 32->32", t_c, f_c, b_c)
+
+
+if __name__ == "__main__":
+    main()

