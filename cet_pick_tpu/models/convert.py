@@ -162,6 +162,98 @@ def simsiam_state_dict_to_flax(state_dict: Dict, stage_sizes=(2, 2, 2)):
     return params, stats
 
 
+def _to_mutable(tree):
+    if hasattr(tree, "items"):
+        return {k: _to_mutable(v) for k, v in tree.items()}
+    return np.asarray(tree)
+
+
+def imagenet_resnet_to_flax(state_dict, params, batch_stats,
+                            stage_sizes=(2, 2, 2), log_fn=print):
+    """Merge a STANDARD torchvision resnet18/34 state_dict into freshly
+    initialized SimSiam trunk parameters, reproducing the reference's
+    from-pretrained recipe (simsiam_model_2d3d.py:785-838):
+
+    * conv1 is collapsed RGB->1 by summing over the input-channel dim
+      (:787-789) — and then, like every tensor, kept only if the shape
+      matches; torchvision's k7s2 conv1 vs this trunk's k3s1 mismatches, so
+      conv1 keeps its fresh init exactly as the reference's partial load
+      does ("Skip loading parameter conv1.weight ...", :797-801);
+    * bn1 and layer1-3 BasicBlocks (convs, bns, downsamples) are loaded;
+    * layer4 / fc / every head (fc, proj, pred) keep the fresh init.
+
+    Returns (params, batch_stats) with the matched trunk leaves replaced.
+    """
+    sd = {
+        (k[7:] if k.startswith("module.") else k): np.asarray(v)
+        for k, v in state_dict.items()
+    }
+    if "conv1.weight" in sd and sd["conv1.weight"].shape[1] == 3:
+        sd["conv1.weight"] = sd["conv1.weight"].sum(axis=1, keepdims=True)
+
+    params = _to_mutable(params)
+    stats = _to_mutable(batch_stats)
+    loaded, skipped = [], []
+
+    def put(tree, path, value):
+        node = tree
+        for k in path[:-1]:
+            node = node[k]
+        cur = node[path[-1]]
+        if np.shape(cur) != np.shape(value):
+            skipped.append("/".join(path))
+            return
+        node[path[-1]] = np.asarray(value)
+        loaded.append("/".join(path))
+
+    def conv(src, dst):
+        if src + ".weight" in sd:
+            put(params, dst + ("kernel",), _conv2d(sd[src + ".weight"]))
+
+    def bn(src, dst):
+        put(params, dst + ("scale",), sd[src + ".weight"])
+        put(params, dst + ("bias",), sd[src + ".bias"])
+        put(stats, dst + ("mean",), sd[src + ".running_mean"])
+        put(stats, dst + ("var",), sd[src + ".running_var"])
+
+    conv("conv1", ("trunk", "conv1"))
+    bn("bn1", ("trunk", "bn1"))
+    for stage, blocks in enumerate(stage_sizes):
+        for b in range(blocks):
+            src = f"layer{stage + 1}.{b}"
+            dst = ("trunk", f"layer{stage + 1}_{b}")
+            conv(src + ".conv1", dst + ("conv1",))
+            bn(src + ".bn1", dst + ("bn1",))
+            conv(src + ".conv2", dst + ("conv2",))
+            bn(src + ".bn2", dst + ("bn2",))
+            if src + ".downsample.0.weight" in sd:
+                conv(src + ".downsample.0", dst + ("downsample_conv",))
+                bn(src + ".downsample.1", dst + ("downsample_bn",))
+    log_fn(f"imagenet init: loaded {len(loaded)} trunk tensors, "
+           f"kept fresh init for {skipped or 'none'} (shape mismatch, "
+           f"reference-compatible partial load)")
+    return params, stats
+
+
+def load_simsiam_torch(path, state, log_fn=print):
+    """Load a torch ``.pth`` into a SimSiam TrainState: a trained reference
+    exploration checkpoint (has proj./pred. heads) converts fully; a standard
+    torchvision resnet18 becomes an ImageNet trunk init (partial load)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu")
+    raw = ckpt.get("state_dict", ckpt)
+    sd = {k: v.numpy() for k, v in raw.items() if hasattr(v, "numpy")}
+    keys = {k[7:] if k.startswith("module.") else k for k in sd}
+    if any(k.startswith("proj.") for k in keys):
+        params, stats = simsiam_state_dict_to_flax(sd)
+    else:
+        params, stats = imagenet_resnet_to_flax(
+            sd, state.params, state.batch_stats, log_fn=log_fn
+        )
+    return state.replace(params=params, batch_stats=stats)
+
+
 def _get(tree, path):
     node = tree
     for k in path:

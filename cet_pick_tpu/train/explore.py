@@ -157,7 +157,15 @@ def train_explore(config, dataset, num_epochs=None, log_fn=print):
     sample = dataset.sample_batch(rng, [0])
     state = create_simsiam_state(model, config, init_rng, sample)
     if config.load_model:
-        state = load_checkpoint(config.load_model, state, resume=config.resume)
+        if config.load_model.endswith((".pth", ".pt")):
+            # torch checkpoint: trained reference exploration ckpt converts
+            # fully; a standard torchvision resnet18 becomes the reference's
+            # ImageNet trunk init (simsiam_model_2d3d.py:809-838)
+            from cet_pick_tpu.models.convert import load_simsiam_torch
+
+            state = load_simsiam_torch(config.load_model, state, log_fn=log_fn)
+        else:
+            state = load_checkpoint(config.load_model, state, resume=config.resume)
         log_fn(f"loaded checkpoint from {config.load_model} (epoch {state.epoch})")
 
     # data-parallel mesh when requested (--mesh_shape N) or when several

@@ -215,6 +215,23 @@ def train_moco(config, dataset, num_epochs=None, r=1024, log_fn=print):
     # queue size must divide evenly by batch (moco.py:46 assert)
     r = max(config.batch_size, r - r % config.batch_size)
     state = create_moco_state(model, config, init_rng, sample, r=r)
+    if config.load_model:
+        if config.load_model.endswith((".pth", ".pt")):
+            # torch checkpoint: trained reference ckpt or torchvision
+            # imagenet resnet18 (simsiam_model_2d3d.py:809-838). The key
+            # encoder restarts as a copy of the query encoder, as at init.
+            from cet_pick_tpu.models.convert import load_simsiam_torch
+
+            state = load_simsiam_torch(config.load_model, state, log_fn=log_fn)
+            state = state.replace(
+                key_params=jax.tree_util.tree_map(jnp.copy, state.params),
+                key_batch_stats=jax.tree_util.tree_map(
+                    jnp.copy, state.batch_stats
+                ),
+            )
+        else:
+            state = load_moco_checkpoint(config.load_model, state)
+        log_fn(f"loaded checkpoint from {config.load_model}")
 
     # data-parallel mesh (shared policy with train_refine/train_explore); the
     # queue + momentum encoder are replicated state, the key embeddings that

@@ -176,3 +176,89 @@ def test_exported_torch_model_matches_flax(torch_model_and_outputs):
         t_out = tm(torch.from_numpy(x))[0]
     hm_t = t_out["hm"][0].numpy().transpose(1, 2, 3, 0)
     np.testing.assert_allclose(np.asarray(ours["hm"][0]), hm_t, atol=2e-4)
+
+
+def _fake_torchvision_resnet18_sd(rng):
+    """Randomized state_dict with torchvision resnet18's exact key names and
+    shapes (no download needed; mirrors the file init_weights loads at
+    simsiam_model_2d3d.py:807-838)."""
+    sd = {}
+
+    def bn(name, c):
+        sd[f"{name}.weight"] = rng.standard_normal(c).astype(np.float32)
+        sd[f"{name}.bias"] = rng.standard_normal(c).astype(np.float32)
+        sd[f"{name}.running_mean"] = rng.standard_normal(c).astype(np.float32)
+        sd[f"{name}.running_var"] = rng.uniform(0.5, 1.5, c).astype(np.float32)
+        sd[f"{name}.num_batches_tracked"] = np.array(10, np.int64)
+
+    sd["conv1.weight"] = rng.standard_normal((64, 3, 7, 7)).astype(np.float32)
+    bn("bn1", 64)
+    widths = [64, 64, 128, 256, 512]
+    for stage in range(1, 5):
+        cin, cout = widths[stage - 1], widths[stage]
+        for b in range(2):
+            pre = f"layer{stage}.{b}"
+            c0 = cin if b == 0 else cout
+            sd[f"{pre}.conv1.weight"] = rng.standard_normal(
+                (cout, c0, 3, 3)).astype(np.float32)
+            bn(f"{pre}.bn1", cout)
+            sd[f"{pre}.conv2.weight"] = rng.standard_normal(
+                (cout, cout, 3, 3)).astype(np.float32)
+            bn(f"{pre}.bn2", cout)
+            if b == 0 and cin != cout:
+                sd[f"{pre}.downsample.0.weight"] = rng.standard_normal(
+                    (cout, cin, 1, 1)).astype(np.float32)
+                bn(f"{pre}.downsample.1", cout)
+    sd["fc.weight"] = rng.standard_normal((1000, 512)).astype(np.float32)
+    sd["fc.bias"] = rng.standard_normal(1000).astype(np.float32)
+    return sd
+
+
+def test_imagenet_resnet18_partial_load(tmp_path):
+    """A standard torchvision resnet18 .pth initializes the SimSiam trunk the
+    way the reference's init_weights does (simsiam_model_2d3d.py:783-806):
+    bn1 + layers1-3 loaded, conv1/heads keep fresh init (shape-gated)."""
+    import torch
+
+    import jax
+
+    from cet_pick_tpu.config import Config
+    from cet_pick_tpu.models.convert import load_simsiam_torch
+    from cet_pick_tpu.models.simsiam import create_simsiam
+    from cet_pick_tpu.train.explore import create_simsiam_state
+
+    rng = np.random.default_rng(7)
+    sd = _fake_torchvision_resnet18_sd(rng)
+    path = tmp_path / "resnet18.pth"
+    torch.save({k: torch.from_numpy(np.atleast_1d(np.asarray(v)))
+                for k, v in sd.items()}, str(path))
+
+    cfg = Config(task="simsiam2d3d", arch="simsiam2d3d_18",
+                 head_conv=64, bbox=24).finalize()
+    model = create_simsiam(cfg)
+    x = np.random.default_rng(0).standard_normal((2, 2, 24, 24)).astype(
+        np.float32)
+    state = create_simsiam_state(
+        model, cfg, jax.random.PRNGKey(0), {"anchor": x})
+    fresh = jax.tree_util.tree_map(np.asarray, state.params)
+
+    state = load_simsiam_torch(str(path), state, log_fn=lambda *_: None)
+
+    trunk = state.params["trunk"]
+    # loaded: bn1 + all layer1-3 tensors (transposed conv layout)
+    np.testing.assert_array_equal(trunk["bn1"]["scale"], sd["bn1.weight"])
+    np.testing.assert_array_equal(
+        trunk["layer1_0"]["conv1"]["kernel"],
+        np.transpose(sd["layer1.0.conv1.weight"], (2, 3, 1, 0)))
+    np.testing.assert_array_equal(
+        trunk["layer2_0"]["downsample_conv"]["kernel"],
+        np.transpose(sd["layer2.0.downsample.0.weight"], (2, 3, 1, 0)))
+    np.testing.assert_array_equal(
+        state.batch_stats["trunk"]["layer3_1"]["bn2"]["mean"],
+        sd["layer3.1.bn2.running_mean"])
+    # skipped by shape gate: conv1 (k7s2 RGB-collapse vs k3s1 trunk stem)
+    np.testing.assert_array_equal(trunk["conv1"]["kernel"],
+                                  fresh["trunk"]["conv1"]["kernel"])
+    # untouched: SimSiam heads keep fresh init
+    np.testing.assert_array_equal(state.params["proj"]["fc1"]["kernel"],
+                                  fresh["proj"]["fc1"]["kernel"])
