@@ -130,10 +130,12 @@ def make_dp_step(inner, mesh: Mesh, axis: str = "data", donate=(0,)):
     on the jit boundary — outputs are declared replicated (forcing the GSPMD
     gradient all-reduce) and every batch leaf whose leading dimension splits
     evenly over the mesh is constrained to ``P(axis)`` *inside* the traced
-    function (``with_sharding_constraint`` sees static shapes at trace time,
-    so non-batch leaves such as per-channel normalization constants stay
-    replicated). A caller passing raw numpy batches still gets a genuinely
-    sharded step. Extra positional args (e.g. a PRNG key) ride replicated.
+    function (``with_sharding_constraint`` sees static shapes at trace time).
+    Leaves named in ``REPLICATED_BATCH_KEYS`` (per-channel normalization
+    constants, whose length can coincide with the mesh size) are excluded by
+    name, the same mechanism the multi-host variant uses. A caller passing
+    raw numpy batches still gets a genuinely sharded step. Extra positional
+    args (e.g. a PRNG key) ride replicated.
 
     Returns (step, place_state, place_batch).
     """
@@ -141,13 +143,17 @@ def make_dp_step(inner, mesh: Mesh, axis: str = "data", donate=(0,)):
     bsh = NamedSharding(mesh, P(axis))
     size = mesh.devices.size
 
-    def _is_batch_leaf(x):
+    def _is_batch_leaf(path, x):
+        if any(
+            getattr(p, "key", None) in REPLICATED_BATCH_KEYS for p in path
+        ):
+            return False
         return np.ndim(x) >= 1 and x.shape[0] > 0 and x.shape[0] % size == 0
 
     def wrapped(state, batch, *extra):
-        batch = jax.tree_util.tree_map(
-            lambda x: jax.lax.with_sharding_constraint(x, bsh)
-            if _is_batch_leaf(x) else x,
+        batch = jax.tree_util.tree_map_with_path(
+            lambda p, x: jax.lax.with_sharding_constraint(x, bsh)
+            if _is_batch_leaf(p, x) else x,
             batch,
         )
         return inner(state, batch, *extra)
@@ -158,8 +164,10 @@ def make_dp_step(inner, mesh: Mesh, axis: str = "data", donate=(0,)):
         return jax.device_put(state, repl)
 
     def place_batch(batch):
-        return jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, bsh if _is_batch_leaf(x) else repl),
+        return jax.tree_util.tree_map_with_path(
+            lambda p, x: jax.device_put(
+                x, bsh if _is_batch_leaf(p, x) else repl
+            ),
             batch,
         )
 

@@ -305,14 +305,16 @@ def _rad_bins(shape) -> np.ndarray:
 
 def rad_avg(image) -> np.ndarray:
     """Radially averaged intensity; bin 0 (the exact center) is dropped like
-    the reference's index=arange(1, ...) (filter_utils.py:73-75)."""
+    the reference's index=arange(1, ...) (filter_utils.py:73-75). Empty bins
+    yield NaN, matching ndimage.mean's empty-label behavior."""
     image = jnp.asarray(image)
     rbin = _rad_bins(image.shape)
     length = int(rbin.max()) + 1
     sums = jnp.bincount(jnp.asarray(rbin.ravel()), weights=image.ravel(),
                         length=length)
     cnts = jnp.bincount(jnp.asarray(rbin.ravel()), length=length)
-    return np.asarray(sums[1:] / jnp.maximum(cnts[1:], 1))
+    out = np.asarray(sums[1:] / jnp.maximum(cnts[1:], 1))
+    return np.where(np.asarray(cnts[1:]) == 0, np.nan, out)
 
 
 def extract_spectrum(tomo) -> np.ndarray:
