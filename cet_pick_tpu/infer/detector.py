@@ -45,7 +45,8 @@ class TomoDetector:
         from cet_pick_tpu.models.detector import create_detector
 
         if tile_z is None:
-            tile_z = int(config.tile[0])  # --tile D H W (D used for z-tiling)
+            tile_z = int(config.tile[0])  # --tile D H W
+        tile_xy = tuple(config.tile[1:]) if len(config.tile) >= 3 else None
         halo = max(int(config.halo), Z_HALO)  # smaller would break exactness
 
         self.config = config
@@ -70,7 +71,8 @@ class TomoDetector:
                 state = load_checkpoint(config.load_model, state)
                 params, batch_stats = state.params, state.batch_stats
         self.infer = TiledHeatmapInference(
-            self.model, params, batch_stats, tile_z=tile_z, halo=halo
+            self.model, params, batch_stats, tile_z=tile_z, halo=halo,
+            tile_xy=tile_xy,
         )
 
     # -- pipeline stages -----------------------------------------------------

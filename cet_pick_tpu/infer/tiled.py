@@ -34,16 +34,48 @@ import numpy as np
 
 Z_HALO = 3  # z receptive-field radius of the 3D head (unet_small.py:39-61)
 
+# xy tiling (single-chip large-volume path; --tile D H W consumes H, W here):
+# unlike z — where the 2D UNet mixes nothing — the whole network mixes xy, so
+# the halo must cover the full architectural xy receptive field. Window
+# starts must also stay on the total-downsample grid (stem 2 x 2^(n_blocks-1)
+# max pools), or the ceil-mode pools pair different pixels than the
+# full-volume forward and exactness dies.
+
+
+def xy_align(n_blocks: int) -> int:
+    """Total xy downsample stride: stem(2) x pool(2)^(n_blocks-1)."""
+    return 2 ** n_blocks
+
+
+def xy_halo(n_blocks: int) -> int:
+    """Architectural xy receptive-field radius in INPUT pixels, rounded up
+    to the pooling grid. One-sided analytic bound at the stride-2 UNet grid,
+    summing (kernel reach) x (dilation x stride) per layer: down-path k3
+    convs 2*(2^n - 1), up-path k3 convs 2*(2^(n-1) - 1), ceil-mode k2 pools
+    2^(n-1) - 1, k2s2 transposed convs 2^(n-1) - 1, two dil-4 k3 head convs
+    8 — total 2^(n+2) + 2; doubled to input pixels plus the k7s2 stem's 6.
+    An abs-weights impulse probe measures 108 for n_blocks=4 against this
+    bound's 144 (tests/test_infer.py::test_xy_tiled_matches_full)."""
+    raw = 2 * (2 ** (n_blocks + 2) + 2) + 6
+    a = xy_align(n_blocks)
+    return -(-raw // a) * a
+
 
 class TiledHeatmapInference:
-    """Jitted z-tiled `hm` forward for one model + params."""
+    """Jitted z-tiled (and optionally xy-tiled) `hm` forward for one model +
+    params."""
 
     def __init__(self, model, params, batch_stats, tile_z: int = 64,
-                 halo: int = Z_HALO):
+                 halo: int = Z_HALO, tile_xy=None):
         self.model = model
         self.variables = {"params": params, "batch_stats": batch_stats}
         self.tile_z = int(tile_z)
         self.halo = int(halo)
+        # (tile_h, tile_w) in input pixels, 0/None = never tile that axis
+        self.tile_xy = tuple(int(t) for t in tile_xy) if tile_xy else None
+        n_blocks = int(getattr(model, "n_blocks", 4))
+        self.xy_halo = xy_halo(n_blocks)
+        self.xy_align = xy_align(n_blocks)
 
         @functools.partial(jax.jit, static_argnames=())
         def _tile_forward(variables, tile, lo, hi):
@@ -73,6 +105,57 @@ class TiledHeatmapInference:
             plan.append((s, z0 - s, z1 - s))
         return tuple(plan), win
 
+    def _xy_plan(self, dim, tile):
+        """Shifted-inward xy window plan, or None when one window covers the
+        axis. Starts/cores stay on the pooling grid (see xy_halo/xy_align)."""
+        halo, align = self.xy_halo, self.xy_align
+        if not tile:
+            return None
+        tile = max(tile - tile % align, align)
+        win = tile + 2 * halo
+        if dim <= win:
+            return None
+        if dim % align:
+            raise ValueError(
+                f"xy-tiled inference needs the volume's xy extent to be a "
+                f"multiple of {align} (got {dim}); pad or crop the volume, "
+                f"or raise --tile H W above {dim - 2 * halo}"
+            )
+        plan = []
+        for t in range(-(-dim // tile)):
+            a0 = t * tile
+            a1 = min(a0 + tile, dim)
+            s = min(max(a0 - halo, 0), dim - win)
+            plan.append((s, a0, a1))
+        return tuple(plan), win
+
+    def _xy_tiled(self, volume, lo, hi, z_forward):
+        """Decompose xy, run ``z_forward`` per xy window, stitch output cores
+        (output grid = input/2). Returns None when no xy tiling is needed."""
+        d, h, w = volume.shape
+        th, tw = self.tile_xy if self.tile_xy else (0, 0)
+        hplan = self._xy_plan(h, th)
+        wplan = self._xy_plan(w, tw)
+        if hplan is None and wplan is None:
+            return None
+        hp, hwin = hplan if hplan else (((0, 0, h),), h)
+        wp, wwin = wplan if wplan else (((0, 0, w),), w)
+        if not isinstance(volume, jax.Array):
+            volume = jax.device_put(volume)
+        rows = []
+        for sy, y0, y1 in hp:
+            cols = []
+            for sx, x0, x1 in wp:
+                window = jax.lax.slice(
+                    volume, (0, sy, sx), (d, sy + hwin, sx + wwin)
+                )
+                hm = z_forward(window)
+                cols.append(hm[:, (y0 - sy) // 2:(y1 - sy) // 2,
+                                (x0 - sx) // 2:(x1 - sx) // 2])
+            rows.append(jnp.concatenate(cols, axis=2) if len(cols) > 1
+                        else cols[0])
+        return jnp.concatenate(rows, axis=1) if len(rows) > 1 else rows[0]
+
     def fused(self, volume, lo: float = 0.0, hi: float = 1.0):
         """Whole-volume heatmap in ONE device dispatch.
 
@@ -83,18 +166,32 @@ class TiledHeatmapInference:
         attached chips it trades peak activation memory for utilization.
         Results are bit-identical to the streamed path.
         """
+        tiled = self._xy_tiled(
+            volume, lo, hi, lambda win_: self.fused(win_, lo=lo, hi=hi)
+        )
+        if tiled is not None:
+            return tiled
         d = volume.shape[0]
         tz, halo = self.tile_z, self.halo
         if d <= tz + 2 * halo:
-            return self(volume, lo=lo, hi=hi)
+            return self._forward_z(volume, lo=lo, hi=hi)
         plan, win = self._window_plan(d)
         if not isinstance(volume, jax.Array):
             volume = jax.device_put(volume)
 
         if not hasattr(self, "_fused_fns"):
-            self._fused_fns = {}
+            # bounded compile cache: each distinct (shape, dtype, plan)
+            # pins an XLA executable; evict least-recently-used beyond 8 so
+            # a long-lived service over heterogeneous volumes cannot leak
+            from collections import OrderedDict
+
+            self._fused_fns = OrderedDict()
         key = (d,) + volume.shape[1:] + (str(volume.dtype), plan)
-        if key not in self._fused_fns:
+        if key in self._fused_fns:
+            self._fused_fns.move_to_end(key)
+        else:
+            while len(self._fused_fns) >= 8:
+                self._fused_fns.popitem(last=False)
 
             @jax.jit
             def _fused(variables, vol, lo_, hi_):
@@ -130,8 +227,17 @@ class TiledHeatmapInference:
         so every core slice either has >= halo slices of real context inside
         its window or sits at the true volume border where the convolutions'
         own zero padding applies — the stitched result is bit-identical to a
-        single full-volume forward.
+        single full-volume forward. When ``tile_xy`` is set and the volume
+        exceeds it, the same scheme tiles H/W with the full-network xy halo.
         """
+        tiled = self._xy_tiled(
+            volume, lo, hi, lambda win_: self._forward_z(win_, lo=lo, hi=hi)
+        )
+        if tiled is not None:
+            return tiled
+        return self._forward_z(volume, lo=lo, hi=hi)
+
+    def _forward_z(self, volume, lo: float = 0.0, hi: float = 1.0):
         d, h, w = volume.shape
         # ONE bulk async host->device transfer, then slice on device.
         # jax.device_put streams ~GB/s where jnp.asarray / per-tile host

@@ -189,3 +189,54 @@ def test_save_detection_spike_branch(small_setup, tmp_path):
     for line in lines:
         parts = line.split("\t")
         assert len(parts) == 4  # with_score
+
+
+def test_xy_tiled_matches_full(small_setup, rng):
+    """xy tiling with the full-network halo must be bit-identical to the
+    full-volume forward (streamed AND fused paths), including shifted-inward
+    windows at the borders."""
+    config, model, state = small_setup
+    vol = rng.standard_normal((12, 192, 192)).astype(np.float32)
+
+    out = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        vol[None], train=False, active_heads=("hm",),
+    )
+    hm_full = np.asarray(sigmoid_clamped(out["hm"][0, ..., 0]))
+
+    tiled = TiledHeatmapInference(
+        model, state.params, state.batch_stats, tile_z=64, tile_xy=(64, 64)
+    )
+    assert tiled._xy_plan(192, 64) is not None, "fixture must actually tile"
+    hm_tiled = np.asarray(tiled(vol))
+    assert hm_tiled.shape == hm_full.shape
+    np.testing.assert_allclose(hm_tiled, hm_full, rtol=0, atol=1e-6)
+
+    hm_fused = np.asarray(tiled.fused(vol))
+    np.testing.assert_allclose(hm_fused, hm_full, rtol=0, atol=1e-6)
+
+
+def test_xy_tiled_one_axis_and_z(small_setup, rng):
+    """H-only xy tiling composed with z tiling stays exact."""
+    config, model, state = small_setup
+    vol = rng.standard_normal((20, 192, 64)).astype(np.float32)
+    out = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        vol[None], train=False, active_heads=("hm",),
+    )
+    hm_full = np.asarray(sigmoid_clamped(out["hm"][0, ..., 0]))
+    tiled = TiledHeatmapInference(
+        model, state.params, state.batch_stats, tile_z=6, tile_xy=(64, 0)
+    )
+    np.testing.assert_allclose(np.asarray(tiled(vol)), hm_full,
+                               rtol=0, atol=1e-6)
+
+
+def test_xy_tiled_misaligned_raises(small_setup, rng):
+    config, model, state = small_setup
+    tiled = TiledHeatmapInference(
+        model, state.params, state.batch_stats, tile_z=64, tile_xy=(64, 64)
+    )
+    vol = rng.standard_normal((8, 194, 194)).astype(np.float32)
+    with pytest.raises(ValueError, match="multiple of"):
+        tiled(vol)
