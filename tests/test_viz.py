@@ -181,3 +181,88 @@ def test_render_3d_hm(tmp_path, rng):
     # no coords for unknown name
     r2, h2 = render_3d_hm(vol, coords, colors, names, "nope", str(tmp_path))
     assert r2 is None
+
+
+def test_launch_phoenix_schema_with_stub(tmp_path, monkeypatch):
+    """Exercise the phoenix schema-building path without arize-phoenix: a
+    stub module records the Schema/Dataset/launch_app calls, including the
+    port-rewrite of image URLs (phoenix_visualization.py:30-59)."""
+    import sys
+    import types
+
+    calls = {}
+
+    stub = types.ModuleType("phoenix")
+
+    class EmbeddingColumnNames:
+        def __init__(self, vector_column_name, link_to_data_column_name):
+            calls["embedding_cols"] = (vector_column_name,
+                                       link_to_data_column_name)
+
+    class Schema:
+        def __init__(self, prediction_label_column_name, tag_column_names,
+                     embedding_feature_column_names):
+            calls["label_col"] = prediction_label_column_name
+            calls["tags"] = tuple(tag_column_names)
+            calls["features"] = dict(embedding_feature_column_names)
+
+    class Dataset:
+        def __init__(self, dataframe, schema):
+            calls["df"] = dataframe
+            calls["schema"] = schema
+
+    stub.EmbeddingColumnNames = EmbeddingColumnNames
+    stub.Schema = Schema
+    stub.Dataset = Dataset
+    stub.launch_app = lambda ds: calls.setdefault("launched", ds) or "session"
+    monkeypatch.setitem(sys.modules, "phoenix", stub)
+
+    df = pd.DataFrame({
+        "label": [0, 1],
+        "name": ["tomo1", "tomo1"],
+        "coord": [[1, 2, 3], [4, 5, 6]],
+        "embeddings": [[0.1, 0.2], [0.3, 0.4]],
+        "image": ["http://localhost:7000/imgs/a.png",
+                  "http://localhost:7000/imgs/b.png"],
+    })
+    pq = tmp_path / "interactive_info_parquet.gzip"
+    df.to_parquet(pq, compression="gzip")
+
+    from cet_pick_tpu.viz.interactive import launch_phoenix
+
+    launch_phoenix(str(pq), port=7000)
+    assert calls["label_col"] == "label"
+    assert calls["tags"] == ("name", "coord")
+    assert calls["embedding_cols"] == ("embeddings", "image")
+    assert "image_embedding" in calls["features"]
+    assert "launched" in calls
+
+    # non-default port rewrites the thumbnail URLs
+    calls.clear()
+    launch_phoenix(str(pq), port=29999)
+    assert calls["df"]["image"].str.contains("localhost:29999").all()
+
+
+def test_phoenix_cli_drive_with_stub(tmp_path, monkeypatch, capsys):
+    """Disk-level CLI drive of the phoenix command against the stub."""
+    import sys
+    import types
+
+    stub = types.ModuleType("phoenix")
+    stub.EmbeddingColumnNames = lambda **kw: None
+    stub.Schema = lambda **kw: None
+    stub.Dataset = lambda dataframe, schema: None
+    stub.launch_app = lambda ds: "session"
+    monkeypatch.setitem(sys.modules, "phoenix", stub)
+    monkeypatch.setattr("builtins.input", lambda *a: "")
+
+    df = pd.DataFrame({
+        "label": [0], "name": ["t"], "coord": [[1, 2, 3]],
+        "embeddings": [[0.1]], "image": ["http://localhost:7000/x.png"],
+    })
+    pq = tmp_path / "p.gzip"
+    df.to_parquet(pq, compression="gzip")
+
+    from cet_pick_tpu.__main__ import main
+
+    main(["phoenix", "--input", str(pq)])
