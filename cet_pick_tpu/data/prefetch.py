@@ -16,7 +16,14 @@ from typing import Callable, Iterator, Optional
 
 
 class PrefetchIterator:
-    """Wrap a batch iterator; keep `depth` batches in flight on device."""
+    """Wrap a batch iterator; keep `depth` batches in flight on device.
+
+    Supports early termination: a consumer that stops mid-epoch (e.g. the
+    ``--num_iters`` cap in the train loops) must call :meth:`close` — or use
+    the iterator as a context manager — so the producer thread is released
+    and its in-flight device batches are dropped; otherwise the producer
+    stays blocked on the full queue forever.
+    """
 
     _SENTINEL = object()
 
@@ -27,15 +34,27 @@ class PrefetchIterator:
         self._q = queue.Queue(maxsize=depth)
         self._put = device_put or jax.device_put
         self._err = None
+        self._stop = threading.Event()
 
         def worker():
             try:
                 for batch in iterator:
-                    self._q.put(self._put(batch))
+                    item = self._put(batch)
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if self._stop.is_set():
+                        return
             except BaseException as e:  # surfaced on the consumer side
                 self._err = e
             finally:
-                self._q.put(self._SENTINEL)
+                try:
+                    self._q.put_nowait(self._SENTINEL)
+                except queue.Full:
+                    pass  # consumer is gone; close() drains anyway
 
         self._thread = threading.Thread(target=worker, daemon=True)
         self._thread.start()
@@ -50,6 +69,23 @@ class PrefetchIterator:
                 raise self._err
             raise StopIteration
         return item
+
+    def close(self):
+        """Release the producer thread and drop queued device batches."""
+        self._stop.set()
+        while True:
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break
+        self._thread.join(timeout=5.0)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
 
 
 def prefetch_epoch(dataset, rng, batch_size, depth: int = 2, **kwargs):

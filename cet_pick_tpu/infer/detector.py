@@ -47,6 +47,14 @@ class TomoDetector:
         if tile_z is None:
             tile_z = int(config.tile[0])  # --tile D H W
         tile_xy = tuple(config.tile[1:]) if len(config.tile) >= 3 else None
+        if config.arch.startswith(("res3d", "p3d")):
+            # TomoPickNet3D's GroupNorm takes statistics over the FULL
+            # spatial extent, so any tiling changes the normalization and
+            # silently deviates from the whole-volume forward — run these
+            # arches untiled (the reference's semi3d path is whole-volume
+            # too, trains/tomo_trainer.py)
+            tile_z = 10 ** 9
+            tile_xy = None
         halo = max(int(config.halo), Z_HALO)  # smaller would break exactness
 
         self.config = config

@@ -116,11 +116,17 @@ class TiledHeatmapInference:
         if dim <= win:
             return None
         if dim % align:
-            raise ValueError(
-                f"xy-tiled inference needs the volume's xy extent to be a "
-                f"multiple of {align} (got {dim}); pad or crop the volume, "
-                f"or raise --tile H W above {dim - 2 * halo}"
+            # misaligned extents cannot tile exactly (window starts would
+            # leave the pooling grid); fall back to the untiled forward on
+            # this axis rather than failing a default-config run
+            import warnings
+
+            warnings.warn(
+                f"xy extent {dim} is not a multiple of {align}; running "
+                f"this axis untiled (pad/crop the volume to enable xy "
+                f"tiling)", stacklevel=3,
             )
+            return None
         plan = []
         for t in range(-(-dim // tile)):
             a0 = t * tile
@@ -138,20 +144,32 @@ class TiledHeatmapInference:
         wplan = self._xy_plan(w, tw)
         if hplan is None and wplan is None:
             return None
-        hp, hwin = hplan if hplan else (((0, 0, h),), h)
-        wp, wwin = wplan if wplan else (((0, 0, w),), w)
+        # passthrough axes keep the window's FULL output extent (slice(None))
+        # — the output there is ceil(dim/2), which floor-division would clip
+        # for odd extents; tiled axes are all-even by construction, so the
+        # exact core is [ (a0-s)/2, (a1-s)/2 )
+        hp, hwin = hplan if hplan else ((None,), h)
+        wp, wwin = wplan if wplan else ((None,), w)
+
+        def core(entry):
+            if entry is None:
+                return 0, slice(None)
+            s, a0, a1 = entry
+            return s, slice((a0 - s) // 2, (a1 - s) // 2)
+
         if not isinstance(volume, jax.Array):
             volume = jax.device_put(volume)
         rows = []
-        for sy, y0, y1 in hp:
+        for he in hp:
+            sy, ysl = core(he)
             cols = []
-            for sx, x0, x1 in wp:
+            for we in wp:
+                sx, xsl = core(we)
                 window = jax.lax.slice(
                     volume, (0, sy, sx), (d, sy + hwin, sx + wwin)
                 )
                 hm = z_forward(window)
-                cols.append(hm[:, (y0 - sy) // 2:(y1 - sy) // 2,
-                                (x0 - sx) // 2:(x1 - sx) // 2])
+                cols.append(hm[:, ysl, xsl])
             rows.append(jnp.concatenate(cols, axis=2) if len(cols) > 1
                         else cols[0])
         return jnp.concatenate(rows, axis=1) if len(rows) > 1 else rows[0]

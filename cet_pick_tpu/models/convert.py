@@ -133,6 +133,31 @@ def simsiam_state_dict_to_flax(state_dict: Dict, stage_sizes=(2, 2, 2)):
         if bias and src + ".bias" in sd:
             _set(params, dst + ("bias",), sd[src + ".bias"])
 
+    _walk_resnet_trunk(sd, stage_sizes, conv, bn)
+
+    if "fc.weight" in sd:
+        dense("fc", ("fc",))
+    # proj Sequential indices 0,1 / 3,4 / 6,7 (simsiam_model_2d3d.py:590-598)
+    if "proj.0.weight" in sd:
+        dense("proj.0", ("proj", "fc0"), bias=False)
+        bn("proj.1", ("proj", "bn0"))
+        dense("proj.3", ("proj", "fc1"), bias=False)
+        bn("proj.4", ("proj", "bn1"))
+        dense("proj.6", ("proj", "fc2"), bias=False)
+        bn("proj.7", ("proj", "bn2"), affine=False)
+    # pred Sequential indices 0,1 / 3 (:600-605); MoCo encoders may omit it
+    if "pred.0.weight" in sd:
+        dense("pred.0", ("pred", "fc0"), bias=False)
+        bn("pred.1", ("pred", "bn0"))
+        dense("pred.3", ("pred", "fc1"))
+    return params, stats
+
+
+def _walk_resnet_trunk(sd, stage_sizes, conv, bn):
+    """Shared trunk traversal: conv1/bn1 + layer{s}.{b} BasicBlocks with
+    optional downsamples, mapped onto SimSiam ``ResNetTrunk`` module names.
+    ``conv(src, dst_path)`` / ``bn(src, dst_path)`` define the leaf writes
+    (full-load vs shape-gated partial load)."""
     conv("conv1", ("trunk", "conv1"))
     bn("bn1", ("trunk", "bn1"))
     for stage, blocks in enumerate(stage_sizes):
@@ -146,20 +171,6 @@ def simsiam_state_dict_to_flax(state_dict: Dict, stage_sizes=(2, 2, 2)):
             if src + ".downsample.0.weight" in sd:
                 conv(src + ".downsample.0", dst + ("downsample_conv",))
                 bn(src + ".downsample.1", dst + ("downsample_bn",))
-
-    dense("fc", ("fc",))
-    # proj Sequential indices 0,1 / 3,4 / 6,7 (simsiam_model_2d3d.py:590-598)
-    dense("proj.0", ("proj", "fc0"), bias=False)
-    bn("proj.1", ("proj", "bn0"))
-    dense("proj.3", ("proj", "fc1"), bias=False)
-    bn("proj.4", ("proj", "bn1"))
-    dense("proj.6", ("proj", "fc2"), bias=False)
-    bn("proj.7", ("proj", "bn2"), affine=False)
-    # pred Sequential indices 0,1 / 3 (:600-605)
-    dense("pred.0", ("pred", "fc0"), bias=False)
-    bn("pred.1", ("pred", "bn0"))
-    dense("pred.3", ("pred", "fc1"))
-    return params, stats
 
 
 def _to_mutable(tree):
@@ -216,19 +227,7 @@ def imagenet_resnet_to_flax(state_dict, params, batch_stats,
         put(stats, dst + ("mean",), sd[src + ".running_mean"])
         put(stats, dst + ("var",), sd[src + ".running_var"])
 
-    conv("conv1", ("trunk", "conv1"))
-    bn("bn1", ("trunk", "bn1"))
-    for stage, blocks in enumerate(stage_sizes):
-        for b in range(blocks):
-            src = f"layer{stage + 1}.{b}"
-            dst = ("trunk", f"layer{stage + 1}_{b}")
-            conv(src + ".conv1", dst + ("conv1",))
-            bn(src + ".bn1", dst + ("bn1",))
-            conv(src + ".conv2", dst + ("conv2",))
-            bn(src + ".bn2", dst + ("bn2",))
-            if src + ".downsample.0.weight" in sd:
-                conv(src + ".downsample.0", dst + ("downsample_conv",))
-                bn(src + ".downsample.1", dst + ("downsample_bn",))
+    _walk_resnet_trunk(sd, stage_sizes, conv, bn)
     log_fn(f"imagenet init: loaded {len(loaded)} trunk tensors, "
            f"kept fresh init for {skipped or 'none'} (shape mismatch, "
            f"reference-compatible partial load)")
@@ -236,17 +235,30 @@ def imagenet_resnet_to_flax(state_dict, params, batch_stats,
 
 
 def load_simsiam_torch(path, state, log_fn=print):
-    """Load a torch ``.pth`` into a SimSiam TrainState: a trained reference
-    exploration checkpoint (has proj./pred. heads) converts fully; a standard
-    torchvision resnet18 becomes an ImageNet trunk init (partial load)."""
+    """Load a torch ``.pth`` into a SimSiam/MoCo TrainState: a trained
+    reference exploration checkpoint (has proj./pred. heads) converts fully;
+    a reference MoCo checkpoint (the MoCo wrapper, moco.py:19-20) converts
+    its ``encoder_q.*`` query encoder; a standard torchvision resnet18
+    becomes an ImageNet trunk init (partial load)."""
     import torch
 
     ckpt = torch.load(path, map_location="cpu")
     raw = ckpt.get("state_dict", ckpt)
     sd = {k: v.numpy() for k, v in raw.items() if hasattr(v, "numpy")}
-    keys = {k[7:] if k.startswith("module.") else k for k in sd}
-    if any(k.startswith("proj.") for k in keys):
+    sd = {(k[7:] if k.startswith("module.") else k): v for k, v in sd.items()}
+    if any(k.startswith("encoder_q.") for k in sd):
+        # reference MoCo wrapper: take the query encoder (moco_main.py saves
+        # the whole MoCo module; encoder_k is its EMA copy)
+        sd = {k[len("encoder_q."):]: v for k, v in sd.items()
+              if k.startswith("encoder_q.")}
+    if any(k.startswith("proj.") for k in sd):
         params, stats = simsiam_state_dict_to_flax(sd)
+        # heads absent from the checkpoint (e.g. pred in a MoCo encoder)
+        # keep their fresh init so the model's parameter tree stays complete
+        for tree, fresh in ((params, _to_mutable(state.params)),
+                            (stats, _to_mutable(state.batch_stats))):
+            for key, sub in fresh.items():
+                tree.setdefault(key, sub)
     else:
         params, stats = imagenet_resnet_to_flax(
             sd, state.params, state.batch_stats, log_fn=log_fn

@@ -206,15 +206,16 @@ def train_explore(config, dataset, num_epochs=None, log_fn=print):
             device_put=place_batch,
         )
         total_batches = max(len(dataset) // config.batch_size, 1)
-        for it, batch in enumerate(batches):
-            if 0 <= config.num_iters <= it:
-                break  # per-epoch iteration cap (base_trainer.py:263-268)
-            wlr = simsiam_warmup_lr(config, epoch, it, total_batches)
-            if wlr is not None:
-                state = set_learning_rate(state, wlr)
-            key, sub = jax.random.split(key)
-            state, metrics = step(state, batch, sub)
-            epoch_metrics.append({k: float(v) for k, v in metrics.items()})
+        with batches:  # releases the producer thread on a num_iters break
+            for it, batch in enumerate(batches):
+                if 0 <= config.num_iters <= it:
+                    break  # per-epoch iteration cap (base_trainer.py:263-268)
+                wlr = simsiam_warmup_lr(config, epoch, it, total_batches)
+                if wlr is not None:
+                    state = set_learning_rate(state, wlr)
+                key, sub = jax.random.split(key)
+                state, metrics = step(state, batch, sub)
+                epoch_metrics.append({k: float(v) for k, v in metrics.items()})
         if not epoch_metrics:
             raise ValueError(
                 f"no training batches: {len(dataset)} samples < batch_size "

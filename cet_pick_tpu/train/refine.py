@@ -228,7 +228,10 @@ def train_refine(config, dataset, val_dataset=None, num_epochs=None, log_fn=prin
         # profiler trace (utils/profiling.py; view in TensorBoard's profile tab)
         from cet_pick_tpu.utils.profiling import maybe_trace
 
-        with maybe_trace(config.profile_dir if epoch == start_epoch else None):
+        # the context manager releases the producer thread + its in-flight
+        # device batches when the --num_iters cap breaks out mid-epoch
+        with maybe_trace(config.profile_dir if epoch == start_epoch else None), \
+                batches:
             for it, batch in enumerate(batches):
                 # per-epoch iteration cap (base_trainer.py:263-268; -1 = all)
                 if 0 <= config.num_iters <= it:

@@ -262,3 +262,51 @@ def test_imagenet_resnet18_partial_load(tmp_path):
     # untouched: SimSiam heads keep fresh init
     np.testing.assert_array_equal(state.params["proj"]["fc1"]["kernel"],
                                   fresh["proj"]["fc1"]["kernel"])
+
+
+def test_moco_wrapper_checkpoint_loads_query_encoder(tmp_path):
+    """A reference MoCo checkpoint (the whole MoCo wrapper, keys
+    encoder_q.*/encoder_k.* — moco.py:19-20) loads its query encoder, and
+    heads absent from the checkpoint keep their fresh init."""
+    sys.path.insert(0, REFERENCE)
+    import torch
+
+    import jax
+
+    from cet_pick.models.networks.simsiam_model_2d3d import (
+        BasicBlock, TomoResClassifier2D3D,
+    )
+
+    from cet_pick_tpu.config import Config
+    from cet_pick_tpu.models.convert import load_simsiam_torch
+    from cet_pick_tpu.models.simsiam import create_simsiam
+    from cet_pick_tpu.train.explore import create_simsiam_state
+
+    torch.manual_seed(0)
+    enc = TomoResClassifier2D3D(BasicBlock, [2, 2, 2], {"proj": 64}, 64)
+    sd = {f"encoder_q.{k}": v for k, v in enc.state_dict().items()}
+    sd.update({f"encoder_k.{k}": torch.zeros_like(v)
+               for k, v in enc.state_dict().items()})
+    path = tmp_path / "model_last_contrastive.pth"
+    torch.save({"state_dict": sd, "epoch": 3}, str(path))
+
+    cfg = Config(task="simsiam2d3d", arch="simsiam2d3d_18",
+                 head_conv=64, bbox=24).finalize()
+    model = create_simsiam(cfg)
+    x = np.random.default_rng(0).standard_normal((2, 2, 24, 24)).astype(
+        np.float32)
+    state = create_simsiam_state(
+        model, cfg, jax.random.PRNGKey(0), {"anchor": x})
+    fresh_pred = np.asarray(state.params["pred"]["fc1"]["kernel"])
+
+    state = load_simsiam_torch(str(path), state, log_fn=lambda *_: None)
+    np.testing.assert_array_equal(
+        state.params["trunk"]["conv1"]["kernel"],
+        np.transpose(enc.state_dict()["conv1.weight"].numpy(), (2, 3, 1, 0)))
+    # proj head converted from the Sequential indices
+    np.testing.assert_array_equal(
+        state.params["proj"]["fc0"]["kernel"],
+        enc.state_dict()["proj.0.weight"].numpy().T)
+    # pred head was not in the checkpoint: fresh init preserved
+    np.testing.assert_array_equal(state.params["pred"]["fc1"]["kernel"],
+                                  fresh_pred)

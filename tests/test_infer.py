@@ -232,11 +232,39 @@ def test_xy_tiled_one_axis_and_z(small_setup, rng):
                                rtol=0, atol=1e-6)
 
 
-def test_xy_tiled_misaligned_raises(small_setup, rng):
+def test_xy_tiled_misaligned_falls_back(small_setup, rng):
+    """Misaligned xy extents warn and run untiled (a default-config run on
+    an arbitrary-size volume must not crash) and stay exact."""
     config, model, state = small_setup
     tiled = TiledHeatmapInference(
         model, state.params, state.batch_stats, tile_z=64, tile_xy=(64, 64)
     )
     vol = rng.standard_normal((8, 194, 194)).astype(np.float32)
-    with pytest.raises(ValueError, match="multiple of"):
-        tiled(vol)
+    with pytest.warns(UserWarning, match="not a multiple"):
+        hm = np.asarray(tiled(vol))
+    out = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        vol[None], train=False, active_heads=("hm",),
+    )
+    np.testing.assert_allclose(
+        hm, np.asarray(sigmoid_clamped(out["hm"][0, ..., 0])), rtol=0,
+        atol=1e-6)
+
+
+def test_xy_tiled_odd_passthrough_axis(small_setup, rng):
+    """An odd (untiled) H with a tiled W keeps the full ceil(H/2) output
+    rows — floor-division there would silently clip the last row."""
+    config, model, state = small_setup
+    vol = rng.standard_normal((8, 193, 192)).astype(np.float32)
+    out = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        vol[None], train=False, active_heads=("hm",),
+    )
+    hm_full = np.asarray(sigmoid_clamped(out["hm"][0, ..., 0]))
+    tiled = TiledHeatmapInference(
+        model, state.params, state.batch_stats, tile_z=64, tile_xy=(64, 64)
+    )
+    with pytest.warns(UserWarning, match="not a multiple"):
+        hm = np.asarray(tiled(vol))
+    assert hm.shape == hm_full.shape  # (8, 97, 96)
+    np.testing.assert_allclose(hm, hm_full, rtol=0, atol=1e-6)

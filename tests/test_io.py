@@ -274,3 +274,30 @@ def test_constant_volume_preprocess_consistent():
     tilt[1] = 7.0
     t = preprocess(tilt, is_tilt=True)
     assert np.isfinite(t).all()
+
+
+def test_prefetch_close_releases_producer():
+    """Breaking out mid-epoch (the --num_iters cap) must release the
+    producer thread instead of leaving it blocked on the full queue."""
+    import itertools
+    import time
+
+    from cet_pick_tpu.data.prefetch import PrefetchIterator
+
+    produced = []
+
+    def src():
+        for i in itertools.count():
+            produced.append(i)
+            yield {"i": i}
+
+    it = PrefetchIterator(src(), depth=2, device_put=lambda b: b)
+    with it:
+        for n, batch in enumerate(it):
+            if n >= 3:
+                break
+    # close() joined the thread; it must be dead and production stopped
+    assert not it._thread.is_alive()
+    count = len(produced)
+    time.sleep(0.3)
+    assert len(produced) == count
