@@ -222,3 +222,23 @@ class TestDog:
             ), f"missing candidate near {target}"
 
 
+
+
+def test_pallas_ztap_conv_matches_conv3d():
+    """Interpret-mode check of the fused Pallas head kernel against the
+    direct dilated conv3d (the TPU A/B lives in benchmarks/pallas_head_ab.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cet_pick_tpu.ops.pallas_head import ztap_dilated_conv
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 5, 32, 32, 8)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, 8, 16)) * 0.1, jnp.float32)
+    ref = jax.lax.conv_general_dilated(
+        x, k, (1, 1, 1), "SAME", rhs_dilation=(1, 4, 4),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    ref = jnp.maximum(ref, 0)
+    out = ztap_dilated_conv(x, k, dilation=4, relu=True, hb=16,
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
