@@ -39,7 +39,7 @@ def pallas_fn(hb):
 
 # correctness first (small tolerance: bf16)
 ref = np.asarray(xla_ztap(x, k), np.float32)
-for hb in (16, 32):
+for hb in (16,):
     try:
         out = np.asarray(pallas_fn(hb)(x, k), np.float32)
         print(f"hb={hb} max|diff| vs xla:", np.abs(out - ref).max())
@@ -49,7 +49,7 @@ for hb in (16, 32):
 flops = 2*D*H*W*27*C*F
 t = timed(xla_ztap, x, k)
 print(f"xla ztap        {t*1e3:7.2f} ms  {flops/t/1e12:6.2f} TF/s ({100*flops/t/197e12:.1f}% MFU)")
-for hb in (16, 32, 64):
+for hb in (8, 16):  # hb=32 exceeds VMEM (compiler crash)
     try:
         fn = pallas_fn(hb)
         t = timed(fn, x, k)
