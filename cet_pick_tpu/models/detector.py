@@ -79,6 +79,61 @@ class _ZTapDilatedConv(nn.Module):
         return up[:, :-2, :, :, 0] + up[:, 1:-1, :, :, 1] + up[:, 2:, :, :, 2]
 
 
+class _Stem(nn.Module):
+    """k7 s2 stem conv (unet_small.py:35-37) lowered as a space-to-depth
+    4-phase k4 s1 conv when H, W are even.
+
+    The stride-2 output grid splits the input into 2x2 pixel phases; each
+    output position reads rows 2h'+ky-3, which land on the even phase for
+    ky in {1,3,5} (offsets -1..1) and the odd phase for ky in {0,2,4,6}
+    (offsets -2..1) — so the 49-tap 1-channel conv (input lane dim 1, the
+    single worst MXU shape in the model, 2.5 TF/s measured) becomes a
+    16-tap 4-channel conv over the half-res grid: same sums, 4x the input
+    lane occupancy. Parameter path/shape ('stem'/kernel, (7,7,1,F)) are
+    identical to nn.Conv's, so reference .pth conversion is unaffected.
+    Odd extents fall back to the direct conv.
+    """
+
+    features: int = 16
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        n, h, w, _ = x.shape
+        f = self.features
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (7, 7, 1, f),
+            jnp.float32,
+        ).astype(self.dtype)
+        x = x.astype(self.dtype)
+        if h % 2 or w % 2:
+            return jax.lax.conv_general_dilated(
+                x, kernel, (2, 2), ((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        k = kernel[:, :, 0, :]  # (7, 7, F)
+        rows = {
+            0: jnp.pad(k[1:6:2], ((1, 0), (0, 0), (0, 0))),  # even: ky 1,3,5
+            1: k[0:7:2],                                      # odd: ky 0,2,4,6
+        }
+        blocks = []
+        for py in (0, 1):
+            r = rows[py]
+            cols = {
+                0: jnp.pad(r[:, 1:6:2], ((0, 0), (1, 0), (0, 0))),
+                1: r[:, 0:7:2],
+            }
+            for px in (0, 1):
+                blocks.append(cols[px])
+        k4 = jnp.stack(blocks, axis=2)  # (4, 4, 4, F), channel = py*2+px
+        xp = x.reshape(n, h // 2, 2, w // 2, 2)
+        xp = xp.transpose(0, 1, 3, 2, 4).reshape(n, h // 2, w // 2, 4)
+        return jax.lax.conv_general_dilated(
+            xp, k4, (1, 1), ((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
 class FeatureHead3D(nn.Module):
     """Two dilated 3D convs + ReLU (unet_small.py:39-49), each lowered via
     _ZTapDilatedConv for MXU-friendly output widths (the ReLU fuses into the
@@ -120,12 +175,9 @@ class TomoPickNet(nn.Module):
 
         # stem: k7 s2 conv + BN + ReLU (unet_small.py:35-37); down_ratio = 2.
         # explicit (3, 3) padding matches torch's padding=3 alignment (jax
-        # SAME would pad (2, 3)) so reference checkpoints convert bit-exactly
-        x = nn.Conv(
-            self.stem_features, (7, 7), strides=(2, 2),
-            padding=((3, 3), (3, 3)),
-            use_bias=False, dtype=self.dtype, name="stem",
-        )(x)
+        # SAME would pad (2, 3)) so reference checkpoints convert bit-exactly;
+        # lowered via a space-to-depth phase conv for MXU occupancy (_Stem)
+        x = _Stem(self.stem_features, dtype=self.dtype, name="stem")(x)
         if self.normalization == "batch":
             x = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype, name="stem_bn")(
                 x, use_running_average=not train
