@@ -13,7 +13,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np, jax, jax.numpy as jnp
 from cet_pick_tpu.ops.pallas_head import ztap_dilated_conv
 
-def timed(fn, *a, reps=10):
+def timed(fn, *a, reps=20):
+    """Benchmarked fns must return SCALARS: the tunnel moves ~40 MB/s, so
+    fetching a full (70,256,256,32) output would dominate the measurement
+    (first version of this script hit exactly that — 1.8 s/rep of pure
+    transfer). Scalar fetch + back-to-back enqueue matches roofline.py."""
     out = fn(*a); np.asarray(out)
     t0 = time.perf_counter()
     outs = [fn(*a) for _ in range(reps)]
@@ -34,8 +38,14 @@ def xla_ztap(x, k):
     up = jnp.pad(u, ((0,0),(1,1),(0,0),(0,0),(0,0),(0,0)))
     return jnp.maximum(up[:,:-2,:,:,0]+up[:,1:-1,:,:,1]+up[:,2:,:,:,2], 0)
 
+xla_sum = jax.jit(lambda x,k: jnp.sum(xla_ztap(x,k).astype(jnp.float32)))
+
 def pallas_fn(hb):
     return jax.jit(lambda x,k: ztap_dilated_conv(x, k, dilation=4, relu=True, hb=hb))
+
+def pallas_sum(hb):
+    return jax.jit(lambda x,k: jnp.sum(
+        ztap_dilated_conv(x, k, dilation=4, relu=True, hb=hb).astype(jnp.float32)))
 
 # correctness first (small tolerance: bf16)
 ref = np.asarray(xla_ztap(x, k), np.float32)
@@ -47,11 +57,11 @@ for hb in (16,):
         print(f"hb={hb} FAILED: {type(e).__name__}: {str(e)[:300]}")
 
 flops = 2*D*H*W*27*C*F
-t = timed(xla_ztap, x, k)
+t = timed(xla_sum, x, k)
 print(f"xla ztap        {t*1e3:7.2f} ms  {flops/t/1e12:6.2f} TF/s ({100*flops/t/197e12:.1f}% MFU)")
 for hb in (8, 16):  # hb=32 exceeds VMEM (compiler crash)
     try:
-        fn = pallas_fn(hb)
+        fn = pallas_sum(hb)
         t = timed(fn, x, k)
         print(f"pallas hb={hb:<3}   {t*1e3:7.2f} ms  {flops/t/1e12:6.2f} TF/s ({100*flops/t/197e12:.1f}% MFU)")
     except Exception as e:
