@@ -107,21 +107,21 @@ def main():
     report("full tile forward", t_full, f_full, b_full)
 
     # ---- components ---------------------------------------------------------
-    # stem: (B*D, H, W, 1) -> (B*D, H/2, W/2, 16)
+    # stem: (B*D, H, W, 1) -> (B*D, H/2, W/2, 16) — the shipping _Stem
+    # space-to-depth lowering (A/B vs the direct conv: benchmarks/stem_ab.py)
+    from cet_pick_tpu.models.detector import _Stem
+
     stem_in = jnp.zeros((TD, H, W, 1), jnp.bfloat16)
+    stem_mod = _Stem(16, dtype=jnp.bfloat16)
 
     @jax.jit
     def stem_fn(v, t):
-        from flax import linen as nn
-
-        y = nn.Conv(16, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=False, dtype=jnp.bfloat16, name="stem").apply(
-            {"params": v["params"]["stem"]}, t)
-        return jnp.sum(y)
+        return jnp.sum(stem_mod.apply(
+            {"params": {"kernel": v["params"]["stem"]["kernel"]}}, t))
 
     t_stem = _timed(stem_fn, variables, stem_in)
     f_stem, b_stem = _cost(stem_fn, variables, stem_in)
-    report("stem k7s2 1->16", t_stem, f_stem, b_stem)
+    report("stem s2d 4-phase 1->16", t_stem, f_stem, b_stem)
 
     # UNet trunk: (B*D, H/2, W/2, 16) -> (B*D, H/2, W/2, 32)
     unet = UNet2D(n_blocks=4, start_filts=32, out_channels=32,

@@ -1,0 +1,82 @@
+"""A/B the decode top-K on the real chip: flat lax.top_k over the whole
+(D, H', W') NMS'd heatmap vs a blocked exact variant (per-block top_k via
+vmap, then top_k over the nb*k survivors).
+
+Exactness: lax.top_k is stable (ties -> lower index). Each block's local
+top-k preserves that, block offsets keep the concatenation in global index
+order, and the final top_k over the survivors is stable again — so the
+blocked result is bit-identical to the flat one (asserted below) whenever
+every block holds >= k elements.
+
+Timing: amortized back-to-back enqueue, scalar/np fetch of the tiny (k, 5)
+table only (the tunnel moves ~40 MB/s; see roofline.py's _timed note).
+
+Run from the repo root (TPU attached): python benchmarks/topk_ab.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np, jax, jax.numpy as jnp
+from functools import partial
+
+from cet_pick_tpu.ops.nms import nms3d, sigmoid_clamped
+from cet_pick_tpu.ops.decode import decode_detections, unravel_3d
+
+D, H, W = 256, 256, 256
+K = 900
+
+
+def timed(fn, *a, reps=10):
+    out = fn(*a); np.asarray(out)
+    t0 = time.perf_counter()
+    outs = [fn(*a) for _ in range(reps)]
+    np.asarray(outs[-1])
+    return (time.perf_counter() - t0) / reps
+
+
+@partial(jax.jit, static_argnames=("k", "nb"))
+def blocked_topk(scores, k=900, nb=32):
+    flat = scores.reshape(nb, -1)
+    ls, li = jax.vmap(lambda b: jax.lax.top_k(b, k))(flat)
+    gi = li + (jnp.arange(nb, dtype=li.dtype) * flat.shape[1])[:, None]
+    ts, ti = jax.lax.top_k(ls.reshape(-1), k)
+    return ts, jnp.take(gi.reshape(-1), ti)
+
+
+@partial(jax.jit, static_argnames=("kernel", "k", "nb"))
+def decode_blocked(hm_logits, kernel=3, k=900, nb=32):
+    heat = nms3d(sigmoid_clamped(hm_logits), kernel=kernel)
+    d, h, w = heat.shape
+    s, inds = blocked_topk(heat, k=k, nb=nb)
+    z, y, x = unravel_3d(inds, h, w)
+    xs = x.astype(jnp.float32) + 0.25
+    ys = y.astype(jnp.float32) + 0.25
+    return jnp.stack([xs, ys, z.astype(jnp.float32),
+                      s.astype(jnp.float32), s.astype(jnp.float32)], axis=1)
+
+
+def main():
+    print(f"devices: {jax.devices()}")
+    rng = np.random.default_rng(0)
+    logits = jax.device_put(rng.standard_normal((D, H, W)).astype(np.float32) * 2)
+    np.asarray(logits[:1, :1, :1])
+
+    ref = np.asarray(decode_detections(logits, kernel=3, k=K))
+    for nb in (16, 32, 64):
+        got = np.asarray(decode_blocked(logits, kernel=3, k=K, nb=nb))
+        tag = "EXACT" if np.array_equal(ref, got) else f"MISMATCH {np.abs(ref-got).max()}"
+        print(f"nb={nb}: {tag}")
+
+    t = timed(lambda x: decode_detections(x, kernel=3, k=K), logits)
+    print(f"flat top_k      {t*1e3:7.2f} ms")
+    for nb in (16, 32, 64, 128):
+        t = timed(lambda x, nb=nb: decode_blocked(x, kernel=3, k=K, nb=nb), logits)
+        print(f"blocked nb={nb:<4} {t*1e3:7.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

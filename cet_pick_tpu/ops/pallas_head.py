@@ -26,6 +26,16 @@ Numerics match the XLA path: bf16 (or f32) inputs, f32 matmul accumulation,
 cast to the compute dtype before the z-add (XLA's conv does the same
 internally). Inference-only: no custom VJP is defined — training uses the
 XLA ``_ZTapDilatedConv``.
+
+A/B RESULT (real v5e, benchmarks/pallas_head_ab.py, healthy-tunnel baseline
+re-checked): XLA 13.05 ms / 19.5 TF/s vs this kernel 15.03 ms (hb=16) /
+15.63 ms (hb=8); hb=32 crashes the remote Mosaic compiler. The bandwidth
+saved on the u round-trip is more than given back by the in-kernel im2col
+(9 lane-32 VMEM slice copies per step) undercutting XLA's conv lowering.
+**NOT wired into the model** — FeatureHead3D ships the XLA lowering; this
+file is kept as the reproducible A/B subject (tests cover interpret-mode
+correctness) and as the working template for the VMEM-ring + leading-dim
+reshape rules this Mosaic backend tolerates.
 """
 
 from __future__ import annotations

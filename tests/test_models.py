@@ -27,6 +27,27 @@ class TestUNet2D:
         assert y.shape == (1, 37, 45, 4)
 
 
+class TestStem:
+    @pytest.mark.parametrize("hw", [(64, 64), (64, 62), (63, 64), (33, 47)])
+    def test_s2d_matches_direct_conv(self, rng, hw):
+        """The space-to-depth 4-phase lowering (even extents) and the odd-
+        extent fallback must both equal the plain k7 s2 conv with torch's
+        padding=3 alignment (reference unet_small.py:35-37); this is what
+        keeps reference .pth conversion bit-exact through the stem."""
+        from cet_pick_tpu.models.detector import _Stem
+
+        h, w = hw
+        x = jnp.asarray(rng.standard_normal((2, h, w, 1)).astype(np.float32))
+        m = _Stem(16)
+        v = m.init(jax.random.PRNGKey(0), x)
+        y = m.apply(v, x)
+        ref = jax.lax.conv_general_dilated(
+            x, v["params"]["kernel"], (2, 2), ((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        assert y.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=2e-5)
+
+
 class TestTomoPickNet:
     @pytest.fixture(scope="class")
     def model_and_vars(self):
