@@ -51,10 +51,17 @@ class PrefetchIterator:
             except BaseException as e:  # surfaced on the consumer side
                 self._err = e
             finally:
-                try:
-                    self._q.put_nowait(self._SENTINEL)
-                except queue.Full:
-                    pass  # consumer is gone; close() drains anyway
+                # The sentinel MUST reach the consumer: if the queue is full
+                # (consumer still compiling its first step) a dropped
+                # sentinel deadlocks __next__ after the queued batches drain.
+                # Block, stop-aware, like the item puts; close() sets _stop
+                # and drains, so an abandoned consumer still releases us.
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(self._SENTINEL, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         self._thread = threading.Thread(target=worker, daemon=True)
         self._thread.start()

@@ -301,3 +301,30 @@ def test_prefetch_close_releases_producer():
     count = len(produced)
     time.sleep(0.3)
     assert len(produced) == count
+
+
+def test_prefetch_slow_consumer_gets_sentinel():
+    """The end-of-epoch sentinel must arrive even when the producer finishes
+    while the queue is FULL (consumer stalled, e.g. compiling its first
+    step). A dropped sentinel deadlocks __next__ after the queued batches
+    drain — the exact hang the round-3 CLI train drive hit."""
+    import threading
+    import time
+
+    from cet_pick_tpu.data.prefetch import PrefetchIterator
+
+    it = PrefetchIterator(iter([{"i": 0}, {"i": 1}, {"i": 2}]), depth=1,
+                          device_put=lambda b: b)
+    time.sleep(0.5)  # producer exhausts the iterator against a full queue
+
+    got = []
+    done = threading.Event()
+
+    def consume():
+        got.extend(b["i"] for b in it)
+        done.set()
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    assert done.wait(timeout=10.0), "consumer deadlocked: sentinel was lost"
+    assert got == [0, 1, 2]
