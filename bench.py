@@ -141,21 +141,22 @@ def _tile_flops_per_voxel(det, H, W):
     tile_d = infer.tile_z + 2 * infer.halo
     x = jnp.zeros((1, tile_d, H, W), jnp.float32)
 
-    def fwd(params, batch_stats, tile):
-        return infer.model.apply(
-            {"params": params, "batch_stats": batch_stats}, tile, train=False
-        )
+    def fwd(variables, tile):
+        return infer.model.apply(variables, tile, train=False)
 
     try:
-        lowered = jax.jit(fwd).lower(infer.params, infer.batch_stats, x)
+        lowered = jax.jit(fwd).lower(infer.variables, x)
         cost = lowered.compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0))
         if flops > 0:
             return flops / (tile_d * H * W)
-    except Exception:
-        pass
+    except Exception as e:  # pragma: no cover - depends on runtime
+        import sys
+
+        print(f"cost analysis unavailable ({type(e).__name__}: {e}); "
+              "using round-1 measured FLOPs/voxel", file=sys.stderr)
     return 100.7e3  # round-1 measured fallback (VERDICT.md)
 
 

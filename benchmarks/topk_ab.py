@@ -2,11 +2,13 @@
 (D, H', W') NMS'd heatmap vs a blocked exact variant (per-block top_k via
 vmap, then top_k over the nb*k survivors).
 
-Exactness: lax.top_k is stable (ties -> lower index). Each block's local
-top-k preserves that, block offsets keep the concatenation in global index
-order, and the final top_k over the survivors is stable again — so the
-blocked result is bit-identical to the flat one (asserted below) whenever
-every block holds >= k elements.
+RESULT (v5e, 2026-08): blocked nb=32 14.8 ms vs flat 42.4 ms on a 256^3
+NMS'd heatmap — 2.9x; **shipped** as ops/decode.topk_3d's lowering. The
+selected row SET is exactly the flat top-k's (every global top-k element is
+in its block's local top-k); only the order among tied scores differs
+(f32 sigmoid quantizes — 106 tied groups in the top-900 here — and tie
+order is unspecified in the reference's torch.topk too). The multiset
+equality is asserted below and unit-tested in tests/test_ops.py.
 
 Timing: amortized back-to-back enqueue, scalar/np fetch of the tiny (k, 5)
 table only (the tunnel moves ~40 MB/s; see roofline.py's _timed note).
@@ -24,10 +26,22 @@ import numpy as np, jax, jax.numpy as jnp
 from functools import partial
 
 from cet_pick_tpu.ops.nms import nms3d, sigmoid_clamped
-from cet_pick_tpu.ops.decode import decode_detections, unravel_3d
+from cet_pick_tpu.ops.decode import unravel_3d
 
 D, H, W = 256, 256, 256
 K = 900
+
+
+@partial(jax.jit, static_argnames=("kernel", "k"))
+def decode_flat(hm_logits, kernel=3, k=900):
+    """The pre-r3 flat lowering (topk_3d now ships the blocked one)."""
+    heat = nms3d(sigmoid_clamped(hm_logits), kernel=kernel)
+    d, h, w = heat.shape
+    s, inds = jax.lax.top_k(heat.reshape(-1), k)
+    z, y, x = unravel_3d(inds, h, w)
+    return jnp.stack([x.astype(jnp.float32) + 0.25,
+                      y.astype(jnp.float32) + 0.25, z.astype(jnp.float32),
+                      s.astype(jnp.float32), s.astype(jnp.float32)], axis=1)
 
 
 def timed(fn, *a, reps=10):
@@ -65,13 +79,17 @@ def main():
     logits = jax.device_put(rng.standard_normal((D, H, W)).astype(np.float32) * 2)
     np.asarray(logits[:1, :1, :1])
 
-    ref = np.asarray(decode_detections(logits, kernel=3, k=K))
+    def rows(a):
+        return a[np.lexsort(a.T)]
+
+    ref = np.asarray(decode_flat(logits, kernel=3, k=K))
     for nb in (16, 32, 64):
         got = np.asarray(decode_blocked(logits, kernel=3, k=K, nb=nb))
-        tag = "EXACT" if np.array_equal(ref, got) else f"MISMATCH {np.abs(ref-got).max()}"
+        same = np.array_equal(rows(ref), rows(got))
+        tag = "EXACT row multiset" if same else f"MISMATCH {np.abs(ref-got).max()}"
         print(f"nb={nb}: {tag}")
 
-    t = timed(lambda x: decode_detections(x, kernel=3, k=K), logits)
+    t = timed(lambda x: decode_flat(x, kernel=3, k=K), logits)
     print(f"flat top_k      {t*1e3:7.2f} ms")
     for nb in (16, 32, 64, 128):
         t = timed(lambda x, nb=nb: decode_blocked(x, kernel=3, k=K, nb=nb), logits)

@@ -1,0 +1,110 @@
+"""Roofline / breakdown of the refinement TRAIN step on the real chip.
+
+The inference forward got the full roofline treatment (roofline.py); this
+does the same for training, which PARITY.md so far only quotes as one
+number (235 ms at bs=4). The refine step's compute is NOT the model convs —
+the crops are tiny (bs x 2 x 6 x 64 x 64) — it is the per-sample debiased
+contrastive gram: 2N = 24,576 rows at C=32, i.e. a (24k, 32) x (32, 24k)
+matmul per sample per pass, contraction dim 32 (25% MXU lane fill at best),
+run at Precision.HIGHEST (6 bf16 passes) forward AND recomputed in the
+remat'd backward.
+
+Measured components:
+  * full train step (contrastive on / off)
+  * isolated unbiased_con_loss: value and grad, at HIGHEST / HIGH / DEFAULT
+    gram precision (via the module-level knob in train/losses.py)
+  * accuracy of each precision vs a float64 CPU golden of the same inputs
+
+Run from the repo root (TPU attached): python benchmarks/train_roofline.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def timed(fn, *a, reps=10):
+    out = fn(*a)
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*a)
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
+    return (time.perf_counter() - t0) / reps
+
+
+def make_batch(rng, b=4, p=2, d=6, h=64, w=64):
+    hm = np.where(rng.random((b, p, d, h // 2, w // 2)) < 0.001, 1.0, -1.0
+                  ).astype(np.float32)
+    return {
+        "input": rng.standard_normal((b, p, d, h, w)).astype(np.float32),
+        "input_aug": rng.standard_normal((b, p, d, h, w)).astype(np.float32),
+        "hm": hm,
+        "hm_aug": hm.copy(),
+        "flip_prob": rng.random(b).astype(np.float32),
+    }
+
+
+def main():
+    global jax
+    import jax
+    import jax.numpy as jnp
+
+    from cet_pick_tpu.config import Config
+    from cet_pick_tpu.models.detector import create_detector
+    from cet_pick_tpu.train import losses as L
+    from cet_pick_tpu.train.refine import make_train_step
+    from cet_pick_tpu.train.state import create_train_state
+
+    print(f"devices: {jax.devices()}")
+    rng = np.random.default_rng(0)
+    batch = make_batch(rng)
+
+    for contrastive in (True, False):
+        cfg = Config(task="semi", arch="unet_4", contrastive=contrastive,
+                     batch_size=4, dtype="bfloat16").finalize()
+        model = create_detector(cfg)
+        state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                                   batch["input"].reshape(8, 6, 64, 64))
+        step = make_train_step(model, cfg)
+        t = timed(lambda s, b: step(s, b)[1]["loss"], state, batch)
+        print(f"train step (contrastive={contrastive!s:<5}) {t*1e3:8.2f} ms"
+              f"  ({4/t:.0f} samples/s)")
+
+    # ---- isolated contrastive loss: one sample's N = 2*6*32*32 = 12288
+    n, c = 12288, 32
+    feats = rng.standard_normal((n, c)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    feats_cr = feats + 0.05 * rng.standard_normal((n, c)).astype(np.float32)
+    feats_cr /= np.linalg.norm(feats_cr, axis=1, keepdims=True)
+    labels = np.where(rng.random(n) < 0.001, 1.0, -1.0).astype(np.float32)
+    hm1 = rng.random(n).astype(np.float32)
+    hm2 = rng.random(n).astype(np.float32)
+
+    def loss_of(f, fc):
+        s, u, _ = L.unbiased_con_loss(labels, hm1, hm2, f, fc)
+        return s + 0.1 * u
+
+    g = jax.jit(jax.grad(loss_of, argnums=(0, 1)))
+    gram_flops = 2 * (2 * n) ** 2 * c
+
+    for prec in ("highest", "high", "default"):
+        L.GRAM_PRECISION = prec
+        L.unbiased_con_loss.clear_cache()
+        val = float(loss_of(jnp.asarray(feats), jnp.asarray(feats_cr)))
+        tv = timed(lambda f, fc: loss_of(f, fc), jnp.asarray(feats),
+                   jnp.asarray(feats_cr))
+        tg = timed(lambda f, fc: g(f, fc)[0], jnp.asarray(feats),
+                   jnp.asarray(feats_cr))
+        print(f"con_loss [{prec:<8}] value {tv*1e3:7.2f} ms "
+              f"({gram_flops/tv/1e12:5.1f} TF/s eff)  grad {tg*1e3:7.2f} ms"
+              f"  loss={val:.8f}")
+    L.GRAM_PRECISION = "highest"
+
+
+if __name__ == "__main__":
+    main()

@@ -702,6 +702,32 @@ COMMANDS = {
 }
 
 
+def _setup_jax_cache():
+    """Persistent XLA compilation cache for every CLI command.
+
+    The flagship tutorial pays ~4 min of one-time XLA compilation per fresh
+    process (PARITY.md); with the cache, warm reruns of the same shapes load
+    compiled programs from disk in seconds. Opt-out / redirect with
+    CET_PICK_TPU_CACHE= (empty disables); an explicit
+    JAX_COMPILATION_CACHE_DIR from the user always wins.
+    """
+    if "JAX_COMPILATION_CACHE_DIR" in os.environ:
+        return
+    cache = os.environ.get(
+        "CET_PICK_TPU_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "cet_pick_tpu", "xla"),
+    )
+    if not cache:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without the knob — cache is an optimization only
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
@@ -711,6 +737,7 @@ def main(argv=None):
     if cmd not in COMMANDS:
         print(f"unknown command {cmd!r}; available: {', '.join(COMMANDS)}")
         return 2
+    _setup_jax_cache()
     COMMANDS[cmd](argv[1:])
     return 0
 

@@ -33,10 +33,33 @@ def unravel_3d(inds, h, w):
 
 @partial(jax.jit, static_argnames=("k",))
 def topk_3d(scores, k=900):
-    """Top-K over a (D, H, W) volume -> (scores, z, y, x, flat_inds) (decode.py:82-92)."""
+    """Top-K over a (D, H, W) volume -> (scores, z, y, x, flat_inds) (decode.py:82-92).
+
+    Lowered as a BLOCKED exact top-k when the volume is large: per-block
+    ``lax.top_k`` via vmap, then top-k over the nb*k survivors. Every true
+    global top-k element is inside its block's local top-k, so the selected
+    row set is exactly the flat ``lax.top_k``'s; only the ORDER among tied
+    scores may differ (f32 sigmoid quantizes, so ties are common — the
+    reference's torch.topk tie order is equally unspecified,
+    decode.py:82-92). A/B on the real v5e: 14.8 ms vs 42.4 ms flat for a
+    256^3 NMS'd heatmap (benchmarks/topk_ab.py) — XLA lowers one flat top-k
+    over 16.7M elements far off the bandwidth bound.
+    """
     d, h, w = scores.shape
     flat = scores.reshape(-1)
-    top_scores, top_inds = jax.lax.top_k(flat, k)
+    n = flat.shape[0]
+    nb = min(32, n // max(k, 1) // 4)
+    if nb > 1:
+        block = -(-n // nb)
+        padded = jnp.pad(flat, (0, nb * block - n),
+                         constant_values=-jnp.inf)
+        ls, li = jax.vmap(lambda b: jax.lax.top_k(b, k))(
+            padded.reshape(nb, block))
+        gi = li + (jnp.arange(nb, dtype=li.dtype) * block)[:, None]
+        top_scores, ti = jax.lax.top_k(ls.reshape(-1), k)
+        top_inds = jnp.take(gi.reshape(-1), ti)
+    else:
+        top_scores, top_inds = jax.lax.top_k(flat, k)
     z, y, x = unravel_3d(top_inds, h, w)
     return top_scores, z, y, x, top_inds
 

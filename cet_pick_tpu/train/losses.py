@@ -39,6 +39,24 @@ def _safe_div(num, den):
     return num / jnp.maximum(den, 1.0)
 
 
+# Gram matmul precision for the contrastive losses. On TPU, f32 matmuls are
+# emulated by bf16 MXU passes: "highest" = 6 passes (full f32), "high" = 3,
+# "default" = 1 (plain bf16, ~1e-2 absolute sim error -> 0.14 logit error at
+# temp .07 — too coarse for the debiasing terms). Read at trace time; the
+# train_roofline.py A/B measures speed/accuracy of each setting.
+GRAM_PRECISION = "highest"
+
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
+def _gram_precision():
+    return _PRECISIONS[GRAM_PRECISION]
+
+
 # ---------------------------------------------------------------------------
 # focal losses
 # ---------------------------------------------------------------------------
@@ -186,14 +204,14 @@ def _row_stats_blocked(feats_all, pos_mask, other_mask, temp, block):
         rows = feats_all[jnp.clip(idx, 0, m - 1)]
         # full-precision gram: the debiasing terms are sensitive to sim error
         # and this matmul is negligible FLOPs next to the model convs
-        sims = jnp.matmul(rows, fT, precision=jax.lax.Precision.HIGHEST) / temp
+        sims = jnp.matmul(rows, fT, precision=_gram_precision()) / temp
 
         rowmax = jnp.max(sims, axis=1, keepdims=True)
         logits = sims - jax.lax.stop_gradient(rowmax)
         col = jnp.arange(m)[None, :]
         offdiag = (col != idx[:, None]).astype(sims.dtype)
         e = jnp.exp(logits * offdiag)                  # diag -> exp(0) = 1
-        hp = jax.lax.Precision.HIGHEST
+        hp = _gram_precision()
         pos_sum = jnp.matmul(e, pos_mask, precision=hp)
         other_sum = jnp.matmul(e, other_mask, precision=hp)
         total_sum = e.sum(axis=1)
@@ -309,13 +327,13 @@ def _row_logit_stats_blocked(feats_all, pos_mask, temp, block):
         idx = start + jnp.arange(block)
         valid = idx < m
         rows = feats_all[jnp.clip(idx, 0, m - 1)]
-        sims = jnp.matmul(rows, fT, precision=jax.lax.Precision.HIGHEST) / temp
+        sims = jnp.matmul(rows, fT, precision=_gram_precision()) / temp
         rowmax = jnp.max(sims, axis=1, keepdims=True)
         logits = sims - jax.lax.stop_gradient(rowmax)
         col = jnp.arange(m)[None, :]
         offdiag = (col != idx[:, None]).astype(sims.dtype)
         logits = logits * offdiag  # diagonal -> 0 (loss.py:787)
-        hp = jax.lax.Precision.HIGHEST
+        hp = _gram_precision()
         logit_pos_sum = jnp.matmul(logits, pos_mask, precision=hp)
         total_sum = jnp.exp(logits).sum(axis=1)
         partner_idx = jnp.where(idx < n, idx + n, idx - n)

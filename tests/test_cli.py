@@ -374,3 +374,32 @@ def test_cli_sublabels_and_visualize3d(tmp_path, rng):
 
     written = _glob.glob(str(tmp_path / "v3d" / "*.npy"))
     assert len(written) >= 2  # _rec3d + _hm3d_simsiam volumes
+
+
+def test_jax_cache_setup(tmp_path, monkeypatch):
+    """CLI commands enable the persistent XLA compilation cache (opt-out via
+    CET_PICK_TPU_CACHE=); an explicit JAX_COMPILATION_CACHE_DIR wins."""
+    import jax
+
+    from cet_pick_tpu.__main__ import _setup_jax_cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+        monkeypatch.setenv("CET_PICK_TPU_CACHE", str(tmp_path / "xla"))
+        _setup_jax_cache()
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "xla")
+
+        # empty CET_PICK_TPU_CACHE disables (config untouched)
+        jax.config.update("jax_compilation_cache_dir", None)
+        monkeypatch.setenv("CET_PICK_TPU_CACHE", "")
+        _setup_jax_cache()
+        assert jax.config.jax_compilation_cache_dir is None
+
+        # user's JAX_COMPILATION_CACHE_DIR wins: helper must not override
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "/elsewhere")
+        monkeypatch.setenv("CET_PICK_TPU_CACHE", str(tmp_path / "xla"))
+        _setup_jax_cache()
+        assert jax.config.jax_compilation_cache_dir is None
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)

@@ -7,6 +7,7 @@ max_pool3d, scipy gaussian_filter), not from the reference codebase.
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from cet_pick_tpu.ops import (
@@ -141,6 +142,32 @@ class TestDecode:
         order = np.argsort(-flat)[:5]
         np.testing.assert_allclose(np.asarray(scores), flat[order], atol=1e-6)
         zz, yy, xx = np.unravel_index(order, heat.shape)
+        np.testing.assert_array_equal(np.asarray(z), zz)
+        np.testing.assert_array_equal(np.asarray(y), yy)
+        np.testing.assert_array_equal(np.asarray(x), xx)
+
+    @pytest.mark.parametrize("shape,k", [((17, 23, 31), 70),   # nb>1, n%nb != 0
+                                         ((40, 64, 64), 900),  # nb>1, padded tail
+                                         ((4, 6, 8), 5)])      # nb==1 flat path
+    def test_blocked_topk_matches_flat(self, rng, shape, k):
+        """topk_3d's blocked lowering must select exactly the flat lax.top_k
+        row set — incl. negatives, a padded last block, and ties (only the
+        order among tied scores may differ; torch.topk's is unspecified
+        too)."""
+        heat = rng.standard_normal(shape).astype(np.float32)
+        # plant ties spread across blocks
+        flat_h = heat.reshape(-1)
+        flat_h[:: max(1, flat_h.size // 7)] = 5.0
+        heat = flat_h.reshape(shape)
+        scores, z, y, x, inds = topk_3d(jnp.asarray(heat), k=k)
+        ref_s, ref_i = jax.lax.top_k(jnp.asarray(heat).reshape(-1), k)
+        got = np.stack([np.asarray(scores), np.asarray(inds)], 1)
+        ref = np.stack([np.asarray(ref_s), np.asarray(ref_i)], 1)
+        np.testing.assert_array_equal(got[np.lexsort(got.T)],
+                                      ref[np.lexsort(ref.T)])
+        np.testing.assert_array_equal(
+            np.asarray(scores), np.sort(np.asarray(scores))[::-1])
+        zz, yy, xx = np.unravel_index(np.asarray(inds), shape)
         np.testing.assert_array_equal(np.asarray(z), zz)
         np.testing.assert_array_equal(np.asarray(y), yy)
         np.testing.assert_array_equal(np.asarray(x), xx)
