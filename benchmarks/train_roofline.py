@@ -1,13 +1,14 @@
 """Roofline / breakdown of the refinement TRAIN step on the real chip.
 
 The inference forward got the full roofline treatment (roofline.py); this
-does the same for training, which PARITY.md so far only quotes as one
-number (235 ms at bs=4). The refine step's compute is NOT the model convs —
-the crops are tiny (bs x 2 x 6 x 64 x 64) — it is the per-sample debiased
-contrastive gram: 2N = 24,576 rows at C=32, i.e. a (24k, 32) x (32, 24k)
-matmul per sample per pass, contraction dim 32 (25% MXU lane fill at best),
-run at Precision.HIGHEST (6 bf16 passes) forward AND recomputed in the
-remat'd backward.
+does the same for training. The refine step's compute is NOT the model
+convs — the crops are tiny (bs x 2 x 6 x 64 x 64) — it is the per-sample
+debiased contrastive loss over 2N = 24,576 pixel features. Measured verdict
+(2026-08, v5e): the loss is HBM-traffic-bound on its (block, 2N)
+intermediates, NOT MXU-bound — the gram matmul is ~1.2 ms of MXU work and
+the precision knob moves the gradient <2%; fusing the row reductions
+(multiply-sum instead of dot, partner recomputed from features) halved the
+full step, 221 -> 110 ms at bs=4. See PARITY.md "Training roofline".
 
 Measured components:
   * full train step (contrastive on / off)

@@ -192,6 +192,17 @@ def _row_stats_blocked(feats_all, pos_mask, other_mask, temp, block):
     divided by T, the row max is taken over the *unmasked* row (diagonal = 1/T
     dominates for normalized features), logits are shifted, the diagonal is
     zeroed (so it contributes exp(0) = 1 after exp).
+
+    HBM-traffic-shaped (the measured bound, benchmarks/train_roofline.py —
+    the gram matmul is ~1 ms of MXU work but the (block, 2N) intermediates
+    cost ~10x that in HBM round-trips at every precision): the row
+    reductions are fused multiply-sums, NOT dots, so the exp-matrix is a
+    pure elementwise intermediate that XLA fuses into ONE reduction pass
+    over the sims matmul output (a dot consumer would force ``e`` to
+    materialize); the partner column is recomputed directly from the
+    feature vectors (O(block * C)) instead of gathered from ``e``. The
+    only HBM tensor per block is ``sims`` (one write, two reads: max pass
+    + fused exp/mask/reduce pass).
     """
     m = feats_all.shape[0]
     n = m // 2
@@ -206,19 +217,16 @@ def _row_stats_blocked(feats_all, pos_mask, other_mask, temp, block):
         # and this matmul is negligible FLOPs next to the model convs
         sims = jnp.matmul(rows, fT, precision=_gram_precision()) / temp
 
-        rowmax = jnp.max(sims, axis=1, keepdims=True)
-        logits = sims - jax.lax.stop_gradient(rowmax)
+        rowmax = jax.lax.stop_gradient(jnp.max(sims, axis=1, keepdims=True))
         col = jnp.arange(m)[None, :]
         offdiag = (col != idx[:, None]).astype(sims.dtype)
-        e = jnp.exp(logits * offdiag)                  # diag -> exp(0) = 1
-        hp = _gram_precision()
-        pos_sum = jnp.matmul(e, pos_mask, precision=hp)
-        other_sum = jnp.matmul(e, other_mask, precision=hp)
+        e = jnp.exp((sims - rowmax) * offdiag)         # diag -> exp(0) = 1
+        pos_sum = (e * pos_mask[None, :]).sum(axis=1)
+        other_sum = (e * other_mask[None, :]).sum(axis=1)
         total_sum = e.sum(axis=1)
-        partner_idx = jnp.where(idx < n, idx + n, idx - n)
-        partner = jnp.take_along_axis(
-            e, jnp.clip(partner_idx, 0, m - 1)[:, None], axis=1
-        )[:, 0]
+        partner_idx = jnp.clip(jnp.where(idx < n, idx + n, idx - n), 0, m - 1)
+        partner_sims = (rows * feats_all[partner_idx]).sum(axis=1) / temp
+        partner = jnp.exp(partner_sims - rowmax[:, 0])
         z = jnp.where(valid, 1.0, 0.0)
         return pos_sum * z, other_sum * z, total_sum * z, partner * z
 
@@ -328,18 +336,19 @@ def _row_logit_stats_blocked(feats_all, pos_mask, temp, block):
         valid = idx < m
         rows = feats_all[jnp.clip(idx, 0, m - 1)]
         sims = jnp.matmul(rows, fT, precision=_gram_precision()) / temp
-        rowmax = jnp.max(sims, axis=1, keepdims=True)
-        logits = sims - jax.lax.stop_gradient(rowmax)
+        rowmax = jax.lax.stop_gradient(jnp.max(sims, axis=1, keepdims=True))
         col = jnp.arange(m)[None, :]
         offdiag = (col != idx[:, None]).astype(sims.dtype)
-        logits = logits * offdiag  # diagonal -> 0 (loss.py:787)
-        hp = _gram_precision()
-        logit_pos_sum = jnp.matmul(logits, pos_mask, precision=hp)
+        logits = (sims - rowmax) * offdiag  # diagonal -> 0 (loss.py:787)
+        # fused multiply-sums, not dots — see _row_stats_blocked: keeps the
+        # (block, 2N) logits/exp tensors out of HBM
+        logit_pos_sum = (logits * pos_mask[None, :]).sum(axis=1)
         total_sum = jnp.exp(logits).sum(axis=1)
-        partner_idx = jnp.where(idx < n, idx + n, idx - n)
-        partner = jnp.take_along_axis(
-            logits, jnp.clip(partner_idx, 0, m - 1)[:, None], axis=1
-        )[:, 0]
+        # partner is always off-diagonal, so its masked logit is just the
+        # shifted similarity, recomputed directly from the feature vectors
+        partner_idx = jnp.clip(jnp.where(idx < n, idx + n, idx - n), 0, m - 1)
+        partner_sims = (rows * feats_all[partner_idx]).sum(axis=1) / temp
+        partner = partner_sims - rowmax[:, 0]
         z = jnp.where(valid, 1.0, 0.0)
         return logit_pos_sum * z, partner * z, total_sum * z
 
