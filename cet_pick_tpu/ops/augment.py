@@ -50,29 +50,58 @@ def rot90_random(img, key):
     return jax.lax.switch(k, branches, img)
 
 
+def _gather_2x2(img, y0, x0):
+    """One (C, 2, 2) patch per output pixel via a single ``lax.gather``.
+
+    TPU gathers pay per gathered ROW, so fetching each bilinear tap
+    separately (4 scalar gathers per output pixel) runs ~4x slower than one
+    2x2-patch gather (the taps are contiguous) — measured on the v5e via
+    benchmarks/aug_profile.py. ``img`` must already be padded so that
+    clamping the patch start to [0, H-2] never shifts a wanted tap.
+    Returns (H', W', C, 2, 2)."""
+    c, h, w = img.shape
+    shape = y0.shape
+    starts = jnp.stack(
+        [jnp.clip(y0, 0, h - 2).ravel(), jnp.clip(x0, 0, w - 2).ravel()],
+        axis=-1,
+    )
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3),
+        collapsed_slice_dims=(),
+        start_index_map=(1, 2),
+    )
+    patches = jax.lax.gather(
+        img, starts, dnums, slice_sizes=(c, 2, 2),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )
+    return patches.reshape(shape + (c, 2, 2))
+
+
 def _bilinear_sample(img, ys, xs):
     """Sample (C, H, W) at float coords (H', W') grids, zero padding."""
     c, h, w = img.shape
     y0 = jnp.floor(ys).astype(jnp.int32)
     x0 = jnp.floor(xs).astype(jnp.int32)
-    y1, x1 = y0 + 1, x0 + 1
-    wy = ys - y0
-    wx = xs - x0
+    wy = (ys - y0)[..., None]
+    wx = (xs - x0)[..., None]
 
-    def gather(yi, xi):
-        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
-        yc = jnp.clip(yi, 0, h - 1)
-        xc = jnp.clip(xi, 0, w - 1)
-        vals = img[:, yc, xc]  # (C, H', W')
-        return vals * valid[None].astype(img.dtype)
+    # zero-pad by one so the patch at y0 = -1 or h-1 reads real zeros; taps
+    # further out are zeroed by the validity masks below
+    imgp = jnp.pad(img, ((0, 0), (1, 1), (1, 1)))
+    p = _gather_2x2(imgp, y0 + 1, x0 + 1)  # (H', W', C, 2, 2)
+
+    vy0 = ((y0 >= 0) & (y0 < h))[..., None].astype(img.dtype)
+    vy1 = ((y0 + 1 >= 0) & (y0 + 1 < h))[..., None].astype(img.dtype)
+    vx0 = ((x0 >= 0) & (x0 < w))[..., None].astype(img.dtype)
+    vx1 = ((x0 + 1 >= 0) & (x0 + 1 < w))[..., None].astype(img.dtype)
 
     out = (
-        gather(y0, x0) * ((1 - wy) * (1 - wx))[None]
-        + gather(y0, x1) * ((1 - wy) * wx)[None]
-        + gather(y1, x0) * (wy * (1 - wx))[None]
-        + gather(y1, x1) * (wy * wx)[None]
+        p[..., 0, 0] * ((1 - wy) * (1 - wx) * vy0 * vx0)
+        + p[..., 0, 1] * ((1 - wy) * wx * vy0 * vx1)
+        + p[..., 1, 0] * (wy * (1 - wx) * vy1 * vx0)
+        + p[..., 1, 1] * (wy * wx * vy1 * vx1)
     )
-    return out
+    return jnp.moveaxis(out, -1, 0)  # (C, H', W')
 
 
 def random_rotate(img, key, max_deg=30.0):
@@ -187,23 +216,26 @@ def random_resized_crop(img, key, out_size, scale=(0.8, 1.0)):
 
 def _bilinear_sample_clamped(img, ys, xs):
     """Bilinear sample with edge clamping (PIL resize semantics — no zero
-    fill, unlike the rotation path's _bilinear_sample)."""
+    fill, unlike the rotation path's _bilinear_sample). Same one-gather
+    2x2-patch lowering as _bilinear_sample; edge padding reproduces the
+    ``min(y0 + 1, h - 1)`` tap clamp exactly."""
     c, h, w = img.shape
     ys = jnp.clip(ys, 0.0, h - 1.0)
     xs = jnp.clip(xs, 0.0, w - 1.0)
     y0 = jnp.floor(ys).astype(jnp.int32)
     x0 = jnp.floor(xs).astype(jnp.int32)
-    y1 = jnp.minimum(y0 + 1, h - 1)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    wy = ys - y0
-    wx = xs - x0
+    wy = (ys - y0)[..., None]
+    wx = (xs - x0)[..., None]
+
+    imgp = jnp.pad(img, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    p = _gather_2x2(imgp, y0 + 1, x0 + 1)  # (H', W', C, 2, 2)
     out = (
-        img[:, y0, x0] * ((1 - wy) * (1 - wx))[None]
-        + img[:, y0, x1] * ((1 - wy) * wx)[None]
-        + img[:, y1, x0] * (wy * (1 - wx))[None]
-        + img[:, y1, x1] * (wy * wx)[None]
+        p[..., 0, 0] * ((1 - wy) * (1 - wx))
+        + p[..., 0, 1] * ((1 - wy) * wx)
+        + p[..., 1, 0] * (wy * (1 - wx))
+        + p[..., 1, 1] * (wy * wx)
     )
-    return out
+    return jnp.moveaxis(out, -1, 0)
 
 
 def normalize(img, mean, std):
