@@ -52,8 +52,10 @@ def main():
 
     print(f"devices: {jax.devices()}")
     b, bbox = 256, 36
+    dtype = sys.argv[1] if len(sys.argv) > 1 else "float32"
+    print(f"dtype: {dtype}")
     cfg = Config(task="simsiam2d3d", arch="simsiam2d3d_18", bbox=bbox,
-                 batch_size=b).finalize()
+                 batch_size=b, dtype=dtype).finalize()
     model = create_simsiam(cfg)
     rng = np.random.default_rng(0)
     batch = {
