@@ -248,16 +248,24 @@ class ExploreDataset:
         acc = np.zeros((m, b, b), tilt.dtype)
         win = np.lib.stride_tricks.sliding_window_view(tilt, (b, b), axis=(1, 2))
         yc = np.clip(y - half, 0, th - b)
-        for ti in range(t):
-            sel = ok[:, ti]
-            if not sel.any():
-                continue
-            # gather all rows with clipped indices + zero the invalid ones:
-            # a plain add is ~7x cheaper than a boolean scatter-add
-            g = win[ti, yc, np.clip(tx[:, ti] - half, 0, tw - b)]
-            if not sel.all():
-                g[~sel] = 0
-            acc += g
+        xc = np.clip(tx - half, 0, tw - b)
+        # chunk the candidate axis so each chunk's accumulator stays
+        # cache-resident across the (bit-exactness-preserving) tilt loop;
+        # per-candidate accumulation order over tilts is unchanged
+        chunk = max(1, (4 << 20) // (b * b * acc.itemsize))
+        for c0 in range(0, m, chunk):
+            c1 = min(c0 + chunk, m)
+            a = acc[c0:c1]
+            for ti in range(t):
+                sel = ok[c0:c1, ti]
+                if not sel.any():
+                    continue
+                # gather all rows with clipped indices + zero the invalid
+                # ones: a plain add is ~7x cheaper than a boolean scatter-add
+                g = win[ti, yc[c0:c1], xc[c0:c1, ti]]
+                if not sel.all():
+                    g[~sel] = 0
+                a += g
         valid = ok.any(axis=1)
         p = acc.astype(np.float32)
         lo = p.min(axis=(1, 2))
