@@ -40,12 +40,23 @@ def make_synthetic(rng, d=32, h=128, w=128, n_part=25):
 
 
 @pytest.mark.slow
-def test_train_pick_f1(tmp_path, rng):
+@pytest.mark.parametrize(
+    "dtype,contrastive",
+    [("float32", False), ("bfloat16", True)],
+    ids=["f32", "bf16-contrastive"],
+)
+def test_train_pick_f1(tmp_path, rng, dtype, contrastive):
+    """End-to-end train -> pick -> F1. The bf16+contrastive variant gates
+    the full production configuration PARITY.md benchmarks (mixed-precision
+    activations, PU focal + debiased contrastive + consistency); it is the
+    suite's most expensive test on CPU (~24 min — XLA:CPU emulates bf16) but
+    fast on the TPU it exists to certify."""
     vol, df = make_synthetic(rng)
     cfg = Config(
-        task="semi", arch="unet_2", contrastive=False, batch_size=4,
+        task="semi", arch="unet_2", contrastive=contrastive, batch_size=4,
         lr=1e-3, num_epochs=4, val_intervals=-1, bbox=8, K=60,
         out_thresh=0.3, cutoff_z=2, nms=5, root_dir=str(tmp_path),
+        dtype=dtype,
     ).finalize()
     ds = RefineDataset(cfg, "train", images={"syn0": vol}, coords_df=df)
     assert len(ds) == len(df)
