@@ -65,6 +65,7 @@ def main():
     rng = np.random.default_rng(0)
     batch = make_batch(rng)
 
+    batch_dev = None
     for contrastive in (True, False):
         cfg = Config(task="semi", arch="unet_4", contrastive=contrastive,
                      batch_size=4, dtype="bfloat16").finalize()
@@ -72,9 +73,35 @@ def main():
         state = create_train_state(model, cfg, jax.random.PRNGKey(0),
                                    batch["input"].reshape(8, 6, 64, 64))
         step = make_train_step(model, cfg)
-        t = timed(lambda s, b: step(s, b)[1]["loss"], state, batch)
+        if batch_dev is None:
+            batch_dev = jax.device_put(batch)
+            np.asarray(batch_dev["flip_prob"])
+        t = timed(lambda s, b: step(s, b)[1]["loss"], state, batch_dev)
         print(f"train step (contrastive={contrastive!s:<5}) {t*1e3:8.2f} ms"
               f"  ({4/t:.0f} samples/s)")
+
+    # ---- phase split of the non-contrastive step: forward / grad
+    x = jnp.asarray(batch["input"].reshape(8, 6, 64, 64))
+
+    @jax.jit
+    def fwd(params, bs, x):
+        out, _ = model.apply({"params": params, "batch_stats": bs}, x,
+                             train=True, mutable=["batch_stats"])
+        return out["hm"].sum()
+
+    t1 = timed(fwd, state.params, state.batch_stats, x)
+    g1 = jax.jit(jax.grad(fwd))
+    t2 = timed(lambda p, bs, xx: g1(p, bs, xx)["stem"]["kernel"],
+               state.params, state.batch_stats, x)
+    try:
+        cost = jax.jit(jax.grad(fwd)).lower(
+            state.params, state.batch_stats, x).compile().cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        fl = float(cost.get("flops", 0.0))
+        eff = f" ({fl/t2/1e12:.1f} TF/s, {fl/1e9:.0f} GF)"
+    except Exception:
+        eff = ""
+    print(f"one view forward {t1*1e3:8.2f} ms   grad {t2*1e3:8.2f} ms{eff}")
 
     # ---- isolated contrastive loss: one sample's N = 2*6*32*32 = 12288
     n, c = 12288, 32
