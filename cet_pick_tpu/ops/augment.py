@@ -51,16 +51,29 @@ def rot90_random(img, key):
 
 
 def _gather_2x2(img, y0, x0):
-    """One (C, 2, 2) patch per output pixel via a single ``lax.gather``.
+    """One (C, 2, 2) patch per output pixel via a single ``lax.gather``,
+    falling back to four per-tap gathers for single-channel images.
 
-    TPU gathers pay per gathered ROW, so fetching each bilinear tap
-    separately (4 scalar gathers per output pixel) runs ~4x slower than one
-    2x2-patch gather (the taps are contiguous) — measured on the v5e via
-    benchmarks/aug_profile.py. ``img`` must already be padded so that
-    clamping the patch start to [0, H-2] never shifts a wanted tap.
-    Returns (H', W', C, 2, 2)."""
+    For C >= 2 the patch gather beats fetching each bilinear tap separately
+    (the taps are contiguous; measured on the v5e via
+    benchmarks/aug_profile.py: rrc 12 -> 7 ms at C=2). For C == 1, XLA's
+    TPU lowering of the (1, 2, 2)-slice gather degenerates to a scalar
+    loop — 714 ms vs 34 ms for plain per-tap advanced indexing at bs=256
+    (measured; a squeezed rank-2 (2, 2)-slice gather is equally slow) — so
+    single-channel images take the per-tap path. Identical values either
+    way. ``img`` must already be padded so that clamping the patch start to
+    [0, H-2] never shifts a wanted tap. Returns (H', W', C, 2, 2)."""
     c, h, w = img.shape
     shape = y0.shape
+    if c == 1:
+        yc = jnp.clip(y0, 0, h - 2)
+        xc = jnp.clip(x0, 0, w - 2)
+        rows = []
+        for dy in (0, 1):
+            rows.append(jnp.stack(
+                [img[0, yc + dy, xc], img[0, yc + dy, xc + 1]], axis=-1
+            ))
+        return jnp.stack(rows, axis=-2)[..., None, :, :]
     starts = jnp.stack(
         [jnp.clip(y0, 0, h - 2).ravel(), jnp.clip(x0, 0, w - 2).ravel()],
         axis=-1,

@@ -144,10 +144,13 @@ def moco_step_fn(model, config, mode: str, m=0.999, temperature=0.1):
         updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
 
-        # enqueue keys at the pointer (moco.py:42-52); r % batch == 0 assumed
+        # enqueue keys at the pointer (moco.py:42-52); r % batch == 0 assumed.
+        # The queue stays float32 regardless of the activation dtype (bf16
+        # encoders produce bf16 keys; a bf16 queue would degrade every later
+        # step's negatives and dynamic_update_slice requires matching dtypes)
         bsz = key_z.shape[0]
         queue = jax.lax.dynamic_update_slice(
-            state.queue, key_z, (state.queue_ptr, 0)
+            state.queue, key_z.astype(state.queue.dtype), (state.queue_ptr, 0)
         )
         ptr = (state.queue_ptr + bsz) % state.queue.shape[0]
 

@@ -491,6 +491,30 @@ def test_moco_train(tmp_path, rng):
     assert not np.allclose(np.asarray(leaf_q), np.asarray(leaf_k))
 
 
+def test_moco_step_bfloat16(rng):
+    """Regression: bf16 activations produce bf16 keys, which must cast into
+    the float32 queue (dynamic_update_slice requires matching dtypes — this
+    crashed before the cast; caught by benchmarks/task_steps_bench.py)."""
+    import jax
+    from cet_pick_tpu.models.simsiam import create_simsiam
+    from cet_pick_tpu.train.moco import create_moco_state, make_moco_train_step
+
+    cfg = Config(task="moco", arch="simsiam2d_18", bbox=24, head_conv=32,
+                 batch_size=2, dtype="bfloat16").finalize()
+    model = create_simsiam(cfg)
+    batch = {
+        "anchor": rng.standard_normal((2, 1, 24, 24)).astype(np.float32),
+        "aug": rng.standard_normal((2, 1, 24, 24)).astype(np.float32),
+        "norm_mean": np.zeros(1, np.float32),
+        "norm_std": np.ones(1, np.float32),
+    }
+    state = create_moco_state(model, cfg, jax.random.PRNGKey(0), batch, r=8)
+    step = make_moco_train_step(model, cfg, "2d")
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert state.queue.dtype == jnp.float32
+
+
 def test_moco_checkpoint_roundtrip(tmp_path, rng):
     import jax
     from cet_pick_tpu.models.simsiam import create_simsiam
