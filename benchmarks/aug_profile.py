@@ -14,17 +14,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+from _timing import timed  # benchmarks/_timing.py: scalar-fetch fence
 
-def timed(fn, *a, reps=20):
-    import jax
-
-    out = fn(*a)
-    np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*a)
-    np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
-    return (time.perf_counter() - t0) / reps
 
 
 def main():

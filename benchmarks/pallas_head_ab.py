@@ -11,18 +11,10 @@ Run from the repo root with a TPU attached: python benchmarks/pallas_head_ab.py
 import sys, os, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np, jax, jax.numpy as jnp
+
+from _timing import timed  # benchmarks/_timing.py: scalar-fetch fence
 from cet_pick_tpu.ops.pallas_head import ztap_dilated_conv
 
-def timed(fn, *a, reps=20):
-    """Benchmarked fns must return SCALARS: the tunnel moves ~40 MB/s, so
-    fetching a full (70,256,256,32) output would dominate the measurement
-    (first version of this script hit exactly that — 1.8 s/rep of pure
-    transfer). Scalar fetch + back-to-back enqueue matches roofline.py."""
-    out = fn(*a); np.asarray(out)
-    t0 = time.perf_counter()
-    outs = [fn(*a) for _ in range(reps)]
-    np.asarray(outs[-1])
-    return (time.perf_counter()-t0)/reps
 
 D,H,W,C,F = 70,256,256,32,32
 x = jnp.asarray(np.random.default_rng(0).standard_normal((1,D,H,W,C))*0.1, jnp.bfloat16)

@@ -23,19 +23,11 @@ V5E_HBM_GBS = 819e9  # v5e HBM bandwidth
 RIDGE = V5E_BF16_PEAK / V5E_HBM_GBS  # FLOP/byte at the bf16 ridge point
 
 
-def _timed(fn, *args, reps=20):
-    """Amortized per-call device time: enqueue `reps` calls back-to-back
-    (TPU executes them in order on one stream), fence once with a tiny
-    np.asarray fetch. This removes the per-dispatch tunnel round-trip
-    (~29 ms through axon) that otherwise floors every measurement;
-    block_until_ready is a no-op through the tunnel."""
-    out = fn(*args)
-    np.asarray(out)  # compile + warm
-    t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(reps)]
-    np.asarray(outs[-1])
-    return (time.perf_counter() - t0) / reps
+import functools
 
+from _timing import timed as _shared_timed  # benchmarks/_timing.py
+
+_timed = functools.partial(_shared_timed, reps=20)
 
 def _cost(fn, *args):
     import jax

@@ -4,8 +4,8 @@ shape in the model) vs the space-to-depth 4-phase k4 s1 conv
 (models/detector._Stem).
 
 Correctness is asserted first (same sums up to bf16 rounding), then both are
-timed with scalar-fetch amortized enqueue (see pallas_head_ab.timed — the
-tunnel moves ~40 MB/s, so the benchmarked fns must return scalars).
+timed with scalar-fetch amortized enqueue (benchmarks/_timing.py — the
+tunnel moves ~40 MB/s, so the fence fetches one element, never the output).
 
 Run from the repo root (TPU attached): python benchmarks/stem_ab.py
 """
@@ -17,17 +17,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np, jax, jax.numpy as jnp
+
+from _timing import timed  # benchmarks/_timing.py: scalar-fetch fence
 from cet_pick_tpu.models.detector import _Stem
 
 TD, H, W, F = 70, 512, 512, 16
 
-
-def timed(fn, *a, reps=20):
-    out = fn(*a); np.asarray(out)
-    t0 = time.perf_counter()
-    outs = [fn(*a) for _ in range(reps)]
-    np.asarray(outs[-1])
-    return (time.perf_counter() - t0) / reps
 
 
 def main():

@@ -25,6 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np, jax, jax.numpy as jnp
 from functools import partial
 
+from _timing import timed  # benchmarks/_timing.py: scalar-fetch fence
+
 from cet_pick_tpu.ops.nms import nms3d, sigmoid_clamped
 from cet_pick_tpu.ops.decode import unravel_3d
 
@@ -43,13 +45,6 @@ def decode_flat(hm_logits, kernel=3, k=900):
                       y.astype(jnp.float32) + 0.25, z.astype(jnp.float32),
                       s.astype(jnp.float32), s.astype(jnp.float32)], axis=1)
 
-
-def timed(fn, *a, reps=10):
-    out = fn(*a); np.asarray(out)
-    t0 = time.perf_counter()
-    outs = [fn(*a) for _ in range(reps)]
-    np.asarray(outs[-1])
-    return (time.perf_counter() - t0) / reps
 
 
 @partial(jax.jit, static_argnames=("k", "nb"))

@@ -27,15 +27,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+from _timing import timed  # benchmarks/_timing.py: scalar-fetch fence
 
-def timed(fn, *a, reps=10):
-    out = fn(*a)
-    np.asarray(jax.tree_util.tree_leaves(out)[0])
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*a)
-    np.asarray(jax.tree_util.tree_leaves(out)[0])
-    return (time.perf_counter() - t0) / reps
 
 
 def make_batch(rng, b=4, p=2, d=6, h=64, w=64):

@@ -19,10 +19,13 @@ class PrefetchIterator:
     """Wrap a batch iterator; keep `depth` batches in flight on device.
 
     Supports early termination: a consumer that stops mid-epoch (e.g. the
-    ``--num_iters`` cap in the train loops) must call :meth:`close` — or use
-    the iterator as a context manager — so the producer thread is released
-    and its in-flight device batches are dropped; otherwise the producer
-    stays blocked on the full queue forever.
+    ``--num_iters`` cap in the train loops) should call :meth:`close` — or
+    use the iterator as a context manager — so the producer thread is
+    released promptly and its in-flight device batches are dropped. An
+    abandoned iterator is also released by GC: the producer thread closes
+    over the queue/event locals rather than ``self``, so dropping the last
+    consumer reference triggers ``__del__`` -> ``close()`` (a worker that
+    referenced ``self`` would pin it alive and spin forever).
     """
 
     _SENTINEL = object()
@@ -33,32 +36,38 @@ class PrefetchIterator:
 
         self._q = queue.Queue(maxsize=depth)
         self._put = device_put or jax.device_put
-        self._err = None
+        self._errs = []
         self._stop = threading.Event()
+        # locals for the worker closure — NOT self (see class docstring)
+        q, put, stop = self._q, self._put, self._stop
+        errs, sentinel = self._errs, self._SENTINEL
 
         def worker():
             try:
                 for batch in iterator:
-                    item = self._put(batch)
-                    while not self._stop.is_set():
+                    item = put(batch)
+                    while not stop.is_set():
                         try:
-                            self._q.put(item, timeout=0.1)
+                            q.put(item, timeout=0.1)
                             break
                         except queue.Full:
                             continue
-                    if self._stop.is_set():
+                    # drop our reference immediately: after a successful put
+                    # the consumer owns the (device-resident) batch
+                    del item
+                    if stop.is_set():
                         return
             except BaseException as e:  # surfaced on the consumer side
-                self._err = e
+                errs.append(e)
             finally:
                 # The sentinel MUST reach the consumer: if the queue is full
                 # (consumer still compiling its first step) a dropped
-                # sentinel deadlocks __next__ after the queued batches drain.
-                # Block, stop-aware, like the item puts; close() sets _stop
-                # and drains, so an abandoned consumer still releases us.
-                while not self._stop.is_set():
+                # sentinel deadlocks __next__ after the queued batches
+                # drain. Block, stop-aware, like the item puts; close()
+                # sets _stop and drains, so a stopped consumer releases us.
+                while not stop.is_set():
                     try:
-                        self._q.put(self._SENTINEL, timeout=0.1)
+                        q.put(sentinel, timeout=0.1)
                         break
                     except queue.Full:
                         continue
@@ -72,20 +81,39 @@ class PrefetchIterator:
     def __next__(self):
         item = self._q.get()
         if item is self._SENTINEL:
-            if self._err is not None:
-                raise self._err
+            if self._errs:
+                raise self._errs[0]
             raise StopIteration
         return item
 
-    def close(self):
-        """Release the producer thread and drop queued device batches."""
-        self._stop.set()
+    def _drain(self):
         while True:
             try:
                 self._q.get_nowait()
             except queue.Empty:
-                break
-        self._thread.join(timeout=5.0)
+                return
+
+    def close(self):
+        """Release the producer thread and drop queued device batches.
+
+        Drain and join alternate until the thread is dead: a producer
+        blocked in ``put`` when ``_stop`` is set can still complete that
+        put into the just-drained queue, so a single drain could strand
+        one device batch until GC — the final drain catches it.
+        """
+        self._stop.set()
+        deadline = 50  # 5 s at 0.1 s joins; the thread only sleeps 0.1 s
+        while self._thread.is_alive() and deadline > 0:
+            self._drain()
+            self._thread.join(timeout=0.1)
+            deadline -= 1
+        self._drain()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass  # interpreter shutdown
 
     def __enter__(self):
         return self

@@ -183,17 +183,25 @@ def color_jitter(img, key, brightness=0.5, contrast=0.2):
     (tomo_pre_proj_angle_select_new3d_vol.py:53/77): saturation and hue are
     identity on grayscale, leaving brightness (img * U[1-b, 1+b]) and
     contrast ((img - mean)*U[1-c, 1+c] + mean, mean over the grayscale image)
-    applied in random order."""
+    applied in random order.
+
+    Each op CLAMPS its result to [0, 1]: the reference runs ColorJitter on a
+    uint8 PIL 'L' image (ToPILImage multiplies the min-max-normalized patch
+    by 255) where every ImageEnhance blend saturates at [0, 255] — and
+    torchvision's float-tensor path clamps identically (_blend's
+    .clamp(0, bound)). With fb in [0.5, 1.5] roughly half the draws hit the
+    bright clamp, so omitting it shifts the training-view intensity
+    distribution. The sub-1/255 uint8 quantization is not reproduced."""
     kb, kc, ko = jax.random.split(key, 3)
     fb = jax.random.uniform(kb, (), minval=1.0 - brightness, maxval=1.0 + brightness)
     fc = jax.random.uniform(kc, (), minval=1.0 - contrast, maxval=1.0 + contrast)
 
     def bright(x):
-        return x * fb
+        return jnp.clip(x * fb, 0.0, 1.0)
 
     def contr(x):
         m = jnp.mean(x)
-        return (x - m) * fc + m
+        return jnp.clip((x - m) * fc + m, 0.0, 1.0)
 
     return jnp.where(
         jax.random.uniform(ko) < 0.5,

@@ -231,7 +231,9 @@ def train_fewshot(config, dataset, num_epochs=None, log_fn=print):
     history = []
     for epoch in range(1, num_epochs + 1):
         epoch_metrics = []
-        for batch in dataset.epoch_batches(rng, config.batch_size):
+        for it, batch in enumerate(dataset.epoch_batches(rng, config.batch_size)):
+            if 0 <= config.num_iters <= it:
+                break  # per-epoch iteration cap (base_trainer.py:263-268)
             state, centers, metrics = step(state, jax.device_put(batch), centers)
             epoch_metrics.append({k: float(v) for k, v in metrics.items()})
         if not epoch_metrics:

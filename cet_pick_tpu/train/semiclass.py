@@ -68,7 +68,9 @@ def train_semiclass(config, dataset, val_dataset=None, num_epochs=None,
     for epoch in range(state.epoch + 1, num_epochs + 1):
         state = set_learning_rate(state, lr_at_epoch(config, epoch))
         epoch_metrics = []
-        for batch in dataset.epoch_batches(rng, config.batch_size):
+        for it, batch in enumerate(dataset.epoch_batches(rng, config.batch_size)):
+            if 0 <= config.num_iters <= it:
+                break  # per-epoch iteration cap (base_trainer.py:263-268)
             state, metrics = train_step(state, jax.device_put(batch))
             epoch_metrics.append({k: float(v) for k, v in metrics.items()})
         if not epoch_metrics:

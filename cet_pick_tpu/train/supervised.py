@@ -199,7 +199,9 @@ def train_supervised(config, dataset, num_epochs=None, log_fn=print):
     for epoch in range(state.epoch + 1, num_epochs + 1):
         state = set_learning_rate(state, lr_at_epoch(config, epoch))
         epoch_metrics = []
-        for batch in dataset.epoch_batches(rng, config.batch_size):
+        for it, batch in enumerate(dataset.epoch_batches(rng, config.batch_size)):
+            if 0 <= config.num_iters <= it:
+                break  # per-epoch iteration cap (base_trainer.py:263-268)
             key, sub = jax.random.split(key)
             state, metrics = step(state, jax.device_put(batch), sub)
             epoch_metrics.append({k: float(v) for k, v in metrics.items()})

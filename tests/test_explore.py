@@ -76,18 +76,30 @@ def test_simsiam_augment_shapes(rng):
 
 def test_color_jitter_matches_torchvision(rng):
     """Golden check of the ColorJitter math: torchvision adjust_brightness
-    on a float tensor is x*f; adjust_contrast blends with the grayscale
-    mean ((x - m)*f + m). torchvision itself isn't in this image, so the
-    formulas (torchvision/transforms/_functional_tensor.py) are restated
-    in numpy here and the jax path is checked against them."""
+    on a float tensor is clamp(x*f, 0, 1); adjust_contrast blends with the
+    grayscale mean (clamp((x - m)*f + m, 0, 1)) — _blend clamps at the dtype
+    bound, and the reference's actual path (uint8 PIL ImageEnhance)
+    saturates identically at [0, 255]. torchvision itself isn't in this
+    image, so the formulas (torchvision/transforms/_functional_tensor.py)
+    are restated in numpy here and the jax path is checked against them."""
     img_np = rng.random((1, 16, 16)).astype(np.float32)
     fb, fc = 1.3, 0.85
-    bright = img_np * fb
-    ref = (bright - bright.mean()) * fc + bright.mean()
-    x = jnp.asarray(img_np) * fb
+    bright = np.clip(img_np * fb, 0.0, 1.0)
+    ref = np.clip((bright - bright.mean()) * fc + bright.mean(), 0.0, 1.0)
+    x = jnp.clip(jnp.asarray(img_np) * fb, 0.0, 1.0)
     m = jnp.mean(x)
-    ours = np.asarray((x - m) * fc + m)
+    ours = np.asarray(jnp.clip((x - m) * fc + m, 0.0, 1.0))
     np.testing.assert_allclose(ours, ref, atol=1e-5)
+    assert bright.max() == 1.0  # the clamp actually engages at fb=1.3
+
+
+def test_color_jitter_clamped(rng):
+    """The jitter output must stay in [0, 1] like the reference's uint8 PIL
+    path (a 1.5x brightness draw saturates, not overshoots)."""
+    img = jnp.asarray(rng.random((1, 16, 16)).astype(np.float32))
+    for i in range(16):
+        out = np.asarray(A.color_jitter(img, jax.random.PRNGKey(i)))
+        assert out.min() >= 0.0 and out.max() <= 1.0
 
 
 def test_color_jitter_factor_range(rng):

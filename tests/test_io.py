@@ -303,6 +303,61 @@ def test_prefetch_close_releases_producer():
     assert len(produced) == count
 
 
+def test_prefetch_close_drains_racing_put():
+    """A producer blocked in put() when close() fires can still complete
+    that put into the just-drained queue; close() must not strand the batch
+    (device HBM) in the dead iterator's queue."""
+    import time
+
+    from cet_pick_tpu.data.prefetch import PrefetchIterator
+
+    def src():
+        for i in range(100):
+            yield {"i": i}
+
+    for _ in range(10):  # the race needs a few tries to land
+        it = PrefetchIterator(src(), depth=1, device_put=lambda b: b)
+        next(it)
+        it.close()
+        assert not it._thread.is_alive()
+        assert it._q.qsize() == 0
+    time.sleep(0.05)
+
+
+def test_prefetch_abandoned_iterator_released_by_gc():
+    """An abandoned iterator (consumer stops without close()) must be
+    releasable by GC: the worker closes over locals, not self, so __del__
+    runs and stops the producer instead of spinning at 10 Hz forever."""
+    import gc
+    import time
+    import weakref
+
+    from cet_pick_tpu.data.prefetch import PrefetchIterator
+
+    produced = []
+
+    def src():
+        for i in range(1000):
+            produced.append(i)
+            yield {"i": i}
+
+    it = PrefetchIterator(src(), depth=1, device_put=lambda b: b)
+    next(it)
+    thread = it._thread
+    ref = weakref.ref(it)
+    del it
+    gc.collect()
+    assert ref() is None  # the worker thread must not pin the iterator
+    for _ in range(50):
+        if not thread.is_alive():
+            break
+        time.sleep(0.1)
+    assert not thread.is_alive()
+    count = len(produced)
+    time.sleep(0.3)
+    assert len(produced) == count
+
+
 def test_prefetch_slow_consumer_gets_sentinel():
     """The end-of-epoch sentinel must arrive even when the producer finishes
     while the queue is FULL (consumer stalled, e.g. compiling its first

@@ -51,6 +51,38 @@ def test_supervised_loop_decreases_loss(tmp_path, rng, task):
     assert hist[-1]["hm_loss"] < hist[0]["hm_loss"]
 
 
+def test_supervised_num_iters_caps_epoch(tmp_path, rng):
+    """--num_iters bounds every epoch's batch count (base_trainer.py:263-268)
+    — it was a silent no-op for the tomo/cr/semiclass/fewshot/tcla loops."""
+    vol, df = make_synthetic(rng, d=24, h=96, w=96, n_part=12)
+    cfg = Config(
+        task="tomo", arch="unet_2", contrastive=True, pn=True, batch_size=2,
+        lr=1e-3, num_epochs=2, num_iters=1, val_intervals=-1, bbox=8,
+        root_dir=str(tmp_path),
+    ).finalize()
+    ds = RefineDataset(cfg, "train", images={"syn0": vol}, coords_df=df)
+    consumed = []
+
+    class Counting:
+        def __getattr__(self, name):
+            return getattr(ds, name)
+
+        def __len__(self):
+            return len(ds)
+
+        def epoch_batches(self, rng_, bs):
+            for b in ds.epoch_batches(rng_, bs):
+                consumed.append(1)
+                yield b
+
+    state, hist = train_supervised(cfg, Counting(), log_fn=lambda *_: None)
+    # 12 samples at bs=2 would run 6 batches/epoch; the cap allows 1. The
+    # capped loop still PULLS one extra batch per epoch (enumerate consumes
+    # before the cap check), so <= 2 per epoch is the observable bound.
+    assert len(hist) == 2
+    assert len(consumed) <= 4
+
+
 def test_supervised_requires_pn(tmp_path, rng):
     vol, df = make_synthetic(rng, d=24, h=96, w=96, n_part=5)
     cfg = Config(task="cr", arch="unet_2", pn=False, batch_size=2,
