@@ -182,7 +182,7 @@ def pu_ge_loss(pred, gt, tau=0.1, slack=1.0, entropy_penalty=0.0):
 def _row_stats_blocked(feats_all, pos_mask, other_mask, temp, block):
     """Per-row reductions of the exp-similarity matrix, in row blocks.
 
-    For every row i of exp((f_i . f_j - rowmax_i) / T * offdiag) returns:
+    For every row i of exp((f_i . f_j / T - 1/T) * offdiag) returns:
       pos_sum[i]    = sum_j exp_ij * pos_mask[j]
       other_sum[i]  = sum_j exp_ij * other_mask[j]
       total_sum[i]  = sum_j exp_ij          (including the exp(0)=1 diagonal)
@@ -200,14 +200,21 @@ def _row_stats_blocked(feats_all, pos_mask, other_mask, temp, block):
     pure elementwise intermediate that XLA fuses into ONE reduction pass
     over the sims matmul output (a dot consumer would force ``e`` to
     materialize); the partner column is recomputed directly from the
-    feature vectors (O(block * C)) instead of gathered from ``e``. The
-    only HBM tensor per block is ``sims`` (one write, two reads: max pass
-    + fused exp/mask/reduce pass).
+    feature vectors (O(block * C)) instead of gathered from ``e``; and the
+    row-max shift is the CONSTANT 1/T rather than a computed max — the
+    features are L2-normalized (caller contract), so every similarity is
+    <= 1 with the diagonal == 1, making the reference's row max exactly
+    1/T up to the dot product's fp error; log-softmax is shift-invariant,
+    all shifted logits stay <= 0 (no overflow), and skipping the max
+    reduction deletes one of the two full HBM read passes of ``sims`` in
+    the forward and again in the remat'd backward. The only HBM tensor per
+    block is ``sims`` (one write, one fused exp/mask/reduce read).
     """
     m = feats_all.shape[0]
     n = m // 2
     pad = (-m) % block
     fT = feats_all.T  # (C, 2N)
+    rowshift = 1.0 / temp  # == the reference's row max for unit features
 
     def one_block(start):
         idx = start + jnp.arange(block)
@@ -217,16 +224,15 @@ def _row_stats_blocked(feats_all, pos_mask, other_mask, temp, block):
         # and this matmul is negligible FLOPs next to the model convs
         sims = jnp.matmul(rows, fT, precision=_gram_precision()) / temp
 
-        rowmax = jax.lax.stop_gradient(jnp.max(sims, axis=1, keepdims=True))
         col = jnp.arange(m)[None, :]
         offdiag = (col != idx[:, None]).astype(sims.dtype)
-        e = jnp.exp((sims - rowmax) * offdiag)         # diag -> exp(0) = 1
+        e = jnp.exp((sims - rowshift) * offdiag)       # diag -> exp(0) = 1
         pos_sum = (e * pos_mask[None, :]).sum(axis=1)
         other_sum = (e * other_mask[None, :]).sum(axis=1)
         total_sum = e.sum(axis=1)
         partner_idx = jnp.clip(jnp.where(idx < n, idx + n, idx - n), 0, m - 1)
         partner_sims = (rows * feats_all[partner_idx]).sum(axis=1) / temp
-        partner = jnp.exp(partner_sims - rowmax[:, 0])
+        partner = jnp.exp(partner_sims - rowshift)
         z = jnp.where(valid, 1.0, 0.0)
         return pos_sum * z, other_sum * z, total_sum * z, partner * z
 
@@ -321,6 +327,10 @@ def _row_logit_stats_blocked(feats_all, pos_mask, temp, block):
     Matches SupConLossV2_more's order of operations (loss.py:776-808): logits
     divided by T, shifted by the detached row max, the diagonal ZEROED before
     exp (so it contributes exp(0) = 1 to row sums and logit 0 to log sums).
+    As in _row_stats_blocked, the shift is the constant 1/T — equal to the
+    reference's row max for the L2-normalized features this is called with,
+    up to the dot product's fp error — which deletes the max reduction's
+    full read pass of ``sims``.
     Returns per row i:
       logit_pos_sum[i] = sum_{j in pos} shifted_masked_logit_ij
       partner_logit[i] = shifted_masked_logit_{i, i±N}
@@ -330,16 +340,16 @@ def _row_logit_stats_blocked(feats_all, pos_mask, temp, block):
     n = m // 2
     pad = (-m) % block
     fT = feats_all.T
+    rowshift = 1.0 / temp
 
     def one_block(start):
         idx = start + jnp.arange(block)
         valid = idx < m
         rows = feats_all[jnp.clip(idx, 0, m - 1)]
         sims = jnp.matmul(rows, fT, precision=_gram_precision()) / temp
-        rowmax = jax.lax.stop_gradient(jnp.max(sims, axis=1, keepdims=True))
         col = jnp.arange(m)[None, :]
         offdiag = (col != idx[:, None]).astype(sims.dtype)
-        logits = (sims - rowmax) * offdiag  # diagonal -> 0 (loss.py:787)
+        logits = (sims - rowshift) * offdiag  # diagonal -> 0 (loss.py:787)
         # fused multiply-sums, not dots — see _row_stats_blocked: keeps the
         # (block, 2N) logits/exp tensors out of HBM
         logit_pos_sum = (logits * pos_mask[None, :]).sum(axis=1)
@@ -348,7 +358,7 @@ def _row_logit_stats_blocked(feats_all, pos_mask, temp, block):
         # shifted similarity, recomputed directly from the feature vectors
         partner_idx = jnp.clip(jnp.where(idx < n, idx + n, idx - n), 0, m - 1)
         partner_sims = (rows * feats_all[partner_idx]).sum(axis=1) / temp
-        partner = partner_sims - rowmax[:, 0]
+        partner = partner_sims - rowshift
         z = jnp.where(valid, 1.0, 0.0)
         return logit_pos_sum * z, partner * z, total_sum * z
 
