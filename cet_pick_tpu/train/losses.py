@@ -28,6 +28,7 @@ Data-dependent branches in the reference (``if num_soft > 0`` etc.) become
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -248,16 +249,63 @@ def _row_stats_blocked(feats_all, pos_mask, other_mask, temp, block):
     return flat(pos_s), flat(other_s), flat(tot_s), flat(part)
 
 
+# Backend switch for the debiased-contrastive row stats. "auto" uses the
+# Pallas flash-gram kernel (ops/pallas_gram.py) on TPU — it keeps the
+# (2N, 2N) sims matrix out of HBM entirely and won its real-v5e A/B
+# (benchmarks/gram_ab.py: value 8.2 vs 9.1 ms, grad 12.6 vs 16.7 ms at the
+# refine shape; value parity 2e-6, grad parity 9e-4 — the backward's
+# w-matmuls run at Mosaic's native single-pass bf16, covered by the bf16
+# e2e quality gates) — and the XLA blocked path everywhere else
+# (CPU tests, interpret-unfriendly backends). CET_PALLAS_GRAM=0 disables.
+PALLAS_GRAM = os.environ.get("CET_PALLAS_GRAM", "auto")
+
+# the one (row-block) config the remote Mosaic compiler accepts; rb >= 64
+# and explicit precision args crash it (see ops/pallas_gram.py)
+_PALLAS_GRAM_RB = 32
+
+
+def _pallas_gram_enabled():
+    if PALLAS_GRAM in ("0", "off", "false"):
+        return False
+    if PALLAS_GRAM in ("1", "on", "true"):
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _row_stats(feats_all, pos_mask, other_mask, temp, block, backend="auto"):
+    """Dispatch the gram row stats: Pallas fused kernel on TPU, XLA blocked
+    lowering elsewhere. Identical outputs (see tests/test_pallas_gram.py).
+
+    backend: "auto" (env + jax backend), "pallas", or "xla". Callers that
+    vmap this function MUST force "xla" — the Pallas kernel's vmap batching
+    rule re-lowers it in a form the remote Mosaic compiler rejects; the
+    train step uses lax.map instead (train/refine.py)."""
+    if backend == "pallas" or (backend == "auto" and _pallas_gram_enabled()):
+        from cet_pick_tpu.ops.pallas_gram import gram_row_stats
+
+        ps, os_, ts = gram_row_stats(
+            feats_all, pos_mask, other_mask, temp, _PALLAS_GRAM_RB, False
+        )
+        m = feats_all.shape[0]
+        n = m // 2
+        pidx = jnp.concatenate([jnp.arange(n) + n, jnp.arange(n)])
+        psims = (feats_all * feats_all[pidx]).sum(axis=1) / temp
+        partner = jnp.exp(psims - 1.0 / temp)
+        return ps, os_, ts, partner
+    return _row_stats_blocked(feats_all, pos_mask, other_mask, temp, block)
+
+
 def _calc_g(pos_mean, neg_mean, class_prob, temp):
     """Debiased negative estimate, clamped at e^(-1/T) (loss.py:588-592)."""
     ng = (neg_mean - class_prob * pos_mean) / (1 - class_prob)
     return jnp.maximum(ng, np.e ** (-1.0 / temp))
 
 
-@partial(jax.jit, static_argnames=("temp", "tau_plus", "thresh", "block"))
+@partial(jax.jit,
+         static_argnames=("temp", "tau_plus", "thresh", "block", "backend"))
 def unbiased_con_loss(
     labels, out_hm, out_hm_cr, feats, feats_cr,
-    temp=0.07, tau_plus=0.1, thresh=0.5, block=1024,
+    temp=0.07, tau_plus=0.1, thresh=0.5, block=1024, backend="auto",
 ):
     """Debiased contrastive regularization (loss.py:571-699).
 
@@ -283,8 +331,8 @@ def unbiased_con_loss(
     num_pos = num_pos_total / 2
     num_of_negatives = 2 * (n - num_pos)
 
-    pos_sum, other_sum, total_sum, partner = _row_stats_blocked(
-        feats_all, pos_labels, other_inds, temp, block
+    pos_sum, other_sum, total_sum, partner = _row_stats(
+        feats_all, pos_labels, other_inds, temp, block, backend
     )
 
     # --- supervised branch: rows with positive labels (loss.py:652-657)

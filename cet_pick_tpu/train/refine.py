@@ -79,6 +79,14 @@ def make_train_step(model, config):
     use_pn = config.pn
     use_ge = config.ge
     contrastive = config.contrastive
+    # Pallas flash-gram gate (decided at trace time): TPU backend, no DP —
+    # mirrors parallel.mesh.auto_dp_step's mesh policy, because the lax.map
+    # the kernel needs must not scan a GSPMD-sharded batch axis
+    use_pallas_gram = (
+        L._pallas_gram_enabled()
+        and not config.mesh_shape
+        and len(jax.devices()) == 1
+    )
 
     def loss_fn(params, batch_stats, batch):
         out, bs1 = _forward_pair(model, params, batch_stats, batch["input"], True)
@@ -126,10 +134,31 @@ def make_train_step(model, config):
                 )(labels, feats, feats_cr).mean()
                 metrics["cr_loss"] = cr
                 loss = loss + cr * cr_weight
+            elif use_pallas_gram:
+                # Pallas flash-gram path (ops/pallas_gram.py; won the v5e
+                # A/B, benchmarks/gram_step_ab.py). Sequential lax.map, NOT
+                # vmap: vmapping the kernel re-lowers it through a batching
+                # rule the remote Mosaic compiler rejects, while lax.map
+                # traces the exact standalone kernel that compiles — and
+                # the per-sample grams were never parallel anyway (each
+                # fills the chip). Single-device only (gate below): a
+                # lax.map over a GSPMD-sharded batch axis would serialize
+                # across devices.
+                sup, unsup, _ = jax.lax.map(
+                    lambda a: L.unbiased_con_loss(
+                        *a, temp=temp, tau_plus=tau, thresh=thresh,
+                        backend="pallas",
+                    ),
+                    (labels, hm_flat, hm_cr_flat, feats, feats_cr),
+                )
+                cr = (sup + 0.1 * unsup).mean()
+                metrics["cr_loss"] = cr
+                loss = loss + cr * cr_weight
             else:
                 sup, unsup, _ = jax.vmap(
                     lambda l, h1, h2, f, fc: L.unbiased_con_loss(
-                        l, h1, h2, f, fc, temp=temp, tau_plus=tau, thresh=thresh
+                        l, h1, h2, f, fc, temp=temp, tau_plus=tau,
+                        thresh=thresh, backend="xla",
                     )
                 )(labels, hm_flat, hm_cr_flat, feats, feats_cr)
                 cr = (sup + 0.1 * unsup).mean()
