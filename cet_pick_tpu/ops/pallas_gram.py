@@ -233,3 +233,125 @@ def _gram_bwd(temp, rb, interpret, res, cts):
 
 
 gram_row_stats.defvjp(_gram_fwd, _gram_bwd)
+
+
+# ---------------------------------------------------------------------------
+# supcon (pn-mode) variant: logit row stats for SupConLossV2_more
+# (train/losses._row_logit_stats_blocked, reference loss.py:776-808)
+# ---------------------------------------------------------------------------
+
+
+def _logit_fwd_kernel(rh_ref, rl_ref, fh_ref, fl_ref, masks_ref,
+                      lsum_ref, tot_ref, *, rb, m, m_real, temp):
+    i = pl.program_id(0)
+    sims = _dot3(rh_ref[...], rl_ref[...], fh_ref[...], fl_ref[...],
+                 ((1,), (1,))) * (1.0 / temp)            # (rb, m)
+    offdiag = _diag_mask(i, rb, m)
+    cv = _col_valid(m, m_real)
+    logits = jnp.where(offdiag & cv, sims - 1.0 / temp, 0.0)
+    pmask = masks_ref[0:1, :]                            # (1, m)
+    lsum_ref[...] = jnp.sum(logits * pmask, axis=1, keepdims=True)
+    # the diagonal's zeroed logit contributes exp(0) = 1, like the XLA
+    # path; padded columns (absent there) are excluded
+    tot_ref[...] = jnp.sum(jnp.where(cv, jnp.exp(logits), 0.0),
+                           axis=1, keepdims=True)
+
+
+def _logit_bwd_kernel(rh_ref, rl_ref, fh_ref, fl_ref, f_ref, r_ref,
+                      masks_ref, g_ref, grow_ref, gcol_ref,
+                      *, rb, m, m_real, temp):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        gcol_ref[...] = jnp.zeros_like(gcol_ref)
+
+    feats = f_ref[...]                                   # (m, c) f32
+    sims = _dot3(rh_ref[...], rl_ref[...], fh_ref[...], fl_ref[...],
+                 ((1,), (1,))) * (1.0 / temp)
+    offdiag = _diag_mask(i, rb, m)
+    keep = offdiag & _col_valid(m, m_real)
+    e = jnp.exp(jnp.where(keep, sims - 1.0 / temp, 0.0))
+    pmask = masks_ref[0:1, :]
+    ga = g_ref[:, 0:1]                                   # d/d lsum  (rb, 1)
+    gb = g_ref[:, 1:2]                                   # d/d total (rb, 1)
+    w = jnp.where(keep, (ga * pmask + gb * e) * (1.0 / temp), 0.0)
+    grow_ref[...] = jax.lax.dot_general(
+        w, feats, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gcol_ref[...] += jax.lax.dot_general(
+        w, r_ref[...], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def gram_logit_stats(feats, pos_mask, temp, rb=32, interpret=False):
+    """Fused row stats of the shifted masked logits (supcon / pn mode).
+
+    logits_ij = (f_i . f_j / T - 1/T) * offdiag. Returns per row i:
+      logit_pos_sum[i] = sum_j logits_ij * pos_mask[j]
+      total_sum[i]     = sum_j exp(logits_ij)   (diagonal contributes 1)
+
+    Matches train/losses._row_logit_stats_blocked's first and third outputs
+    (the partner logit is O(M*C) and stays outside)."""
+    out, _ = _logit_fwd(feats, pos_mask, temp, rb, interpret)
+    return out
+
+
+def _logit_fwd(feats, pos_mask, temp, rb, interpret):
+    m_real, c = feats.shape
+    fp = _pad_to(feats.astype(jnp.float32), rb)
+    m = fp.shape[0]
+    masks = _pad_to(pos_mask.astype(jnp.float32), rb)[None, :]  # (1, m)
+    fh, fl = _split_hi_lo(fp)
+    rows_spec = pl.BlockSpec((rb, c), lambda i: (i, 0))
+    f_spec = pl.BlockSpec((m, c), lambda i: (0, 0))
+    masks_spec = pl.BlockSpec((1, m), lambda i: (0, 0))
+    col_spec = pl.BlockSpec((rb, 1), lambda i: (i, 0))
+    lsum, tot = pl.pallas_call(
+        functools.partial(_logit_fwd_kernel, rb=rb, m=m, m_real=m_real,
+                          temp=temp),
+        grid=(m // rb,),
+        in_specs=[rows_spec, rows_spec, f_spec, f_spec, masks_spec],
+        out_specs=[col_spec, col_spec],
+        out_shape=[jax.ShapeDtypeStruct((m, 1), jnp.float32)] * 2,
+        interpret=interpret,
+    )(fh, fl, fh, fl, masks)
+    return (lsum[:m_real, 0], tot[:m_real, 0]), (feats, pos_mask)
+
+
+def _logit_bwd(temp, rb, interpret, res, cts):
+    feats, pos_mask = res
+    g_lsum, g_tot = cts
+    m_real, c = feats.shape
+    fp = _pad_to(feats.astype(jnp.float32), rb)
+    m = fp.shape[0]
+    masks = _pad_to(pos_mask.astype(jnp.float32), rb)[None, :]
+    g = jnp.stack([
+        _pad_to(g_lsum.astype(jnp.float32), rb),
+        _pad_to(g_tot.astype(jnp.float32), rb),
+    ], axis=1)                                            # (m, 2)
+    fh, fl = _split_hi_lo(fp)
+    rows_spec = pl.BlockSpec((rb, c), lambda i: (i, 0))
+    f_spec = pl.BlockSpec((m, c), lambda i: (0, 0))
+    masks_spec = pl.BlockSpec((1, m), lambda i: (0, 0))
+    g_spec = pl.BlockSpec((rb, 2), lambda i: (i, 0))
+    grow_spec = pl.BlockSpec((rb, c), lambda i: (i, 0))
+    gcol_spec = pl.BlockSpec((m, c), lambda i: (0, 0))
+    grow, gcol = pl.pallas_call(
+        functools.partial(_logit_bwd_kernel, rb=rb, m=m, m_real=m_real,
+                          temp=temp),
+        grid=(m // rb,),
+        in_specs=[rows_spec, rows_spec, f_spec, f_spec, f_spec, rows_spec,
+                  masks_spec, g_spec],
+        out_specs=[grow_spec, gcol_spec],
+        out_shape=[jax.ShapeDtypeStruct((m, c), jnp.float32)] * 2,
+        interpret=interpret,
+    )(fh, fl, fh, fl, fp, fp, masks, g)
+    grad = (grow + gcol)[:m_real].astype(feats.dtype)
+    return grad, None
+
+
+gram_logit_stats.defvjp(_logit_fwd, _logit_bwd)

@@ -418,8 +418,28 @@ def _row_logit_stats_blocked(feats_all, pos_mask, temp, block):
     return flat(lps), flat(part), flat(tot)
 
 
-@partial(jax.jit, static_argnames=("temp", "thresh", "block"))
-def supcon_loss(labels, feats, feats_cr, temp=0.07, thresh=0.5, block=1024):
+def _row_logit_stats(feats_all, pos_mask, temp, block, backend="auto"):
+    """Dispatch like _row_stats: Pallas gram_logit_stats on TPU (partner
+    logit recomputed O(M*C) outside), XLA blocked lowering elsewhere.
+    Same vmap caveat — force backend="xla" under vmap."""
+    if backend == "pallas" or (backend == "auto" and _pallas_gram_enabled()):
+        from cet_pick_tpu.ops.pallas_gram import gram_logit_stats
+
+        lsum, tot = gram_logit_stats(
+            feats_all, pos_mask, temp, _PALLAS_GRAM_RB, False
+        )
+        m = feats_all.shape[0]
+        n = m // 2
+        pidx = jnp.concatenate([jnp.arange(n) + n, jnp.arange(n)])
+        psims = (feats_all * feats_all[pidx]).sum(axis=1) / temp
+        partner = psims - 1.0 / temp
+        return lsum, partner, tot
+    return _row_logit_stats_blocked(feats_all, pos_mask, temp, block)
+
+
+@partial(jax.jit, static_argnames=("temp", "thresh", "block", "backend"))
+def supcon_loss(labels, feats, feats_cr, temp=0.07, thresh=0.5, block=1024,
+                backend="auto"):
     """Supervised pixel contrastive loss for --pn mode, matching
     SupConLossV2_more (loss.py:759-818) exactly:
 
@@ -435,8 +455,8 @@ def supcon_loss(labels, feats, feats_cr, temp=0.07, thresh=0.5, block=1024):
     pos = (all_labels > thresh).astype(feats.dtype)
     unl = (all_labels < thresh).astype(feats.dtype)
 
-    logit_pos_sum, partner_logit, total_sum = _row_logit_stats_blocked(
-        feats_all, pos, temp, block
+    logit_pos_sum, partner_logit, total_sum = _row_logit_stats(
+        feats_all, pos, temp, block, backend
     )
     num_pos_total = pos.sum()
     log_tot = jnp.log(jnp.maximum(total_sum, 1e-12))

@@ -126,10 +126,20 @@ def make_train_step(model, config):
             hm_flat = hm.reshape(bsz, -1)
             hm_cr_flat = hm_cr_unflipped.reshape(bsz, -1)
 
-            if use_pn:
+            if use_pn and use_pallas_gram:
+                # same lax.map-not-vmap rule as the unbiased branch below
+                cr = jax.lax.map(
+                    lambda a: L.supcon_loss(
+                        *a, temp=temp, thresh=thresh, backend="pallas"
+                    ),
+                    (labels, feats, feats_cr),
+                ).mean()
+                metrics["cr_loss"] = cr
+                loss = loss + cr * cr_weight
+            elif use_pn:
                 cr = jax.vmap(
                     lambda l, f, fc: L.supcon_loss(
-                        l, f, fc, temp=temp, thresh=thresh
+                        l, f, fc, temp=temp, thresh=thresh, backend="xla"
                     )
                 )(labels, feats, feats_cr).mean()
                 metrics["cr_loss"] = cr
