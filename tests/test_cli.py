@@ -164,6 +164,49 @@ def test_cli_train_then_test_from_disk(tmp_path, rng):
 
 
 @pytest.mark.slow
+def test_cli_train_resume_from_disk(tmp_path, rng):
+    """`train --resume` must pick up model_last automatically
+    (config.py mirrors opts.py:265-268), restore optimizer state + epoch
+    (state.py load_checkpoint resume=True, model.py:234-247), and continue
+    the epoch count instead of restarting at 1 — previously untested."""
+    from flax import serialization
+    from test_e2e import make_synthetic
+
+    from cet_pick_tpu.io.mrc import write_mrc
+
+    vol, df = make_synthetic(np.random.default_rng(5), d=20, h=96, w=96,
+                             n_part=8)
+    data = tmp_path / "data"
+    data.mkdir()
+    write_mrc(str(data / "syn0.rec"), vol)
+    listing = f"image_name\trec_path\nsyn0\t{data / 'syn0.rec'}\n"
+    (data / "train_images.txt").write_text(listing)
+    df.to_csv(data / "train_coords.txt", sep="\t", index=False)
+
+    common = ["--task", "semi", "--arch", "unet_2", "--order", "zxy",
+              "--data_dir", str(data), "--root_dir", str(tmp_path),
+              "--no-contrastive", "--batch_size", "4", "--bbox", "8",
+              "--val_intervals", "-1", "--lr", "1e-3"]
+    main(["train", *common, "--num_epochs", "2"])
+    from cet_pick_tpu.config import Config as C
+
+    cfg = C(task="semi", root_dir=str(tmp_path)).finalize()
+    ck = os.path.join(cfg.save_dir, "model_last", "state.msgpack")
+
+    def read_ck():
+        with open(ck, "rb") as f:
+            return serialization.msgpack_restore(f.read())
+
+    p1 = read_ck()
+    assert p1["epoch"] == 2 and p1["step"] > 0
+
+    main(["train", *common, "--num_epochs", "4", "--resume"])
+    p2 = read_ck()
+    assert p2["epoch"] == 4  # continued 3..4, not restarted at 1
+    assert p2["step"] > p1["step"]
+
+
+@pytest.mark.slow
 def test_cli_explore_chain_from_disk(tmp_path, rng):
     """The exploration workflow through the real CLI surface: .rec on disk
     -> `explore` (SimSiam training) -> `embed` (all_output_info.npz) ->
