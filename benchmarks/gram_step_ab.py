@@ -68,6 +68,40 @@ def main():
             print(f"speedup {results['0'][0]/results['1'][0]:.2f}x   "
                   f"loss rel diff {dv:.2e}")
 
+    # ---- cr (supervised single-view supcon, train/supervised.py)
+    from cet_pick_tpu.train.supervised import make_supervised_train_step
+
+    cfg = Config(task="cr", arch="unet_4", contrastive=True, pn=True,
+                 batch_size=4, dtype="bfloat16").finalize()
+    model = create_detector(cfg)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               batch["input"].reshape(8, 6, 64, 64))
+    cr_batch = {"input": batch_dev["input"],
+                "hm": jnp.maximum(batch_dev["hm"], 0.0)}
+    key = jax.random.PRNGKey(3)
+    print("-- cr (supcon_v2)")
+    results = {}
+    for mode in ("0", "1"):
+        L.PALLAS_GRAM = mode
+        step = make_supervised_train_step(model, cfg, "cr")
+        try:
+            loss = float(step(state, cr_batch, key)[1]["loss"])
+            t = timed(lambda s, b, k: step(s, b, k)[1]["loss"],
+                      state, cr_batch, key)
+            results[mode] = (t, loss)
+            name = "pallas" if mode == "1" else "xla   "
+            print(f"{name} step {t*1e3:8.2f} ms  ({4/t:.0f} samples/s)  "
+                  f"loss={loss:.6f}")
+        except Exception as e:
+            print(f"mode={mode} FAILED: {type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:140]}")
+    L.PALLAS_GRAM = "auto"
+    if len(results) == 2:
+        dv = abs(results["1"][1] - results["0"][1]) / max(
+            abs(results["0"][1]), 1e-9)
+        print(f"speedup {results['0'][0]/results['1'][0]:.2f}x   "
+              f"loss rel diff {dv:.2e}")
+
 
 if __name__ == "__main__":
     main()

@@ -355,3 +355,142 @@ def _logit_bwd(temp, rb, interpret, res, cts):
 
 
 gram_logit_stats.defvjp(_logit_fwd, _logit_bwd)
+
+
+# ---------------------------------------------------------------------------
+# single-view supcon variant (cr task): raw-feature gram with a real row max
+# (train/supervised.supcon_v2_loss, reference loss.py:821-868)
+# ---------------------------------------------------------------------------
+
+
+def _v2_fwd_kernel(rh_ref, rl_ref, fh_ref, fl_ref, masks_ref,
+                   mx_ref, psum_ref, nsum_ref, tot_ref,
+                   *, rb, m, m_real, temp):
+    i = pl.program_id(0)
+    sims = _dot3(rh_ref[...], rl_ref[...], fh_ref[...], fl_ref[...],
+                 ((1,), (1,))) * (1.0 / temp)            # (rb, m)
+    offdiag = _diag_mask(i, rb, m)
+    cv = _col_valid(m, m_real)
+    # reference order: mask the diagonal to 0 BEFORE the max
+    sims = jnp.where(offdiag, sims, 0.0)
+    # padded columns must not win the max or enter any sum
+    mx = jnp.max(jnp.where(cv, sims, -jnp.inf), axis=1, keepdims=True)
+    pmask = masks_ref[0:1, :]
+    nmask = masks_ref[1:2, :]
+    psum_ref[...] = jnp.sum(sims * pmask, axis=1, keepdims=True)
+    nsum_ref[...] = jnp.sum(sims * nmask, axis=1, keepdims=True)
+    tot_ref[...] = jnp.sum(
+        jnp.where(cv, jnp.exp(sims - mx), 0.0), axis=1, keepdims=True)
+    mx_ref[...] = mx
+
+
+def _v2_bwd_kernel(rh_ref, rl_ref, fh_ref, fl_ref, f_ref, r_ref,
+                   masks_ref, mx_ref, g_ref, grow_ref, gcol_ref,
+                   *, rb, m, m_real, temp):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        gcol_ref[...] = jnp.zeros_like(gcol_ref)
+
+    feats = f_ref[...]
+    sims = _dot3(rh_ref[...], rl_ref[...], fh_ref[...], fl_ref[...],
+                 ((1,), (1,))) * (1.0 / temp)
+    keep = _diag_mask(i, rb, m) & _col_valid(m, m_real)
+    sims = jnp.where(keep, sims, 0.0)
+    e = jnp.exp(sims - mx_ref[...])                      # (rb, m), mx (rb, 1)
+    pmask = masks_ref[0:1, :]
+    nmask = masks_ref[1:2, :]
+    ga = g_ref[:, 0:1]                                   # d/d psum
+    gb = g_ref[:, 1:2]                                   # d/d nsum
+    gc = g_ref[:, 2:3]                                   # d/d tot
+    # mx is stop-gradient (reference uses a detached row max), so only the
+    # direct sims paths contribute
+    w = jnp.where(keep, (ga * pmask + gb * nmask + gc * e) * (1.0 / temp),
+                  0.0)
+    grow_ref[...] = jax.lax.dot_general(
+        w, feats, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gcol_ref[...] += jax.lax.dot_general(
+        w, r_ref[...], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def gram_supcon_v2_stats(feats, pos_mask, neg_mask, temp, rb=32,
+                         interpret=False):
+    """Fused row stats for the single-view supcon gram (cr task).
+
+    sims_ij = (f_i . f_j) * offdiag / T with RAW (un-normalized) features —
+    the row max is real, computed per VMEM stripe and returned detached.
+    Returns (rowmax, pos_sims, neg_sims, tot), each (M,):
+      rowmax[i]   = max_j sims_ij                 (stop-gradient)
+      pos_sims[i] = sum_j sims_ij * pos_mask[j]
+      neg_sims[i] = sum_j sims_ij * neg_mask[j]
+      tot[i]      = sum_j exp(sims_ij - rowmax[i])
+    """
+    out, _ = _v2_fwd(feats, pos_mask, neg_mask, temp, rb, interpret)
+    return out
+
+
+def _v2_fwd(feats, pos_mask, neg_mask, temp, rb, interpret):
+    m_real, c = feats.shape
+    fp = _pad_to(feats.astype(jnp.float32), rb)
+    m = fp.shape[0]
+    masks = _masks_2d(pos_mask, neg_mask, rb)
+    fh, fl = _split_hi_lo(fp)
+    rows_spec = pl.BlockSpec((rb, c), lambda i: (i, 0))
+    f_spec = pl.BlockSpec((m, c), lambda i: (0, 0))
+    masks_spec = pl.BlockSpec((2, m), lambda i: (0, 0))
+    col_spec = pl.BlockSpec((rb, 1), lambda i: (i, 0))
+    mx, ps, ns, tot = pl.pallas_call(
+        functools.partial(_v2_fwd_kernel, rb=rb, m=m, m_real=m_real,
+                          temp=temp),
+        grid=(m // rb,),
+        in_specs=[rows_spec, rows_spec, f_spec, f_spec, masks_spec],
+        out_specs=[col_spec, col_spec, col_spec, col_spec],
+        out_shape=[jax.ShapeDtypeStruct((m, 1), jnp.float32)] * 4,
+        interpret=interpret,
+    )(fh, fl, fh, fl, masks)
+    out = (jax.lax.stop_gradient(mx[:m_real, 0]), ps[:m_real, 0],
+           ns[:m_real, 0], tot[:m_real, 0])
+    return out, (feats, pos_mask, neg_mask, mx)
+
+
+def _v2_bwd(temp, rb, interpret, res, cts):
+    feats, pos_mask, neg_mask, mx = res
+    _, g_ps, g_ns, g_tot = cts                           # rowmax is detached
+    m_real, c = feats.shape
+    fp = _pad_to(feats.astype(jnp.float32), rb)
+    m = fp.shape[0]
+    masks = _masks_2d(pos_mask, neg_mask, rb)
+    g = jnp.stack([
+        _pad_to(g_ps.astype(jnp.float32), rb),
+        _pad_to(g_ns.astype(jnp.float32), rb),
+        _pad_to(g_tot.astype(jnp.float32), rb),
+    ], axis=1)                                            # (m, 3)
+    fh, fl = _split_hi_lo(fp)
+    rows_spec = pl.BlockSpec((rb, c), lambda i: (i, 0))
+    f_spec = pl.BlockSpec((m, c), lambda i: (0, 0))
+    masks_spec = pl.BlockSpec((2, m), lambda i: (0, 0))
+    mx_spec = pl.BlockSpec((rb, 1), lambda i: (i, 0))
+    g_spec = pl.BlockSpec((rb, 3), lambda i: (i, 0))
+    grow_spec = pl.BlockSpec((rb, c), lambda i: (i, 0))
+    gcol_spec = pl.BlockSpec((m, c), lambda i: (0, 0))
+    grow, gcol = pl.pallas_call(
+        functools.partial(_v2_bwd_kernel, rb=rb, m=m, m_real=m_real,
+                          temp=temp),
+        grid=(m // rb,),
+        in_specs=[rows_spec, rows_spec, f_spec, f_spec, f_spec, rows_spec,
+                  masks_spec, mx_spec, g_spec],
+        out_specs=[grow_spec, gcol_spec],
+        out_shape=[jax.ShapeDtypeStruct((m, c), jnp.float32)] * 2,
+        interpret=interpret,
+    )(fh, fl, fh, fl, fp, fp, masks, mx, g)
+    grad = (grow + gcol)[:m_real].astype(feats.dtype)
+    return grad, None, None
+
+
+gram_supcon_v2_stats.defvjp(_v2_fwd, _v2_bwd)

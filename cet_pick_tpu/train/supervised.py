@@ -37,7 +37,7 @@ from cet_pick_tpu.train.fewshot import partial_sup_loss
 GATHER_K = 128  # static positive/negative gather size for the tomo task
 
 
-def supcon_v2_loss(feats, hm, temp=0.07, thresh=0.5):
+def supcon_v2_loss(feats, hm, temp=0.07, thresh=0.5, backend="auto"):
     """Single-view pixel supcon (SupConLossV2, loss.py:821-868).
 
     feats: (N, C) pixel projections (raw, un-normalized — the reference
@@ -45,24 +45,42 @@ def supcon_v2_loss(feats, hm, temp=0.07, thresh=0.5):
     (hm > thresh) attract each other, negative pixels (hm < thresh) attract
     each other; each row is softmax-normalized over all other pixels.
 
-    Materializes the (N, N) gram — size crops accordingly (a 6x32x32 crop is
-    6144 pixels -> 151 MB in f32; fine per-TPU-core, vmapped per sample so
-    nothing crosses devices under data parallelism).
-    """
-    n = feats.shape[0]
-    mask = 1 - jnp.eye(n, dtype=feats.dtype)
-    sims = (feats @ feats.T) * mask / temp
+    backend="xla" materializes the (N, N) gram — size crops accordingly (a
+    6x32x32 crop is 6144 pixels -> 151 MB in f32; fine per-TPU-core,
+    vmapped per sample so nothing crosses devices under data parallelism).
+    On TPU ("auto"/"pallas") the gram stays in VMEM stripes via
+    ops/pallas_gram.gram_supcon_v2_stats — raw features mean the row max is
+    real, computed per stripe in-kernel; assembly below is algebraically
+    identical:
+      (log_prob * mask).sum(1) = masked_sims_row_sum - (rowmax + log_tot)
+                                 * mask.sum()
+    Same vmap caveat as the other gram kernels — lax.map, not vmap."""
     pos = (hm > thresh).astype(feats.dtype)
     neg = (hm < thresh).astype(feats.dtype)
-
-    shifted = sims - jax.lax.stop_gradient(sims.max(axis=1, keepdims=True))
-    log_prob = shifted - jnp.log(
-        jnp.maximum(jnp.exp(shifted).sum(axis=1, keepdims=True), 1e-12)
-    )
     n_pos = jnp.maximum(pos.sum(), 1.0)
     n_neg = jnp.maximum(neg.sum(), 1.0)
-    mean_pos_rows = (log_prob * pos[None, :]).sum(axis=1) / n_pos
-    mean_neg_rows = (log_prob * neg[None, :]).sum(axis=1) / n_neg
+    if backend == "pallas" or (
+        backend == "auto" and L._pallas_gram_enabled()
+    ):
+        from cet_pick_tpu.ops.pallas_gram import gram_supcon_v2_stats
+
+        mx, psims, nsims, tot = gram_supcon_v2_stats(
+            feats, pos, neg, temp, L._PALLAS_GRAM_RB, False
+        )
+        base = mx + jnp.log(jnp.maximum(tot, 1e-12))     # (N,)
+        mean_pos_rows = (psims - base * pos.sum()) / n_pos
+        mean_neg_rows = (nsims - base * neg.sum()) / n_neg
+    else:
+        n = feats.shape[0]
+        mask = 1 - jnp.eye(n, dtype=feats.dtype)
+        sims = (feats @ feats.T) * mask / temp
+        shifted = sims - jax.lax.stop_gradient(
+            sims.max(axis=1, keepdims=True))
+        log_prob = shifted - jnp.log(
+            jnp.maximum(jnp.exp(shifted).sum(axis=1, keepdims=True), 1e-12)
+        )
+        mean_pos_rows = (log_prob * pos[None, :]).sum(axis=1) / n_pos
+        mean_neg_rows = (log_prob * neg[None, :]).sum(axis=1) / n_neg
     loss_pos = -(mean_pos_rows * pos).sum() / n_pos
     loss_neg = -(mean_neg_rows * neg).sum() / n_neg
     return loss_pos + loss_neg
@@ -109,6 +127,14 @@ def make_supervised_train_step(model, config, task):
     thresh = config.thresh
     cr_weight = config.cr_weight
     contrastive = config.contrastive
+    # same gate as train/refine.make_train_step: the Pallas gram must ride
+    # lax.map (its vmap rule crashes the remote Mosaic compiler) and a
+    # lax.map must not scan a GSPMD-sharded batch axis
+    use_pallas_gram = (
+        L._pallas_gram_enabled()
+        and not config.mesh_shape
+        and len(jax.devices()) == 1
+    )
 
     def loss_fn(params, batch_stats, batch, key):
         x = batch["input"]
@@ -134,9 +160,18 @@ def make_supervised_train_step(model, config, task):
             c = out["proj"].shape[-1]
             feats = out["proj"].reshape(b * p, -1, c)
             labels = gt.reshape(b * p, -1)
-            if task == "cr":
+            if task == "cr" and use_pallas_gram:
+                cr = jax.lax.map(
+                    lambda a: supcon_v2_loss(
+                        *a, temp=temp, thresh=thresh, backend="pallas"
+                    ),
+                    (feats, labels),
+                ).mean()
+            elif task == "cr":
                 cr = jax.vmap(
-                    lambda f, l: supcon_v2_loss(f, l, temp=temp, thresh=thresh)
+                    lambda f, l: supcon_v2_loss(
+                        f, l, temp=temp, thresh=thresh, backend="xla"
+                    )
                 )(feats, labels).mean()
             else:  # tomo
                 keys = jax.random.split(key, feats.shape[0])
