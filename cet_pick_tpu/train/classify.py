@@ -92,9 +92,13 @@ def train_classify(config, dataset, num_epochs=None, log_fn=print):
     history = []
     for epoch in range(1, num_epochs + 1):
         metrics_epoch = []
-        for it, batch in enumerate(dataset.epoch_batches(rng, config.batch_size)):
-            if 0 <= config.num_iters <= it:
-                break  # per-epoch iteration cap (base_trainer.py:263-268)
+        # NO base_trainer-style num_iters cap here: for tcla the flag is
+        # consumed by SemiClassDataset as the per-tomogram stratified draw
+        # count (classify_dataset.py) — the dataset's epoch length IS the
+        # intended iteration budget, and capping again would silently
+        # discard half the draws whenever n_tomos > batch_size (the
+        # reference's main_class sampler length is likewise its own knob)
+        for batch in dataset.epoch_batches(rng, config.batch_size):
             state, metrics = step(state, jax.device_put(batch))
             metrics_epoch.append({k: float(v) for k, v in metrics.items()})
         if not metrics_epoch:

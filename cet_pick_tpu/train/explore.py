@@ -17,6 +17,8 @@ trains/tomo_simsiam_trainer.py:17-55:
 
 from __future__ import annotations
 
+import itertools
+
 import os
 from typing import Optional
 
@@ -206,10 +208,11 @@ def train_explore(config, dataset, num_epochs=None, log_fn=print):
             device_put=place_batch,
         )
         total_batches = max(len(dataset) // config.batch_size, 1)
+        cap = config.num_iters if config.num_iters >= 0 else None
         with batches:  # releases the producer thread on a num_iters break
-            for it, batch in enumerate(batches):
-                if 0 <= config.num_iters <= it:
-                    break  # per-epoch iteration cap (base_trainer.py:263-268)
+            # per-epoch cap (base_trainer.py:263-268); islice doesn't pull
+            # the first discarded batch
+            for it, batch in enumerate(itertools.islice(batches, cap)):
                 wlr = simsiam_warmup_lr(config, epoch, it, total_batches)
                 if wlr is not None:
                     state = set_learning_rate(state, wlr)

@@ -31,6 +31,8 @@ stays (SUP_MAX, SUP_MAX) regardless of crop size — no dynamic shapes.
 
 from __future__ import annotations
 
+import itertools
+
 from functools import partial
 
 import jax
@@ -231,9 +233,11 @@ def train_fewshot(config, dataset, num_epochs=None, log_fn=print):
     history = []
     for epoch in range(1, num_epochs + 1):
         epoch_metrics = []
-        for it, batch in enumerate(dataset.epoch_batches(rng, config.batch_size)):
-            if 0 <= config.num_iters <= it:
-                break  # per-epoch iteration cap (base_trainer.py:263-268)
+        # per-epoch iteration cap (base_trainer.py:263-268); islice avoids
+        # building the first discarded batch
+        cap = config.num_iters if config.num_iters >= 0 else None
+        for batch in itertools.islice(
+                dataset.epoch_batches(rng, config.batch_size), cap):
             state, centers, metrics = step(state, jax.device_put(batch), centers)
             epoch_metrics.append({k: float(v) for k, v in metrics.items()})
         if not epoch_metrics:

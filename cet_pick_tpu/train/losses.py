@@ -272,6 +272,35 @@ def _pallas_gram_enabled():
     return jax.default_backend() == "tpu"
 
 
+# Validated VMEM envelope for the kernels (benchmarks/gram_ab.py compiled
+# and won at M=24576, C=32, rb=32; the resident feats copies + gradient
+# accumulator + (rb, M) stripes scale with M and M*C, and Mosaic aborts at
+# compile time when VMEM is exhausted). Shapes outside the envelope fall
+# back to the blocked XLA path instead of hitting that cliff.
+_PALLAS_GRAM_MAX_M = 24576
+_PALLAS_GRAM_MAX_ELEMS = 24576 * 32
+
+
+def pallas_gram_fits(m, c):
+    return m <= _PALLAS_GRAM_MAX_M and m * c <= _PALLAS_GRAM_MAX_ELEMS
+
+
+def pallas_gram_step_gate(config):
+    """True when a train step may drive the Pallas gram kernels.
+
+    The kernels must ride a sequential ``lax.map`` (their vmap batching
+    rule crashes the remote Mosaic compiler), and a lax.map must not scan
+    a GSPMD-sharded batch axis — so the gate mirrors
+    parallel.mesh.auto_dp_step's mesh policy: TPU backend, no --mesh_shape,
+    exactly one device. Shared by train/refine.py and train/supervised.py
+    so the invariant cannot drift between them."""
+    return (
+        _pallas_gram_enabled()
+        and not config.mesh_shape
+        and len(jax.devices()) == 1
+    )
+
+
 def _row_stats(feats_all, pos_mask, other_mask, temp, block, backend="auto"):
     """Dispatch the gram row stats: Pallas fused kernel on TPU, XLA blocked
     lowering elsewhere. Identical outputs (see tests/test_pallas_gram.py).
@@ -279,8 +308,11 @@ def _row_stats(feats_all, pos_mask, other_mask, temp, block, backend="auto"):
     backend: "auto" (env + jax backend), "pallas", or "xla". Callers that
     vmap this function MUST force "xla" — the Pallas kernel's vmap batching
     rule re-lowers it in a form the remote Mosaic compiler rejects; the
-    train step uses lax.map instead (train/refine.py)."""
-    if backend == "pallas" or (backend == "auto" and _pallas_gram_enabled()):
+    train step uses lax.map instead (train/refine.py). Shapes outside the
+    validated VMEM envelope quietly take the XLA path either way."""
+    if (backend == "pallas"
+            or (backend == "auto" and _pallas_gram_enabled())
+            ) and pallas_gram_fits(*feats_all.shape):
         from cet_pick_tpu.ops.pallas_gram import gram_row_stats
 
         ps, os_, ts = gram_row_stats(
@@ -422,7 +454,9 @@ def _row_logit_stats(feats_all, pos_mask, temp, block, backend="auto"):
     """Dispatch like _row_stats: Pallas gram_logit_stats on TPU (partner
     logit recomputed O(M*C) outside), XLA blocked lowering elsewhere.
     Same vmap caveat — force backend="xla" under vmap."""
-    if backend == "pallas" or (backend == "auto" and _pallas_gram_enabled()):
+    if (backend == "pallas"
+            or (backend == "auto" and _pallas_gram_enabled())
+            ) and pallas_gram_fits(*feats_all.shape):
         from cet_pick_tpu.ops.pallas_gram import gram_logit_stats
 
         lsum, tot = gram_logit_stats(

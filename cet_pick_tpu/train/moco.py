@@ -20,6 +20,8 @@ the intra-batch BN leakage the shuffle works around without any collective.
 
 from __future__ import annotations
 
+import itertools
+
 import os
 from typing import Any
 
@@ -265,9 +267,11 @@ def train_moco(config, dataset, num_epochs=None, r=1024, log_fn=print):
         state = set_learning_rate(state, simsiam_lr_at_epoch(config, epoch))
         epoch_metrics = []
         total_batches = max(len(dataset) // config.batch_size, 1)
-        for it, batch in enumerate(dataset.epoch_batches(rng, config.batch_size)):
-            if 0 <= config.num_iters <= it:
-                break  # per-epoch iteration cap (base_trainer.py:263-268)
+        cap = config.num_iters if config.num_iters >= 0 else None
+        # per-epoch cap (base_trainer.py:263-268); islice doesn't build the
+        # first discarded batch
+        for it, batch in enumerate(itertools.islice(
+                dataset.epoch_batches(rng, config.batch_size), cap)):
             wlr = simsiam_warmup_lr(config, epoch, it, total_batches)
             if wlr is not None:
                 state = set_learning_rate(state, wlr)

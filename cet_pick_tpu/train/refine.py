@@ -20,6 +20,8 @@ mesh (see parallel/mesh.py).
 
 from __future__ import annotations
 
+import itertools
+
 import functools
 from typing import Any, Dict
 
@@ -79,14 +81,9 @@ def make_train_step(model, config):
     use_pn = config.pn
     use_ge = config.ge
     contrastive = config.contrastive
-    # Pallas flash-gram gate (decided at trace time): TPU backend, no DP —
-    # mirrors parallel.mesh.auto_dp_step's mesh policy, because the lax.map
-    # the kernel needs must not scan a GSPMD-sharded batch axis
-    use_pallas_gram = (
-        L._pallas_gram_enabled()
-        and not config.mesh_shape
-        and len(jax.devices()) == 1
-    )
+    # Pallas flash-gram gate (decided at build time; see the helper's
+    # docstring for the lax.map / GSPMD invariant it encodes)
+    use_pallas_gram = L.pallas_gram_step_gate(config)
 
     def loss_fn(params, batch_stats, batch):
         out, bs1 = _forward_pair(model, params, batch_stats, batch["input"], True)
@@ -269,12 +266,12 @@ def train_refine(config, dataset, val_dataset=None, num_epochs=None, log_fn=prin
 
         # the context manager releases the producer thread + its in-flight
         # device batches when the --num_iters cap breaks out mid-epoch
+        cap = config.num_iters if config.num_iters >= 0 else None
         with maybe_trace(config.profile_dir if epoch == start_epoch else None), \
                 batches:
-            for it, batch in enumerate(batches):
-                # per-epoch iteration cap (base_trainer.py:263-268; -1 = all)
-                if 0 <= config.num_iters <= it:
-                    break
+            # per-epoch iteration cap (base_trainer.py:263-268; -1 = all);
+            # islice never pulls the first discarded batch off the prefetcher
+            for batch in itertools.islice(batches, cap):
                 state, metrics = train_step(state, batch)
                 m = {k: float(v) for k, v in metrics.items()}
                 # only the plain PU risk estimator is undefined without

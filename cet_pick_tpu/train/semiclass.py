@@ -21,6 +21,8 @@ infer/classify.py), not a different step function.
 
 from __future__ import annotations
 
+import itertools
+
 import os
 
 import jax
@@ -68,9 +70,11 @@ def train_semiclass(config, dataset, val_dataset=None, num_epochs=None,
     for epoch in range(state.epoch + 1, num_epochs + 1):
         state = set_learning_rate(state, lr_at_epoch(config, epoch))
         epoch_metrics = []
-        for it, batch in enumerate(dataset.epoch_batches(rng, config.batch_size)):
-            if 0 <= config.num_iters <= it:
-                break  # per-epoch iteration cap (base_trainer.py:263-268)
+        # per-epoch iteration cap (base_trainer.py:263-268); islice avoids
+        # building the first discarded batch
+        cap = config.num_iters if config.num_iters >= 0 else None
+        for batch in itertools.islice(
+                dataset.epoch_batches(rng, config.batch_size), cap):
             state, metrics = train_step(state, jax.device_put(batch))
             epoch_metrics.append({k: float(v) for k, v in metrics.items()})
         if not epoch_metrics:

@@ -24,6 +24,7 @@ batch-1 whole volumes, which is what makes the losses shard over a mesh.
 
 from __future__ import annotations
 
+import itertools
 import os
 
 import jax
@@ -59,9 +60,9 @@ def supcon_v2_loss(feats, hm, temp=0.07, thresh=0.5, backend="auto"):
     neg = (hm < thresh).astype(feats.dtype)
     n_pos = jnp.maximum(pos.sum(), 1.0)
     n_neg = jnp.maximum(neg.sum(), 1.0)
-    if backend == "pallas" or (
-        backend == "auto" and L._pallas_gram_enabled()
-    ):
+    if (backend == "pallas"
+            or (backend == "auto" and L._pallas_gram_enabled())
+            ) and L.pallas_gram_fits(*feats.shape):
         from cet_pick_tpu.ops.pallas_gram import gram_supcon_v2_stats
 
         mx, psims, nsims, tot = gram_supcon_v2_stats(
@@ -127,14 +128,9 @@ def make_supervised_train_step(model, config, task):
     thresh = config.thresh
     cr_weight = config.cr_weight
     contrastive = config.contrastive
-    # same gate as train/refine.make_train_step: the Pallas gram must ride
-    # lax.map (its vmap rule crashes the remote Mosaic compiler) and a
-    # lax.map must not scan a GSPMD-sharded batch axis
-    use_pallas_gram = (
-        L._pallas_gram_enabled()
-        and not config.mesh_shape
-        and len(jax.devices()) == 1
-    )
+    # shared gate with train/refine.make_train_step (see its docstring for
+    # the lax.map / GSPMD invariant it encodes)
+    use_pallas_gram = L.pallas_gram_step_gate(config)
 
     def loss_fn(params, batch_stats, batch, key):
         x = batch["input"]
@@ -234,9 +230,11 @@ def train_supervised(config, dataset, num_epochs=None, log_fn=print):
     for epoch in range(state.epoch + 1, num_epochs + 1):
         state = set_learning_rate(state, lr_at_epoch(config, epoch))
         epoch_metrics = []
-        for it, batch in enumerate(dataset.epoch_batches(rng, config.batch_size)):
-            if 0 <= config.num_iters <= it:
-                break  # per-epoch iteration cap (base_trainer.py:263-268)
+        # per-epoch iteration cap (base_trainer.py:263-268); islice so the
+        # capped epoch never *builds* the first discarded batch
+        cap = config.num_iters if config.num_iters >= 0 else None
+        for batch in itertools.islice(
+                dataset.epoch_batches(rng, config.batch_size), cap):
             key, sub = jax.random.split(key)
             state, metrics = step(state, jax.device_put(batch), sub)
             epoch_metrics.append({k: float(v) for k, v in metrics.items()})
