@@ -37,6 +37,7 @@ class PrefetchIterator:
         self._q = queue.Queue(maxsize=depth)
         self._put = device_put or jax.device_put
         self._errs = []
+        self._exhausted = False
         self._stop = threading.Event()
         # locals for the worker closure — NOT self (see class docstring)
         q, put, stop = self._q, self._put, self._stop
@@ -79,8 +80,14 @@ class PrefetchIterator:
         return self
 
     def __next__(self):
+        # the sentinel is enqueued exactly once, so remember exhaustion —
+        # the iterator protocol requires every later __next__ to raise
+        # StopIteration again rather than block on the empty queue forever
+        if self._exhausted:
+            raise StopIteration
         item = self._q.get()
         if item is self._SENTINEL:
+            self._exhausted = True
             if self._errs:
                 raise self._errs[0]
             raise StopIteration

@@ -78,6 +78,16 @@ class RefineDataset:
             for ann in anns:
                 self.all_anns.append((int(ann[0]), int(ann[1]), int(ann[2]), i))
         self.num_samples = len(self.all_anns) if split == "train" else len(self.names)
+        if split == "train" and len(self.all_anns) < 2:
+            # the partner-crop draw needs another annotation to pair with
+            # (particle_moco.py pairs every sample with a different one);
+            # fail here with a clear message instead of an opaque
+            # rng.integers(0, 0) ValueError on the first sample
+            raise ValueError(
+                f"refinement training needs >= 2 annotations, got "
+                f"{len(self.all_anns)} — add more coordinates to the train "
+                f"coord file"
+            )
 
     def __len__(self):
         return self.num_samples
@@ -95,9 +105,14 @@ class RefineDataset:
         return ct, ch
 
     def _clip_center(self, x, y, z, shape):
+        # heatmap-grid bounds from down_ratio + the crop half-width (the
+        # sibling classify_dataset computes the same; a hardcoded
+        # `width // 2 - 17` silently broke any down_ratio other than 2)
         depth, height, width = shape
-        x = int(np.clip(x, 17, width // 2 - 17))
-        y = int(np.clip(y, 17, height // 2 - 17))
+        dr = self.config.down_ratio
+        m = CROP_HM_HALF + 1
+        x = int(np.clip(x, m, width // dr - m))
+        y = int(np.clip(y, m, height // dr - m))
         z = int(np.clip(z, 3, depth - 3))
         return x, y, z
 
@@ -126,8 +141,11 @@ class RefineDataset:
             yp = rng.integers(0, tomo_p.shape[1])
             zp = rng.integers(0, tomo_p.shape[0])
         elif cfg.pn:
-            xp += rng.integers(-translation_pixels, translation_pixels)
-            yp += rng.integers(-translation_pixels, translation_pixels)
+            # translation_pixels can be 0 (tiny bbox or translation_ratio
+            # 0): no xy jitter then — rng.integers(0, 0) would raise
+            if translation_pixels > 0:
+                xp += rng.integers(-translation_pixels, translation_pixels)
+                yp += rng.integers(-translation_pixels, translation_pixels)
             zp += rng.integers(-5, 5)
         elif p <= 0.8:
             xp += rng.integers(-5, 5)

@@ -33,7 +33,9 @@ from cet_pick_tpu.ops.decode import tomo_decode_classify
 class TomoClassDetector(TomoDetector):
     """Semiclass picker: greedy-NMS decode over the tiled heatmap."""
 
-    BORDER = 30  # input-pixel xy border zeroed before decode (:106-109)
+    BORDER = 30  # HEATMAP-voxel xy border zeroed before decode (:106-109 —
+    # the reference indexes out_hm, the down_ratio-grid model output, so the
+    # band is 30 heatmap voxels = 60 input pixels at down_ratio 2)
 
     def process(self, volume: np.ndarray, lo: float = 0.0, hi: float = 1.0,
                 fused: bool = True):
@@ -48,7 +50,7 @@ class TomoClassDetector(TomoDetector):
         else:
             hm = self.infer(volume, lo=lo, hi=hi)
         hm = np.array(hm)  # writable host copy (np.asarray of a jax array is read-only)
-        b = max(1, self.BORDER // cfg.down_ratio)
+        b = self.BORDER
         hm[:, :b, :] = 0
         hm[:, -b:, :] = 0
         hm[:, :, :b] = 0

@@ -75,9 +75,16 @@ def _parse_header(buf: bytes):
     elif machst[:1] == b"\x11":
         order = ">"
     else:
-        # Fall back to sanity check on nx
-        nx_le = struct.unpack("<i", buf[0:4])[0]
-        order = "<" if 0 < nx_le < 100000 else ">"
+        # Missing/garbage MACHST: score both byte orders on dims AND mode —
+        # a dims-only check misreads big-endian files whose byteswapped nx
+        # lands in range (e.g. BE nx=256 reads as LE 65536, "sane"), but the
+        # byteswapped mode (2 -> 33554432) never survives the mode check.
+        def _sane(o):
+            nx_, ny_, nz_, mode_ = struct.unpack(f"{o}4i", buf[0:16])
+            dims_ok = all(0 < v < 100000 for v in (nx_, ny_, nz_))
+            return int(dims_ok) + int(mode_ in (0, 1, 2, 3, 4, 6, 12))
+
+        order = "<" if _sane("<") >= _sane(">") else ">"
 
     nx, ny, nz, mode = ints("i", 0, 4, order)
     nxstart, nystart, nzstart, mx, my, mz = ints("i", 16, 6, order)

@@ -27,9 +27,11 @@ from cet_pick_tpu.viz.colormap2d import ColorMap2D
 
 
 def _quantize(x, mi=-3, ma=3):
-    r = ma - mi
-    x = 255 * (x - mi) / r
-    return np.round(np.clip(x, 0, 255)).astype(np.uint8)
+    """io.loader.quantize at the viz scripts' [-3, 3] window (the reference
+    scripts quantize thumbnails/overlays at 3 sigma, plot_2d.py:95)."""
+    from cet_pick_tpu.io.loader import quantize
+
+    return quantize(x, mi=mi, ma=ma)
 
 
 def cluster_embeddings(projs, n_cluster, ncentroids=256, niter=300, seed=1234):

@@ -17,9 +17,11 @@ import numpy as np
 
 
 def _quantize(x, mi=-3, ma=3):
-    r = ma - mi
-    x = 255 * (x - mi) / r
-    return np.round(np.clip(x, 0, 255)).astype(np.uint8)
+    """io.loader.quantize at the viz scripts' [-3, 3] window (the reference
+    scripts quantize thumbnails/overlays at 3 sigma, plot_2d.py:95)."""
+    from cet_pick_tpu.io.loader import quantize
+
+    return quantize(x, mi=mi, ma=ma)
 
 
 def render_3d_hm(volume, coords, colors, names, use_name, out_dir):

@@ -279,7 +279,9 @@ def test_cli_semiclass_train_then_classify_test_from_disk(tmp_path, rng):
 
     from cet_pick_tpu.io.mrc import write_mrc
 
-    vol, df = make_synthetic(np.random.default_rng(11))
+    # 256^2 + margin 70: classify-test zeroes a 60-input-px xy band
+    vol, df = make_synthetic(np.random.default_rng(11), h=256, w=256,
+                             margin=70)
     data = tmp_path / "data"
     data.mkdir()
     write_mrc(str(data / "syn0.rec"), vol)

@@ -19,7 +19,12 @@ from cet_pick_tpu.infer.detector import TomoDetector
 from cet_pick_tpu.train.refine import train_refine
 
 
-def make_synthetic(rng, d=32, h=128, w=128, n_part=25):
+def make_synthetic(rng, d=32, h=128, w=128, n_part=25, margin=40):
+    """Synthetic tomogram with dark gaussian particles at known coords.
+
+    margin: min xy distance of particle centers from the volume border —
+    semiclass tests need >= 70 (the reference's classify detector zeroes a
+    30-HEATMAP-voxel = 60-input-pixel xy band before decode)."""
     vol = rng.standard_normal((d, h, w)).astype(np.float32) * 0.5
     zz, yy, xx = np.meshgrid(
         np.arange(d), np.arange(h), np.arange(w), indexing="ij"
@@ -27,8 +32,8 @@ def make_synthetic(rng, d=32, h=128, w=128, n_part=25):
     coords = []
     for _ in range(n_part):
         z = rng.integers(8, d - 8)
-        y = rng.integers(40, h - 40)
-        x = rng.integers(40, w - 40)
+        y = rng.integers(margin, h - margin)
+        x = rng.integers(margin, w - margin)
         blob = np.exp(
             -(((zz - z) ** 2) / 8.0 + ((yy - y) ** 2) / 18.0 + ((xx - x) ** 2) / 18.0)
         )

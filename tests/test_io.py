@@ -383,3 +383,59 @@ def test_prefetch_slow_consumer_gets_sentinel():
     t.start()
     assert done.wait(timeout=10.0), "consumer deadlocked: sentinel was lost"
     assert got == [0, 1, 2]
+
+
+def test_mrc_big_endian_without_machst(tmp_path, rng):
+    """A big-endian MRC whose MACHST stamp is garbage must still parse via
+    the dims+mode fallback — a dims-only nx check misreads BE nx=256 as LE
+    65536 ('sane') and returns byteswapped garbage."""
+    import struct
+
+    from cet_pick_tpu.io import mrc as mrcio
+
+    vol = rng.standard_normal((4, 8, 256)).astype(">f4")  # nx=256 BE
+    header = bytearray(1024)
+    struct.pack_into(">4i", header, 0, 256, 8, 4, 2)     # nx ny nz mode
+    struct.pack_into(">3i", header, 28, 256, 8, 4)        # mx my mz
+    struct.pack_into(">3f", header, 40, 256.0, 8.0, 4.0)  # cella
+    struct.pack_into(">3i", header, 64, 1, 2, 3)          # mapc/r/s
+    header[208:212] = b"MAP "
+    header[212:216] = b"\x00\x00\x00\x00"                 # garbage MACHST
+    path = tmp_path / "be.mrc"
+    path.write_bytes(bytes(header) + vol.tobytes())
+    back = mrcio.read_mrc(str(path))
+    assert back.shape == (4, 8, 256)
+    np.testing.assert_allclose(back, vol.astype(np.float32), rtol=1e-6)
+
+
+def test_prefetch_repeated_stopiteration():
+    """The iterator protocol requires StopIteration on every __next__ after
+    exhaustion — the single sentinel used to make a second next() block
+    forever on the empty queue."""
+    import pytest as _pytest
+
+    from cet_pick_tpu.data.prefetch import PrefetchIterator
+
+    it = PrefetchIterator(iter([{"i": 0}]), depth=2, device_put=lambda b: b)
+    assert next(it)["i"] == 0
+    with _pytest.raises(StopIteration):
+        next(it)
+    with _pytest.raises(StopIteration):
+        next(it)  # must raise again, not hang
+
+
+def test_refine_dataset_needs_two_annotations(rng):
+    """A single-annotation train set fails with a clear message instead of
+    an opaque rng.integers(0, 0) ValueError on the first sample."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from cet_pick_tpu.config import Config
+    from cet_pick_tpu.data.refine_dataset import RefineDataset
+
+    vol = rng.standard_normal((16, 96, 96)).astype(np.float32)
+    df = pd.DataFrame({"image_name": ["syn0"], "x_coord": [48],
+                       "y_coord": [48], "z_coord": [8]})
+    cfg = Config(task="semi", bbox=8).finalize()
+    with _pytest.raises(ValueError, match=">= 2 annotations"):
+        RefineDataset(cfg, "train", images={"syn0": vol}, coords_df=df)

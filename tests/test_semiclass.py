@@ -93,7 +93,10 @@ def test_semiclass_train_pick_f1(tmp_path, rng):
     from cet_pick_tpu.infer.classify import TomoClassDetector
     from cet_pick_tpu.train.semiclass import train_semiclass
 
-    vol, df = make_synthetic(rng)
+    # 256^2 fixture: the classify decode zeroes a 30-heatmap-voxel
+    # (60-input-px) xy band like the reference, so particles must live
+    # well inside it (margin 70) and the volume must leave a usable center
+    vol, df = make_synthetic(rng, h=256, w=256, margin=70)
     cfg = _cfg(tmp_path, num_epochs=6, num_iters=128, ge=False, pn=True,
                out_thresh=0.3)
     ds = SemiClassDataset(cfg, "train", images={"syn0": vol}, coords_df=df)
@@ -104,7 +107,8 @@ def test_semiclass_train_pick_f1(tmp_path, rng):
 
     det = TomoClassDetector(cfg, params=state.params,
                             batch_stats=state.batch_stats, tile_z=16)
-    # borders are zeroed at 30 input px; keep the fixture's particles inside
+    # borders are zeroed at 30 HEATMAP voxels (60 input px); the fixture's
+    # margin=70 keeps every particle inside the surviving region
     r = det.run(vol, name="syn0", out_dir=str(tmp_path / "out"))
     assert (tmp_path / "out" / "syn0.txt").exists()
     assert (tmp_path / "out" / "syn0_hm.mrc").exists()
