@@ -136,7 +136,13 @@ class Config:
         """Derive heads / dirs, mirroring opts.parse + update_dataset_info
         (opts.py:193-331)."""
         if self.head_conv == -1:
-            self.head_conv = 128 if self.task in _SIMSIAM_TASKS else 32
+            # scan/scan2d3d inherit the simsiam encoder default (128): the
+            # SCAN workflow always loads an exploration checkpoint, and a
+            # 32-dim default would make the tolerant loader silently drop
+            # every trained fc/proj/pred head (the reference leaves scan's
+            # head_conv at -1 here, opts.py:207-211 — an outright crash)
+            sim_like = _SIMSIAM_TASKS + ("scan", "scan2d3d")
+            self.head_conv = 128 if self.task in sim_like else 32
         if self.task not in _TASK_HEADS:
             raise ValueError(f"task not defined: {self.task!r}")
         self.heads = _TASK_HEADS[self.task](self)

@@ -77,7 +77,9 @@ def train_classify(config, dataset, num_epochs=None, log_fn=print):
     import os
 
     from cet_pick_tpu.models.detector import create_detector
-    from cet_pick_tpu.train.state import create_train_state, save_checkpoint
+    from cet_pick_tpu.train.state import (
+        create_train_state, load_checkpoint, save_checkpoint,
+    )
 
     model = create_detector(config)
     rng = np.random.default_rng(config.seed)
@@ -87,6 +89,12 @@ def train_classify(config, dataset, num_epochs=None, log_fn=print):
         model, config, jax.random.PRNGKey(config.seed),
         sample["input"].reshape(b * p, d, h, w),
     )
+    # --load_model was a silent no-op for tcla; the reference applies it
+    # for every task (main.py:60-66)
+    if config.load_model:
+        state = load_checkpoint(config.load_model, state, resume=config.resume)
+        log_fn(f"loaded checkpoint from {config.load_model} "
+               f"(epoch {state.epoch})")
     step = make_classify_train_step(model, config)
     num_epochs = num_epochs or config.num_epochs
     history = []

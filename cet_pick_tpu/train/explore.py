@@ -17,6 +17,8 @@ trains/tomo_simsiam_trainer.py:17-55:
 
 from __future__ import annotations
 
+import dataclasses
+
 import itertools
 
 import os
@@ -189,11 +191,16 @@ def train_explore(config, dataset, num_epochs=None, log_fn=print):
     )
 
     num_epochs = num_epochs or config.num_epochs
+    # cosine/warmup schedules anneal over the EFFECTIVE run length — a
+    # num_epochs override with config.num_epochs=140 would otherwise leave
+    # a short run at ~full LR the whole way
+    sched_cfg = (config if num_epochs == config.num_epochs
+                 else dataclasses.replace(config, num_epochs=num_epochs))
     start_epoch = state.epoch + 1
     history = []
     key = jax.random.PRNGKey(config.seed + 1)
     for epoch in range(start_epoch, num_epochs + 1):
-        state = set_learning_rate(state, simsiam_lr_at_epoch(config, epoch))
+        state = set_learning_rate(state, simsiam_lr_at_epoch(sched_cfg, epoch))
         epoch_metrics = []
         from cet_pick_tpu.data.prefetch import PrefetchIterator
 
@@ -213,7 +220,7 @@ def train_explore(config, dataset, num_epochs=None, log_fn=print):
             # per-epoch cap (base_trainer.py:263-268); islice doesn't pull
             # the first discarded batch
             for it, batch in enumerate(itertools.islice(batches, cap)):
-                wlr = simsiam_warmup_lr(config, epoch, it, total_batches)
+                wlr = simsiam_warmup_lr(sched_cfg, epoch, it, total_batches)
                 if wlr is not None:
                     state = set_learning_rate(state, wlr)
                 key, sub = jax.random.split(key)

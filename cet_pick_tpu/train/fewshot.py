@@ -217,7 +217,9 @@ def train_fewshot(config, dataset, num_epochs=None, log_fn=print):
     import os
 
     from cet_pick_tpu.models.detector import create_detector
-    from cet_pick_tpu.train.state import create_train_state, save_checkpoint
+    from cet_pick_tpu.train.state import (
+        create_train_state, load_checkpoint, save_checkpoint,
+    )
 
     n_clusters = max(int(config.nclusters), 3)  # bg=0, target=1, other=2
     model = create_detector(config)
@@ -226,6 +228,13 @@ def train_fewshot(config, dataset, num_epochs=None, log_fn=print):
     state = create_train_state(
         model, config, jax.random.PRNGKey(config.seed), batch0["input"]
     )
+    # --load_model BEFORE the prototype init: the reference warm-starts fs
+    # from a trained detector for every task (main.py:60-66), and the cold
+    # centers must come from the loaded encoder's embeddings
+    if config.load_model:
+        state = load_checkpoint(config.load_model, state, resume=config.resume)
+        log_fn(f"loaded checkpoint from {config.load_model} "
+               f"(epoch {state.epoch})")
     centers = init_fewshot_centers(model, state, batch0, n_clusters)
 
     step = make_fewshot_train_step(model, config)

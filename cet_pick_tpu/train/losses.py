@@ -285,6 +285,16 @@ def pallas_gram_fits(m, c):
     return m <= _PALLAS_GRAM_MAX_M and m * c <= _PALLAS_GRAM_MAX_ELEMS
 
 
+def pallas_gram_backend(backend, m, c):
+    """Resolve one loss call's gram backend: True = the Pallas kernel.
+
+    Shared by _row_stats, _row_logit_stats, and supervised.supcon_v2_loss
+    so the envelope/env gate cannot drift between the three dispatches."""
+    want = backend == "pallas" or (
+        backend == "auto" and _pallas_gram_enabled())
+    return want and pallas_gram_fits(m, c)
+
+
 def pallas_gram_step_gate(config):
     """True when a train step may drive the Pallas gram kernels.
 
@@ -310,9 +320,7 @@ def _row_stats(feats_all, pos_mask, other_mask, temp, block, backend="auto"):
     rule re-lowers it in a form the remote Mosaic compiler rejects; the
     train step uses lax.map instead (train/refine.py). Shapes outside the
     validated VMEM envelope quietly take the XLA path either way."""
-    if (backend == "pallas"
-            or (backend == "auto" and _pallas_gram_enabled())
-            ) and pallas_gram_fits(*feats_all.shape):
+    if pallas_gram_backend(backend, *feats_all.shape):
         from cet_pick_tpu.ops.pallas_gram import gram_row_stats
 
         ps, os_, ts = gram_row_stats(
@@ -454,9 +462,7 @@ def _row_logit_stats(feats_all, pos_mask, temp, block, backend="auto"):
     """Dispatch like _row_stats: Pallas gram_logit_stats on TPU (partner
     logit recomputed O(M*C) outside), XLA blocked lowering elsewhere.
     Same vmap caveat — force backend="xla" under vmap."""
-    if (backend == "pallas"
-            or (backend == "auto" and _pallas_gram_enabled())
-            ) and pallas_gram_fits(*feats_all.shape):
+    if pallas_gram_backend(backend, *feats_all.shape):
         from cet_pick_tpu.ops.pallas_gram import gram_logit_stats
 
         lsum, tot = gram_logit_stats(

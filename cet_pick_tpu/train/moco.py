@@ -20,6 +20,8 @@ the intra-batch BN leakage the shuffle works around without any collective.
 
 from __future__ import annotations
 
+import dataclasses
+
 import itertools
 
 import os
@@ -259,12 +261,17 @@ def train_moco(config, dataset, num_epochs=None, r=1024, log_fn=print):
     )
 
     num_epochs = num_epochs or config.num_epochs
+    # schedule over the effective run length (see train_explore) and resume
+    # from the restored epoch like the other loops — restarting at 1 after
+    # load_moco_checkpoint replayed the warmup/cosine schedule from scratch
+    sched_cfg = (config if num_epochs == config.num_epochs
+                 else dataclasses.replace(config, num_epochs=num_epochs))
     history = []
     key = jax.random.PRNGKey(config.seed + 1)
     from cet_pick_tpu.train.state import set_learning_rate
 
-    for epoch in range(1, num_epochs + 1):
-        state = set_learning_rate(state, simsiam_lr_at_epoch(config, epoch))
+    for epoch in range(state.epoch + 1, num_epochs + 1):
+        state = set_learning_rate(state, simsiam_lr_at_epoch(sched_cfg, epoch))
         epoch_metrics = []
         total_batches = max(len(dataset) // config.batch_size, 1)
         cap = config.num_iters if config.num_iters >= 0 else None
@@ -272,7 +279,7 @@ def train_moco(config, dataset, num_epochs=None, r=1024, log_fn=print):
         # first discarded batch
         for it, batch in enumerate(itertools.islice(
                 dataset.epoch_batches(rng, config.batch_size), cap)):
-            wlr = simsiam_warmup_lr(config, epoch, it, total_batches)
+            wlr = simsiam_warmup_lr(sched_cfg, epoch, it, total_batches)
             if wlr is not None:
                 state = set_learning_rate(state, wlr)
             batch["norm_mean"] = norm_mean

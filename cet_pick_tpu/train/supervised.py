@@ -60,9 +60,7 @@ def supcon_v2_loss(feats, hm, temp=0.07, thresh=0.5, backend="auto"):
     neg = (hm < thresh).astype(feats.dtype)
     n_pos = jnp.maximum(pos.sum(), 1.0)
     n_neg = jnp.maximum(neg.sum(), 1.0)
-    if (backend == "pallas"
-            or (backend == "auto" and L._pallas_gram_enabled())
-            ) and L.pallas_gram_fits(*feats.shape):
+    if L.pallas_gram_backend(backend, *feats.shape):
         from cet_pick_tpu.ops.pallas_gram import gram_supcon_v2_stats
 
         mx, psims, nsims, tot = gram_supcon_v2_stats(

@@ -183,3 +183,36 @@ def test_fewshot_training_separates_classes(tmp_path, rng):
     a2 = np.mean([assign[int(r.z_coord), int(r.y_coord) // 2,
                          int(r.x_coord) // 2] == 1 for r in lb2.itertuples()])
     assert a1 > a2, f"cluster-1 rate: class1 {a1:.2f} <= class2 {a2:.2f}"
+
+
+def test_fewshot_load_model_applies(tmp_path, rng):
+    """--load_model was a silent no-op for fs (and tcla) — the reference
+    applies it for every task (main.py:60-66). Train briefly, save, then a
+    warm-started run must begin from the saved parameters."""
+    import jax
+
+    from cet_pick_tpu.config import Config
+    from cet_pick_tpu.data.fewshot_dataset import FewshotDataset
+    from cet_pick_tpu.train.fewshot import train_fewshot
+    from cet_pick_tpu.train.state import save_checkpoint
+
+    vol, df = make_two_class_synthetic(rng)
+    cfg = Config(task="fs", arch="unet_2", bbox=8, batch_size=2,
+                 num_epochs=1, lr=2e-3, nclusters=3,
+                 root_dir=str(tmp_path)).finalize()
+    ds = FewshotDataset(cfg, "train", images={"syn0": vol}, coords_df=df,
+                        crop_d=6, crop_xy=64)
+    state, _, _ = train_fewshot(cfg, ds, log_fn=lambda *_: None)
+    ck = str(tmp_path / "warm")
+    save_checkpoint(ck, state, cfg)
+
+    logs = []
+    cfg2 = Config(task="fs", arch="unet_2", bbox=8, batch_size=2,
+                  num_epochs=1, lr=0.0, nclusters=3, load_model=ck,
+                  root_dir=str(tmp_path)).finalize()
+    state2, _, _ = train_fewshot(cfg2, ds, log_fn=logs.append)
+    assert any("loaded checkpoint" in str(l) for l in logs)
+    # lr=0 run: parameters must equal the loaded checkpoint's
+    l1 = jax.tree_util.tree_leaves(state.params)[0]
+    l2 = jax.tree_util.tree_leaves(state2.params)[0]
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-6)

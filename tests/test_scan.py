@@ -204,3 +204,16 @@ def test_load_pretext_backbone(rng):
     got = np.asarray(jax.tree_util.tree_leaves(state.params["backbone"])[0])
     want = np.asarray(jax.tree_util.tree_leaves(enc_state.params)[0])
     np.testing.assert_array_equal(got, want)
+
+
+def test_scan_head_conv_default_matches_simsiam():
+    """scan/scan2d3d must default head_conv to the simsiam encoder's 128 —
+    a 32 default made the tolerant loader silently drop every trained
+    fc/proj/pred head when scan-finetune loaded an exploration checkpoint
+    (the reference leaves scan's head_conv at -1, an outright crash)."""
+    from cet_pick_tpu.config import Config
+
+    for task in ("scan", "scan2d3d"):
+        assert Config(task=task).finalize().head_conv == 128
+    assert Config(task="simsiam2d3d").finalize().head_conv == 128
+    assert Config(task="semi").finalize().head_conv == 32
