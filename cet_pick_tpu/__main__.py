@@ -43,10 +43,7 @@ def cmd_train(argv):
 
     logger = Logger(cfg)
 
-    def log(msg):
-        print(msg)
-        logger.write(msg + "\n")
-
+    log = logger.log
     if cfg.task == "semiclass":
         # fill/unfill voxel-classification training (main.py --task semiclass)
         from cet_pick_tpu.data.classify_dataset import SemiClassDataset
@@ -111,10 +108,7 @@ def cmd_explore(argv):
     ds = ExploreDataset(cfg, "train")
     logger = Logger(cfg)
 
-    def log(msg):
-        print(msg)
-        logger.write(msg + "\n")
-
+    log = logger.log
     train_explore(cfg, ds, log_fn=log)
     logger.close()
 
@@ -135,10 +129,7 @@ def cmd_moco(argv):
     ds = ExploreDataset(cfg, "train")
     logger = Logger(cfg)
 
-    def log(msg):
-        print(msg)
-        logger.write(msg + "\n")
-
+    log = logger.log
     train_moco(cfg, ds, log_fn=log)
     logger.close()
 
@@ -199,10 +190,7 @@ def cmd_classify(argv):
     ds = RefineDataset(cfg, "train")
     logger = Logger(cfg)
 
-    def log(msg):
-        print(msg)
-        logger.write(msg + "\n")
-
+    log = logger.log
     train_classify(cfg, ds, log_fn=log)
     logger.close()
 
@@ -230,10 +218,7 @@ def cmd_fewshot(argv):
     ds = FewshotDataset(cfg, "train")
     logger = Logger(cfg)
 
-    def log(msg):
-        print(msg)
-        logger.write(msg + "\n")
-
+    log = logger.log
     state, centers, _ = train_fewshot(cfg, ds, log_fn=log)
     if a.write_picks:
         from cet_pick_tpu.models.detector import create_detector
@@ -262,6 +247,9 @@ def cmd_denoise(argv):
         parser, Config(task="denoise", arch="unet_4", lr=1e-3, batch_size=8)
     )
     parser.add_argument("--crop", type=int, default=128)
+    parser.add_argument("--exclude", type=int, default=200,
+                        help="border band crops never touch (reference "
+                             "RandomCropNoBorder exclude, tomo_denoise.py:51)")
     parser.add_argument("--write_denoised", action="store_true")
     a = parser.parse_args(argv)
     cfg = config_from_args(a)
@@ -273,7 +261,8 @@ def cmd_denoise(argv):
     from cet_pick_tpu.io.loader import load_tomos_from_list
     from cet_pick_tpu.io.mrc import write_mrc
     from cet_pick_tpu.train.denoise import (
-        DenoiseDataset, denoise_volume, train_denoise,
+        DenoiseDataset, create_denoise_state, denoise_volume,
+        load_denoise_checkpoint, save_denoise_checkpoint, train_denoise,
     )
     from cet_pick_tpu.utils.logger import Logger
 
@@ -284,13 +273,23 @@ def cmd_denoise(argv):
     )
     logger = Logger(cfg)
 
-    def log(msg):
-        print(msg)
-        logger.write(msg + "\n")
+    log = logger.log
+    if cfg.load_model:
+        # apply-only: restore a trained denoiser instead of re-training
+        import jax
 
-    ds = DenoiseDataset(images, crop=a.crop)
-    state, models, _ = train_denoise(cfg, ds, num_iters=a.num_iters,
-                                     crop=a.crop, log_fn=log)
+        state, models = create_denoise_state(
+            cfg, jax.random.PRNGKey(cfg.seed), crop=a.crop
+        )
+        state = load_denoise_checkpoint(cfg.load_model, state)
+        log(f"loaded denoiser from {cfg.load_model} (step {state.step})")
+    else:
+        ds = DenoiseDataset(images, crop=a.crop, exclude=a.exclude)
+        state, models, _ = train_denoise(cfg, ds, num_iters=a.num_iters,
+                                         crop=a.crop, log_fn=log)
+        ck = os.path.join(cfg.save_dir, "model_last")
+        save_denoise_checkpoint(ck, state, cfg)
+        log(f"saved denoiser to {ck}")
     if a.write_denoised:
         for name, vol in images.items():
             den = denoise_volume(models, state, np.asarray(vol, np.float32))
@@ -335,7 +334,11 @@ def cmd_scan_finetune(argv):
     candidates (tasks scan/scan2d3d, trains/tomo_scan_trainer.py)."""
     parser = argparse.ArgumentParser(prog="cet_pick_tpu scan-finetune")
     add_config_arguments(
-        parser, Config(task="scan2d3d", arch="simsiam2d3d_18", bbox=36)
+        # batch_size seeded here like cmd_explore/cmd_moco: the global
+        # default 1 is truthy, so a downstream `or 64` fallback can never
+        # fire — SCAN's entropy-of-mean objective degenerates at bs 1
+        parser, Config(task="scan2d3d", arch="simsiam2d3d_18", bbox=36,
+                       batch_size=64)
     )
     parser.add_argument("--out", required=True, help="output npz with labels")
     parser.add_argument("--neighbors", type=int, default=20)
@@ -388,7 +391,7 @@ def cmd_scan_finetune(argv):
     state, model, assign = train_scan_full(
         cfg, p2, p3, nb, n_clusters=cfg.nclusters,
         pretext=(enc_state.params, enc_state.batch_stats),
-        num_steps=a.steps, batch_size=cfg.batch_size or 64, lr=a.scan_lr,
+        num_steps=a.steps, batch_size=cfg.batch_size, lr=a.scan_lr,
         entropy_weight=a.entropy_weight, head_only=a.cluster_head,
         selflabel_steps=a.selflabel_steps,
         selflabel_threshold=a.selflabel_threshold, seed=cfg.seed,
@@ -467,6 +470,9 @@ def cmd_visualize3d(argv):
     parser.add_argument("--order", default="xzy")
     parser.add_argument("--ext", default=".rec")
     a = parser.parse_args(argv)
+    if not a.image_txt and not a.rec_dir:
+        parser.error("one of --image_txt or --rec_dir is required "
+                     "(where to find the tomogram .rec files)")
     import numpy as np
     import pandas as pd
 

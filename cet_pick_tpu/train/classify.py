@@ -113,6 +113,8 @@ def train_classify(config, dataset, num_epochs=None, log_fn=print):
             raise ValueError(
                 f"no training batches: {len(dataset)} samples < batch_size "
                 f"{config.batch_size}"
+                + (" (--num_iters 0 caps every epoch at zero batches)"
+                   if config.num_iters == 0 else "")
             )
         means = {k: float(np.mean([m[k] for m in metrics_epoch]))
                  for k in metrics_epoch[0]}

@@ -126,10 +126,21 @@ def make_denoise_train_step(models):
 class DenoiseDataset:
     """Random slice crops from tomograms (datasets/tomo_denoise.py)."""
 
-    def __init__(self, images: dict, crop=128, exclude=40):
+    def __init__(self, images: dict, crop=128, exclude=200):
+        # exclude: border band (reconstruction artifacts) crops never touch
+        # — the reference's RandomCropNoBorder(128, exclude=200)
+        # (tomo_denoise.py:51); clamped per-slice in sample_batch so small
+        # volumes still train. Was 40 — crops were drawn from border bands
+        # the reference deliberately excludes.
         self.slices = []
         for vol in images.values():
             for z in range(vol.shape[0]):
+                if vol.shape[1] < crop or vol.shape[2] < crop:
+                    raise ValueError(
+                        f"tomogram slices ({vol.shape[1]}x{vol.shape[2]}) are "
+                        f"smaller than the denoise crop {crop}; pass a "
+                        f"smaller --crop"
+                    )
                 self.slices.append(vol[z])
         self.crop = crop
         self.exclude = exclude
@@ -176,10 +187,55 @@ def train_denoise(config, dataset, num_iters=200, crop=128,
     return state, models, history
 
 
-def denoise_volume(models, state, volume, crop=None):
-    """Apply the trained posterior-mean denoiser slice by slice."""
+def save_denoise_checkpoint(path, state: DenoiseState, config=None):
+    """Persist the trained denoiser (DenoiseState is not a TrainState, so
+    train/state.save_checkpoint cannot serve — without this, a denoise run
+    without --write_denoised produced nothing but logs)."""
+    import os
+
+    from flax import serialization
+
+    os.makedirs(path, exist_ok=True)
+    payload = {
+        "step": state.step,
+        "params_dn": state.params_dn,
+        "params_sigma": state.params_sigma,
+        "opt_state": state.opt_state,
+    }
+    with open(os.path.join(path, "denoise.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(payload))
+    if config is not None:
+        config.save(os.path.join(path, "opt.json"))
+
+
+def load_denoise_checkpoint(path, state: DenoiseState) -> DenoiseState:
+    """Load a denoiser checkpoint into an initialized DenoiseState."""
+    import os
+
+    from flax import serialization
+
+    with open(os.path.join(path, "denoise.msgpack"), "rb") as f:
+        loaded = serialization.msgpack_restore(f.read())
+    return state.replace(
+        step=int(loaded.get("step", 0)),
+        params_dn=serialization.from_state_dict(
+            state.params_dn, loaded["params_dn"]),
+        params_sigma=serialization.from_state_dict(
+            state.params_sigma, loaded["params_sigma"]),
+        opt_state=serialization.from_state_dict(
+            state.opt_state, loaded["opt_state"]),
+    )
+
+
+def denoise_volume(models, state, volume):
+    """Apply the trained posterior-mean denoiser slice by slice.
+
+    Extents are reflect-padded UP to the UNet's 32-multiple requirement and
+    cropped back, so the whole slice is denoised — truncating to the lower
+    multiple left a raw-noise band up to 31 px wide on two edges of every
+    slice."""
     d, h, w = volume.shape
-    h32, w32 = h - h % 32, w - w % 32
+    ph, pw = (-h) % 32, (-w) % 32
 
     @jax.jit
     def run(noisy):
@@ -188,8 +244,9 @@ def denoise_volume(models, state, volume, crop=None):
         )
         return pme
 
-    out = np.array(volume, np.float32)
+    out = np.empty((d, h, w), np.float32)
     for z in range(d):
-        x = jnp.asarray(volume[z, :h32, :w32], jnp.float32)[None, ..., None]
-        out[z, :h32, :w32] = np.asarray(run(x))[0, ..., 0]
+        sl = np.pad(volume[z], ((0, ph), (0, pw)), mode="reflect")
+        x = jnp.asarray(sl, jnp.float32)[None, ..., None]
+        out[z] = np.asarray(run(x))[0, :h, :w, 0]
     return out

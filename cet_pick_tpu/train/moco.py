@@ -291,6 +291,8 @@ def train_moco(config, dataset, num_epochs=None, r=1024, log_fn=print):
             raise ValueError(
                 f"no training batches: {len(dataset)} samples < batch_size "
                 f"{config.batch_size}"
+                + (" (--num_iters 0 caps every epoch at zero batches)"
+                   if config.num_iters == 0 else "")
             )
         state = state.replace(epoch=epoch)
         means = {k: float(np.mean([mm[k] for mm in epoch_metrics]))

@@ -195,19 +195,33 @@ def load_pretext_backbone(state, simsiam_params, simsiam_batch_stats):
     opts.py:259-263 + main.py load_model)."""
     import flax
 
+    from cet_pick_tpu.train.state import _merge_tolerant
+
     def graft(target, source):
-        # keep the clustering backbone's own structure: take matching
-        # modules from the SimSiam checkpoint, ignore its extras (e.g. the
-        # predictor head) — a structure change would desync the optimizer
-        # state initialized over the original params
-        source = flax.core.unfreeze(source)
-        return {k: source.get(k, v) for k, v in target.items()}
+        # keep the clustering backbone's own structure AND leaf shapes:
+        # per-leaf tolerant merge (state.py semantics) takes matching
+        # modules from the SimSiam checkpoint, ignores its extras (e.g. the
+        # predictor head), and skips shape-mismatched leaves — a verbatim
+        # subtree graft from a different head_conv/arch would desync the
+        # optimizer state initialized over the original shapes and crash
+        # the first tx.update with an opaque pytree error
+        from flax import serialization
+
+        merged = _merge_tolerant(
+            serialization.to_state_dict(target),
+            serialization.to_state_dict(flax.core.unfreeze(source)),
+            "backbone",
+        )
+        return serialization.from_state_dict(target, merged)
 
     params = flax.core.unfreeze(state.params)
     params["backbone"] = graft(params["backbone"], simsiam_params)
     bs = flax.core.unfreeze(state.batch_stats)
-    if simsiam_batch_stats:
-        bs["backbone"] = graft(bs.get("backbone", {}), simsiam_batch_stats)
+    if simsiam_batch_stats and "backbone" in bs:
+        # only graft running stats the clustering model actually tracks —
+        # inserting an empty 'backbone' entry the initialized model never
+        # had would change the batch_stats pytree structure
+        bs["backbone"] = graft(bs["backbone"], simsiam_batch_stats)
     return state.replace(
         params=flax.core.freeze(params) if isinstance(state.params, core.FrozenDict) else params,
         batch_stats=flax.core.freeze(bs) if isinstance(state.batch_stats, core.FrozenDict) else bs,

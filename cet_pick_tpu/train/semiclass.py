@@ -81,6 +81,8 @@ def train_semiclass(config, dataset, val_dataset=None, num_epochs=None,
             raise ValueError(
                 f"no training batches: {len(dataset)} samples < batch_size "
                 f"{config.batch_size}"
+                + (" (--num_iters 0 caps every epoch at zero batches)"
+                   if config.num_iters == 0 else "")
             )
         state = state.replace(epoch=epoch)
         means = {k: float(np.mean([m[k] for m in epoch_metrics]))

@@ -137,32 +137,46 @@ def load_checkpoint(path: str, state: TrainState, resume: bool = False) -> Train
 
     resume=True also restores optimizer state + epoch (model.py:234-247);
     otherwise only parameters/batch stats are loaded.
+
+    The file is restored WITHOUT a structural template
+    (``msgpack_restore``): flax's ``from_bytes(template, ...)`` raises on
+    any added/removed key or a different optimizer pytree before the
+    tolerant merge could run, which made the documented warm-start path
+    (shape/arch tweaks, freeze= changes) dead code — and forced the
+    checkpoint's opt_state through the strict template even when
+    resume=False throws it away.
     """
     with open(os.path.join(path, "state.msgpack"), "rb") as f:
         raw = f.read()
-    template = {
-        "step": state.step,
-        "epoch": state.epoch,
-        "params": state.params,
-        "batch_stats": state.batch_stats,
-        "opt_state": state.opt_state,
-    }
-    loaded = serialization.from_bytes(template, raw)
+    loaded = serialization.msgpack_restore(raw)
     params = _merge_tolerant(
         serialization.to_state_dict(state.params),
-        serialization.to_state_dict(loaded["params"]),
+        loaded.get("params"),
         "params",
     )
     params = serialization.from_state_dict(state.params, params)
     batch_stats = _merge_tolerant(
         serialization.to_state_dict(state.batch_stats),
-        serialization.to_state_dict(loaded["batch_stats"]),
+        loaded.get("batch_stats"),
         "batch_stats",
     )
     batch_stats = serialization.from_state_dict(state.batch_stats, batch_stats)
     new = state.replace(params=params, batch_stats=batch_stats)
     if resume:
+        try:
+            opt_state = serialization.from_state_dict(
+                state.opt_state, loaded["opt_state"]
+            )
+        except (KeyError, ValueError, TypeError) as e:
+            raise ValueError(
+                "--resume requires the checkpoint's optimizer state to match "
+                "the current optimizer structure (same freeze=/lr setup); "
+                f"restoring opt_state from {path} failed: {e}. Load without "
+                "--resume to warm-start parameters only."
+            ) from e
         new = new.replace(
-            step=loaded["step"], epoch=loaded["epoch"], opt_state=loaded["opt_state"]
+            step=int(loaded.get("step", 0)),
+            epoch=int(loaded.get("epoch", 0)),
+            opt_state=opt_state,
         )
     return new

@@ -50,6 +50,11 @@ class Logger:
         self._start_line = txt.endswith("\n")
         self._log.flush()
 
+    def log(self, msg):
+        """Print + append to log.txt — the train commands' log_fn."""
+        print(msg)
+        self.write(str(msg) + "\n")
+
     def scalar_summary(self, tag, value, step):
         if self.writer is not None:
             self.writer.add_scalar(tag, value, step)

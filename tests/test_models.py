@@ -225,3 +225,93 @@ def test_tcla_classifier_trains(rng, tmp_path):
     assert np.isfinite(hist[-1]["loss"])
     assert hist[-1]["loss"] < hist[0]["loss"]
     assert hist[-1]["acc"] > 0.9
+
+
+def test_tolerant_load_survives_structure_changes(tmp_path, rng):
+    """Warm-starting across ARCHITECTURE changes (added/missing params,
+    different optimizer tree) must tolerant-merge instead of raising —
+    flax's strict from_bytes(template) made the documented path dead code
+    (it raised 'target dict keys and state dict keys do not match' before
+    _merge_tolerant ever ran)."""
+    import jax
+
+    from cet_pick_tpu.config import Config
+    from cet_pick_tpu.models.detector import create_detector
+    from cet_pick_tpu.train.state import (
+        create_train_state, load_checkpoint, save_checkpoint,
+    )
+
+    x = rng.standard_normal((2, 6, 32, 32)).astype(np.float32)
+    cfg_small = Config(task="semi", arch="unet_2").finalize()
+    m_small = create_detector(cfg_small)
+    s_small = create_train_state(m_small, cfg_small, jax.random.PRNGKey(0), x)
+    ck = str(tmp_path / "small")
+    save_checkpoint(ck, s_small, cfg_small)
+
+    # deeper model: extra blocks absent from the checkpoint keep their init;
+    # matching modules (stem etc.) load
+    cfg_big = Config(task="semi", arch="unet_3").finalize()
+    m_big = create_detector(cfg_big)
+    s_big = create_train_state(m_big, cfg_big, jax.random.PRNGKey(1), x)
+    loaded = load_checkpoint(ck, s_big)  # must not raise
+    np.testing.assert_array_equal(
+        np.asarray(loaded.params["stem"]["kernel"]),
+        np.asarray(s_small.params["stem"]["kernel"]),
+    )
+
+    # frozen-head optimizer has a different opt_state pytree: plain load
+    # works (opt_state discarded), --resume fails with a clear message
+    s_frozen = create_train_state(m_small, cfg_small, jax.random.PRNGKey(2),
+                                  x, freeze=("hm",))
+    load_checkpoint(ck, s_frozen)  # must not raise
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="--resume requires"):
+        load_checkpoint(ck, s_frozen, resume=True)
+
+
+def test_denoise_volume_covers_full_extent(rng):
+    """Non-multiple-of-32 extents are reflect-padded and denoised to the
+    edge — truncation left a raw-noise band on two edges of every slice."""
+    import jax
+
+    from cet_pick_tpu.config import Config
+    from cet_pick_tpu.train.denoise import (
+        create_denoise_state, denoise_volume,
+    )
+
+    cfg = Config(task="denoise", arch="denoise").finalize()
+    state, models = create_denoise_state(cfg, jax.random.PRNGKey(0), crop=32)
+    vol = rng.standard_normal((2, 40, 45)).astype(np.float32)
+    out = denoise_volume(models, state, vol)
+    assert out.shape == vol.shape
+    # the denoiser output differs from the raw input EVERYWHERE, including
+    # the former truncation bands (cols 32:, rows 32:)
+    band = np.abs(out[:, :, 32:] - vol[:, :, 32:])
+    assert float(band.max()) > 0.0
+    assert not np.array_equal(out[:, 32:, :], vol[:, 32:, :])
+
+
+def test_denoise_checkpoint_roundtrip(tmp_path, rng):
+    """The trained denoiser persists and reloads (DenoiseState is not a
+    TrainState; without its own save path a run produced only logs)."""
+    import jax
+
+    from cet_pick_tpu.config import Config
+    from cet_pick_tpu.train.denoise import (
+        create_denoise_state, load_denoise_checkpoint,
+        save_denoise_checkpoint,
+    )
+
+    cfg = Config(task="denoise", arch="denoise").finalize()
+    state, _ = create_denoise_state(cfg, jax.random.PRNGKey(0), crop=32)
+    state = state.replace(step=7)
+    ck = str(tmp_path / "dn")
+    save_denoise_checkpoint(ck, state, cfg)
+
+    fresh, _ = create_denoise_state(cfg, jax.random.PRNGKey(5), crop=32)
+    back = load_denoise_checkpoint(ck, fresh)
+    assert back.step == 7
+    l0 = jax.tree_util.tree_leaves(state.params_dn)[0]
+    l1 = jax.tree_util.tree_leaves(back.params_dn)[0]
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
