@@ -198,16 +198,19 @@ def load_moco_checkpoint(path, state: MoCoState) -> MoCoState:
 
     with open(os.path.join(path, "moco_state.msgpack"), "rb") as f:
         raw = f.read()
-    template = {
-        "step": state.step, "epoch": state.epoch,
-        "params": state.params, "batch_stats": state.batch_stats,
-        "key_params": state.key_params,
-        "key_batch_stats": state.key_batch_stats,
-        "queue": state.queue, "queue_ptr": state.queue_ptr,
-        "opt_state": state.opt_state,
-    }
-    loaded = serialization.from_bytes(template, raw)
-    return state.replace(**loaded)
+    # template-free restore, like train/state.load_checkpoint: a MoCo
+    # resume assumes the same config (queue size r, arch), so fields are
+    # restored strictly per-field — but msgpack_restore keeps a clear
+    # failure mode (KeyError naming the missing field) instead of flax's
+    # whole-template structure error
+    loaded = serialization.msgpack_restore(raw)
+    fields = {}
+    for name in ("step", "epoch", "params", "batch_stats", "key_params",
+                 "key_batch_stats", "queue", "queue_ptr", "opt_state"):
+        fields[name] = serialization.from_state_dict(
+            getattr(state, name), loaded[name]
+        )
+    return state.replace(**fields)
 
 
 def train_moco(config, dataset, num_epochs=None, r=1024, log_fn=print):
