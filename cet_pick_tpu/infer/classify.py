@@ -78,10 +78,14 @@ class TomoClassDetector(TomoDetector):
         return dets
 
     def run(self, volume: np.ndarray, name: str = "tomo",
-            out_dir: Optional[str] = None) -> Dict:
-        """Full semiclass picking pipeline for one tomogram."""
+            out_dir: Optional[str] = None, lo: float = 0.0,
+            hi: float = 1.0) -> Dict:
+        """Full semiclass picking pipeline for one tomogram.
+
+        Accepts the uint8 + (lo, hi) quantized representation like
+        TomoDetector.run (dequantized on device, bit-identical)."""
         t0 = time.time()
-        hm, dets = self.process(volume)
+        hm, dets = self.process(volume, lo=lo, hi=hi)
         t_net = time.time()
         dets = self.post_process(dets)
         t_post = time.time()
@@ -110,21 +114,19 @@ class TomoClassDetector(TomoDetector):
 
 def run_classify_test(config, out_dir=None):
     """test_class.py equivalent: semiclass picking over the test image list
-    (reference cet_pick/test_class.py:47-78)."""
+    (reference cet_pick/test_class.py:47-78), on the same pipelined uint8
+    transfer schedule as run_test."""
+    from cet_pick_tpu.infer.detector import stream_quantized_volumes
     from cet_pick_tpu.io.coords import read_image_list
-    from cet_pick_tpu.io.loader import load_tomos_from_list
 
     il = read_image_list(os.path.join(config.data_dir, config.test_img_txt))
-    images = load_tomos_from_list(
-        il.image_name, il.rec_path,
-        order=config.order, compress=config.compress, denoise=config.gauss,
-    )
     det = TomoClassDetector(config)
     out_dir = out_dir or config.out_path
     results = {}
-    for name, vol in images.items():
-        r = det.run(np.asarray(vol, np.float32), name=name, out_dir=out_dir)
-        print(f"{name}: " + " ".join(
-            f"{k} {v:.3f}s" for k, v in r["times"].items()))
-        results[name] = r["times"]
+    with stream_quantized_volumes(config, il.image_name, il.rec_path) as vols:
+        for name, v_dev, lo, hi in vols:
+            r = det.run(v_dev, name=name, out_dir=out_dir, lo=lo, hi=hi)
+            print(f"{name}: " + " ".join(
+                f"{k} {v:.3f}s" for k, v in r["times"].items()))
+            results[name] = r["times"]
     return results

@@ -109,11 +109,15 @@ class TomoDetector:
         return group_dets_by_z(dets, z_dim_tot)
 
     def run(self, volume: np.ndarray, name: str = "tomo",
-            out_dir: Optional[str] = None) -> Dict:
-        """Full picking pipeline for one tomogram with per-stage timing."""
+            out_dir: Optional[str] = None, lo: float = 0.0,
+            hi: float = 1.0) -> Dict:
+        """Full picking pipeline for one tomogram with per-stage timing.
+
+        Pass a uint8 volume with its ``preprocess_quantized`` (lo, hi) bounds
+        to dequantize on device (bit-identical, 4x smaller transfer)."""
         cfg = self.config
         t0 = time.time()
-        hm, dets = self.process(volume)
+        hm, dets = self.process(volume, lo=lo, hi=hi)
         # np.asarray of the small (K, 5) table forces completion of the whole
         # device program; block_until_ready is a no-op on remote runtimes
         # (CLAUDE.md) so a materializing fetch is the only honest fence
@@ -211,27 +215,57 @@ def write_detection_outputs(cfg, hm: np.ndarray, rows, path: str, name: str):
     return lines
 
 
+def stream_quantized_volumes(config, names, paths, depth: int = 2):
+    """Disk -> quantize -> async device transfer pipeline over a volume list.
+
+    The reference streams test tomograms through a PrefetchDataset wrapped in
+    a 1-worker DataLoader (test.py:19-60, :77); the TPU-native schedule here
+    is what bench.py measures as the pipelined headline: a producer thread
+    reads + preprocesses tomogram i+1 while tomogram i computes on device,
+    shipping the uint8 representation (preprocess_quantized — 4x fewer bytes
+    over the host->device link, bit-identical picks) with the device_put
+    dispatched asynchronously so the transfer also hides behind compute.
+
+    Yields ``(name, device_volume_u8, lo, hi)``; use as a context manager so
+    an early exit releases the producer thread.
+    """
+    import jax
+
+    from cet_pick_tpu.data.prefetch import PrefetchIterator
+    from cet_pick_tpu.io.loader import load_rec, preprocess_quantized
+
+    def produce():
+        for name, path in zip(names, paths):
+            vol = load_rec(path, order=config.order, compress=config.compress)
+            u8, lo, hi = preprocess_quantized(vol, denoise=config.gauss)
+            yield name, u8, lo, hi
+
+    def put(item):
+        name, u8, lo, hi = item
+        return name, jax.device_put(u8), lo, hi
+
+    return PrefetchIterator(produce(), depth=depth, device_put=put)
+
+
 def run_test(config, out_dir=None):
     """test.py equivalent: run the detector over the test image list
-    (reference cet_pick/test.py:65-93)."""
+    (reference cet_pick/test.py:65-93), pipelined: uint8 transfers with the
+    next tomogram's load + device_put overlapping the current forward."""
     from cet_pick_tpu.io.coords import read_image_list
-    from cet_pick_tpu.io.loader import load_tomos_from_list
-
-    il = read_image_list(os.path.join(config.data_dir, config.test_img_txt))
-    images = load_tomos_from_list(
-        il.image_name, il.rec_path,
-        order=config.order, compress=config.compress, denoise=config.gauss,
-    )
     from cet_pick_tpu.utils.profiling import maybe_trace
 
+    il = read_image_list(os.path.join(config.data_dir, config.test_img_txt))
     det = TomoDetector(config)
     out_dir = out_dir or config.out_path
     results = {}
     with maybe_trace(config.profile_dir):
-        for name, vol in images.items():
-            r = det.run(np.asarray(vol, np.float32), name=name, out_dir=out_dir)
-            print(f"{name}: " + " ".join(
-                f"{k} {v:.3f}s" for k, v in r["times"].items()
-            ))
-            results[name] = r["times"]
+        with stream_quantized_volumes(
+            config, il.image_name, il.rec_path
+        ) as vols:
+            for name, v_dev, lo, hi in vols:
+                r = det.run(v_dev, name=name, out_dir=out_dir, lo=lo, hi=hi)
+                print(f"{name}: " + " ".join(
+                    f"{k} {v:.3f}s" for k, v in r["times"].items()
+                ))
+                results[name] = r["times"]
     return results

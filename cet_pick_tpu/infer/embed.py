@@ -18,7 +18,6 @@ from __future__ import annotations
 import os
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 
@@ -72,16 +71,29 @@ def extract_embeddings(config, dataset, params, batch_stats, batch_size=256):
             return np.concatenate([x, reps])
         return x
 
-    for start in range(0, n, batch_size):
-        end = min(start + batch_size, n)
-        x3 = jnp.asarray(pad_batch(x3_all[start:end], end, start))[..., None]
-        if mode == "2d3d":
-            x2 = jnp.asarray(pad_batch(x2_all[start:end], end, start))[..., None]
-            out = fwd(x2, x3)
-        else:
-            out = fwd_2donly(x3)
-        projs.append(np.asarray(out["proj"])[: end - start])
-        preds.append(np.asarray(out["pred"])[: end - start])
+    def batches():
+        for start in range(0, n, batch_size):
+            end = min(start + batch_size, n)
+            x3 = pad_batch(x3_all[start:end], end, start)[..., None]
+            if mode == "2d3d":
+                x2 = pad_batch(x2_all[start:end], end, start)[..., None]
+                yield end - start, (x2, x3)
+            else:
+                yield end - start, (x3,)
+
+    from cet_pick_tpu.data.prefetch import PrefetchIterator
+
+    # batch i+1's host->device transfer rides behind batch i's forward
+    # (reference uses a 1-worker DataLoader over PrefetchDatasetProj,
+    # simsiam_test_hm_2d3d.py:165)
+    with PrefetchIterator(
+        batches(), depth=2,
+        device_put=lambda item: (item[0], jax.device_put(item[1])),
+    ) as it:
+        for kept, xs in it:
+            out = fwd(*xs) if mode == "2d3d" else fwd_2donly(*xs)
+            projs.append(np.asarray(out["proj"])[:kept])
+            preds.append(np.asarray(out["pred"])[:kept])
 
     result = {
         "proj": np.concatenate(projs),

@@ -175,15 +175,21 @@ def train_denoise(config, dataset, num_iters=200, crop=128,
     history = []
     from cet_pick_tpu.train.state import set_learning_rate
 
-    for it in range(num_iters):
-        lr = compute_ramped_lrate(it, num_iters, ramp_up, ramp_down, config.lr)
-        state = set_learning_rate(state, lr)
-        batch = jnp.asarray(dataset.sample_batch(rng, config.batch_size))
-        state, metrics = step(state, batch)
-        history.append({k: float(v) for k, v in metrics.items()})
-        if (it + 1) % log_every == 0:
-            log_fn(f"iter {it + 1}: " + " ".join(
-                f"{k}={v:.5f}" for k, v in history[-1].items()))
+    from cet_pick_tpu.data.prefetch import PrefetchIterator
+
+    # crop sampling + host->device transfer of batch i+1 hide behind step i
+    batches = (dataset.sample_batch(rng, config.batch_size)
+               for _ in range(num_iters))
+    with PrefetchIterator(batches, depth=2) as prefetched:
+        for it, batch in enumerate(prefetched):
+            lr = compute_ramped_lrate(it, num_iters, ramp_up, ramp_down,
+                                      config.lr)
+            state = set_learning_rate(state, lr)
+            state, metrics = step(state, batch)
+            history.append({k: float(v) for k, v in metrics.items()})
+            if (it + 1) % log_every == 0:
+                log_fn(f"iter {it + 1}: " + " ".join(
+                    f"{k}={v:.5f}" for k, v in history[-1].items()))
     return state, models, history
 
 
@@ -227,15 +233,19 @@ def load_denoise_checkpoint(path, state: DenoiseState) -> DenoiseState:
     )
 
 
-def denoise_volume(models, state, volume):
-    """Apply the trained posterior-mean denoiser slice by slice.
+def denoise_volume(models, state, volume, z_batch=8):
+    """Apply the trained posterior-mean denoiser over z-slice batches.
 
     Extents are reflect-padded UP to the UNet's 32-multiple requirement and
     cropped back, so the whole slice is denoised — truncating to the lower
     multiple left a raw-noise band up to 31 px wide on two edges of every
-    slice."""
+    slice. Slices ride the batch axis ``z_batch`` at a time (one dispatch
+    per chunk instead of per slice — per-dispatch overhead dominates
+    single-slice calls on remote-attached devices); the last chunk is padded
+    to the same shape so the forward compiles once."""
     d, h, w = volume.shape
     ph, pw = (-h) % 32, (-w) % 32
+    z_batch = max(1, min(int(z_batch), d))
 
     @jax.jit
     def run(noisy):
@@ -244,9 +254,15 @@ def denoise_volume(models, state, volume):
         )
         return pme
 
+    padded = np.pad(volume, ((0, 0), (0, ph), (0, pw)), mode="reflect")
     out = np.empty((d, h, w), np.float32)
-    for z in range(d):
-        sl = np.pad(volume[z], ((0, ph), (0, pw)), mode="reflect")
-        x = jnp.asarray(sl, jnp.float32)[None, ..., None]
-        out[z] = np.asarray(run(x))[0, :h, :w, 0]
+    for z0 in range(0, d, z_batch):
+        z1 = min(z0 + z_batch, d)
+        chunk = padded[z0:z1]
+        if z1 - z0 < z_batch:  # pad the remainder chunk to the jitted shape
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], z_batch - (z1 - z0), axis=0)]
+            )
+        x = jnp.asarray(chunk, jnp.float32)[..., None]
+        out[z0:z1] = np.asarray(run(x))[: z1 - z0, :h, :w, 0]
     return out

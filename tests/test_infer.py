@@ -137,6 +137,39 @@ def test_uint8_path_matches_float(small_setup, rng):
     np.testing.assert_allclose(hm_u, hm_f, atol=1e-5)
 
 
+def test_streamed_quantized_run_matches_float_run(small_setup, tmp_path, rng):
+    """The pipelined CLI schedule (stream_quantized_volumes: disk -> uint8 ->
+    async device_put) must write bit-identical detections to the float path
+    the reference uses (load_tomos_from_list -> det.run)."""
+    from cet_pick_tpu.infer.detector import stream_quantized_volumes
+    from cet_pick_tpu.io.loader import load_tomos_from_list
+    from cet_pick_tpu.io.mrc import write_mrc
+
+    config, model, state = small_setup
+    det = TomoDetector(config, params=state.params,
+                       batch_stats=state.batch_stats, tile_z=8)
+    raw = rng.standard_normal((16, 96, 96)).astype(np.float32)
+    rec = tmp_path / "s0.rec"
+    write_mrc(str(rec), raw)
+
+    # float reference path, exactly what the old run_test did
+    images = load_tomos_from_list(["s0"], [str(rec)], order=config.order)
+    out_f = tmp_path / "float"
+    r_f = det.run(images["s0"], name="s0", out_dir=str(out_f))
+
+    # streamed quantized path (what run_test does now)
+    out_q = tmp_path / "quant"
+    with stream_quantized_volumes(config, ["s0"], [str(rec)]) as vols:
+        rows = list(vols)
+    assert len(rows) == 1
+    name, v_dev, lo, hi = rows[0]
+    assert name == "s0" and np.asarray(v_dev).dtype == np.uint8
+    r_q = det.run(v_dev, name="s0", out_dir=str(out_q), lo=lo, hi=hi)
+
+    np.testing.assert_allclose(r_q["hm"], r_f["hm"], atol=1e-5)
+    assert (out_q / "s0.txt").read_text() == (out_f / "s0.txt").read_text()
+
+
 def test_fused_matches_streamed(small_setup, rng):
     config, model, state = small_setup
     vol = rng.standard_normal((20, 64, 64)).astype(np.float32)
