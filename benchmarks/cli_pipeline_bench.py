@@ -63,36 +63,44 @@ def main():
     # warm both compiled paths (float32 and uint8 tile programs)
     warm = load_tomos_from_list(names[:1], paths[:1], order="zxy")
     drain(det.run(warm["v0"], name="warm"))
+    del warm
     with stream_quantized_volumes(config, names[:1], paths[:1]) as vols:
         for name, v, lo, hi in vols:
             drain(det.run(v, name="warm", lo=lo, hi=hi))
 
-    # --- old schedule: float load of everything, then sequential runs
-    t0 = time.perf_counter()
-    images = load_tomos_from_list(names, paths, order="zxy")
-    ts = []
-    for name, vol in images.items():
-        t1 = time.perf_counter()
-        drain(det.run(np.asarray(vol, np.float32), name=name))
-        ts.append(time.perf_counter() - t1)
-    t_old = (time.perf_counter() - t0) / n_vols
-    t_old_run = float(np.mean(ts))
+    def run_old():
+        # old schedule: float load of everything, then sequential runs
+        t0 = time.perf_counter()
+        images = load_tomos_from_list(names, paths, order="zxy")
+        for name, vol in images.items():
+            drain(det.run(np.asarray(vol, np.float32), name=name))
+        return (time.perf_counter() - t0) / n_vols
 
-    # --- new schedule: streamed uint8 with prefetch
-    t0 = time.perf_counter()
-    ts = []
-    with stream_quantized_volumes(config, names, paths) as vols:
-        for name, v, lo, hi in vols:
-            t1 = time.perf_counter()
-            drain(det.run(v, name=name, lo=lo, hi=hi))
-            ts.append(time.perf_counter() - t1)
-    t_new = (time.perf_counter() - t0) / n_vols
-    t_new_run = float(np.mean(ts))
+    def run_new():
+        # new schedule: streamed uint8 with prefetch
+        t0 = time.perf_counter()
+        with stream_quantized_volumes(config, names, paths) as vols:
+            for name, v, lo, hi in vols:
+                drain(det.run(v, name=name, lo=lo, hi=hi))
+        return (time.perf_counter() - t0) / n_vols
 
-    print(f"old  float sequential : {t_old:.3f} s/volume "
-          f"(run only {t_old_run:.3f})")
-    print(f"new  uint8 streamed   : {t_new:.3f} s/volume "
-          f"(run only {t_new_run:.3f})")
+    # the box + tunnel are noisy: interleave trials so a degraded window
+    # can't flip the verdict, and report per-trial numbers + medians with a
+    # tunnel-health probe between trials
+    from bench import probe_tunnel
+
+    olds, news = [], []
+    for trial in range(3):
+        olds.append(run_old())
+        news.append(run_new())
+        mm, link = probe_tunnel()
+        print(f"trial{trial}: old {olds[-1]:.2f} s/vol   "
+              f"new {news[-1]:.2f} s/vol   "
+              f"(tunnel: matmul {mm:.1f} ms, link {link:.1f} MB/s)",
+              flush=True)
+    t_old, t_new = float(np.median(olds)), float(np.median(news))
+    print(f"old  float sequential : {t_old:.3f} s/volume (median of {olds})")
+    print(f"new  uint8 streamed   : {t_new:.3f} s/volume (median of {news})")
     print(f"speedup (disk->picks) : {t_old / t_new:.2f}x")
     shutil.rmtree(tmp, ignore_errors=True)
 

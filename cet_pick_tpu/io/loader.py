@@ -23,24 +23,40 @@ from scipy.ndimage import gaussian_filter
 from cet_pick_tpu.io.mrc import read_mrc
 
 
-def quantize(x, mi=-2.5, ma=2.0, dtype=np.uint8):
-    """Linear map [mi, ma] -> [0, 255] with clipping + rounding (loader.py:16-25)."""
+def quantize(x, mi=-2.5, ma=2.0, dtype=np.uint8, inplace=False):
+    """Linear map [mi, ma] -> [0, 255] with clipping + rounding (loader.py:16-25).
+
+    ``inplace=True`` (float ndarray input we own) runs the identical op
+    sequence without temporaries — subtract, multiply by 255, divide, in the
+    reference's order, so results are bit-identical; large-volume temporaries
+    are the dominant host preprocessing cost.
+    """
     if mi is None:
         mi = x.min()
     if ma is None:
         ma = x.max()
     r = ma - mi
-    x = 255 * (x - mi) / r
-    x = np.clip(x, 0, 255)
-    return np.round(x).astype(dtype)
+    if inplace:
+        x -= mi
+        x *= 255  # (x - mi) * 255 == 255 * (x - mi) exactly
+        x /= r
+    else:
+        x = 255 * (x - mi) / r
+    np.clip(x, 0, 255, out=x)  # x is owned on both branches by now
+    np.round(x, out=x)
+    return x.astype(dtype)
 
 
-def _standardize(x, axis=None):
+def _standardize(x, axis=None, inplace=False):
     m = x.mean(axis=axis, keepdims=axis is not None)
     s = x.std(axis=axis, keepdims=axis is not None)
     # constant input (zero std) -> zeros, matching the uint8 path's
     # lo == hi dequantization instead of silently producing NaN
     s = np.where(s == 0, 1.0, s)
+    if inplace:  # identical elementwise ops, no (z, x, y) temporaries
+        x -= m
+        x /= s
+        return x
     return (x - m) / s
 
 
@@ -89,16 +105,20 @@ def load_rec(path, order="xyz", compress=False, is_tilt=False):
     vol = np.ascontiguousarray(vol)
 
     if is_tilt:
-        vol = _standardize(vol, axis=(1, 2))
+        vol = _standardize(vol, axis=(1, 2), inplace=True)
     else:
-        vol = _standardize(vol)
+        vol = _standardize(vol, inplace=True)
     return vol
 
 
-def _minmax01(x, axis=None):
+def _minmax01(x, axis=None, inplace=False):
     mn = x.min(axis=axis, keepdims=axis is not None)
     mx = x.max(axis=axis, keepdims=axis is not None)
     rng = np.where(mx == mn, 1.0, mx - mn)  # constant input -> zeros
+    if inplace:
+        x -= mn
+        x /= rng
+        return x
     return (x - mn) / rng
 
 
@@ -110,21 +130,24 @@ def preprocess(vol, denoise=0, is_tilt=False):
     Tilt series: per-slice statistics and per-slice min-max (the reference
     loops slices with cv2.normalize; equivalent to per-slice min-max to [0,1]).
     """
-    vol = np.asarray(vol, dtype=np.float64)
+    # copy up front so every later pass can run in place (bit-identical op
+    # order; avoids ~5 full-volume float64 temporaries — the dominant host
+    # preprocessing cost for tutorial-size tomograms)
+    vol = np.array(vol, dtype=np.float64)
     if is_tilt:
         if denoise > 0:
             vol = np.stack([gaussian_filter(s, sigma=denoise) for s in vol])
-        vol = _standardize(vol, axis=(1, 2))
-        vol = quantize(vol).astype(np.float64)
-        return _minmax01(vol, axis=(1, 2))
+        vol = _standardize(vol, axis=(1, 2), inplace=True)
+        vol = quantize(vol, inplace=True).astype(np.float64)
+        return _minmax01(vol, axis=(1, 2), inplace=True)
     if denoise > 0:
         vol = gaussian_filter(vol, sigma=denoise)
-        vol = _standardize(vol)
-        vol = quantize(vol, mi=-3, ma=3).astype(np.float64)
+        vol = _standardize(vol, inplace=True)
+        vol = quantize(vol, mi=-3, ma=3, inplace=True).astype(np.float64)
     else:
-        vol = _standardize(vol)
-        vol = quantize(vol).astype(np.float64)
-    return _minmax01(vol)
+        vol = _standardize(vol, inplace=True)
+        vol = quantize(vol, inplace=True).astype(np.float64)
+    return _minmax01(vol, inplace=True)
 
 
 def preprocess_quantized(vol, denoise=0):
@@ -136,14 +159,14 @@ def preprocess_quantized(vol, denoise=0):
     host->device link — the dominant cost of whole-volume inference on
     remote-attached TPUs — with bit-identical results.
     """
-    vol = np.asarray(vol, dtype=np.float64)
+    vol = np.array(vol, dtype=np.float64)  # owned copy -> in-place passes
     if denoise > 0:
         vol = gaussian_filter(vol, sigma=denoise)
-        vol = _standardize(vol)
-        q = quantize(vol, mi=-3, ma=3)
+        vol = _standardize(vol, inplace=True)
+        q = quantize(vol, mi=-3, ma=3, inplace=True)
     else:
-        vol = _standardize(vol)
-        q = quantize(vol)
+        vol = _standardize(vol, inplace=True)
+        q = quantize(vol, inplace=True)
     lo, hi = float(q.min()), float(q.max())
     return q, lo, hi
 
