@@ -115,15 +115,24 @@ class TomoDetector:
 
         Pass a uint8 volume with its ``preprocess_quantized`` (lo, hi) bounds
         to dequantize on device (bit-identical, 4x smaller transfer)."""
-        cfg = self.config
+        hm_dev, dets, t0, t_net = self._compute(volume, lo=lo, hi=hi)
+        return self._finish(hm_dev, dets, name, out_dir, t0, t_net)
+
+    def _compute(self, volume, lo: float = 0.0, hi: float = 1.0):
+        """Device half of run(): forward + decode + small-result fence."""
         t0 = time.time()
         hm, dets = self.process(volume, lo=lo, hi=hi)
         # np.asarray of the small (K, 5) table forces completion of the whole
         # device program; block_until_ready is a no-op on remote runtimes
         # (CLAUDE.md) so a materializing fetch is the only honest fence
         dets = np.asarray(dets)
-        t_net = time.time()
-        hm = np.asarray(hm)  # the large heatmap device->host fetch
+        return hm, dets, t0, time.time()
+
+    def _finish(self, hm_dev, dets: np.ndarray, name: str,
+                out_dir: Optional[str], t0: float, t_net: float) -> Dict:
+        """Host half of run(): heatmap fetch, grouping, writers. Safe to run
+        on a writer thread while the next volume computes (run_test does)."""
+        hm = np.asarray(hm_dev)  # the large heatmap device->host fetch
         t_fetch = time.time()
         z_groups = self.post_process(dets, z_dim_tot=hm.shape[0])
         t_post = time.time()
@@ -249,8 +258,14 @@ def stream_quantized_volumes(config, names, paths, depth: int = 2):
 
 def run_test(config, out_dir=None):
     """test.py equivalent: run the detector over the test image list
-    (reference cet_pick/test.py:65-93), pipelined: uint8 transfers with the
-    next tomogram's load + device_put overlapping the current forward."""
+    (reference cet_pick/test.py:65-93), pipelined at both ends: the producer
+    thread overlaps tomogram i+1's load + async uint8 device_put with
+    tomogram i's forward, and a writer thread overlaps tomogram i-1's large
+    heatmap fetch + post-process + file writes with it too. Outputs are
+    byte-identical to the sequential schedule (same data, same writers)."""
+    import queue
+    import threading
+
     from cet_pick_tpu.io.coords import read_image_list
     from cet_pick_tpu.utils.profiling import maybe_trace
 
@@ -258,14 +273,39 @@ def run_test(config, out_dir=None):
     det = TomoDetector(config)
     out_dir = out_dir or config.out_path
     results = {}
-    with maybe_trace(config.profile_dir):
-        with stream_quantized_volumes(
-            config, il.image_name, il.rec_path
-        ) as vols:
-            for name, v_dev, lo, hi in vols:
-                r = det.run(v_dev, name=name, out_dir=out_dir, lo=lo, hi=hi)
+    errs = []
+    q = queue.Queue(maxsize=2)  # bounds heatmaps held on device
+
+    def writer():
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            try:
+                name, hm_dev, dets, t0, t_net = item
+                r = det._finish(hm_dev, dets, name, out_dir, t0, t_net)
                 print(f"{name}: " + " ".join(
                     f"{k} {v:.3f}s" for k, v in r["times"].items()
                 ))
                 results[name] = r["times"]
+            except BaseException as e:  # surfaced after join
+                errs.append(e)
+
+    w = threading.Thread(target=writer, daemon=True)
+    w.start()
+    try:
+        with maybe_trace(config.profile_dir):
+            with stream_quantized_volumes(
+                config, il.image_name, il.rec_path
+            ) as vols:
+                for name, v_dev, lo, hi in vols:
+                    hm_dev, dets, t0, t_net = det._compute(v_dev, lo=lo, hi=hi)
+                    q.put((name, hm_dev, dets, t0, t_net))
+                    if errs:
+                        break
+    finally:
+        q.put(None)
+        w.join()
+    if errs:
+        raise errs[0]
     return results
