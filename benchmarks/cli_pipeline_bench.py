@@ -1,15 +1,19 @@
-"""A/B: the old float-sequential test loop vs the streamed uint8 CLI path.
+"""A/B: the old float-sequential test loop vs the pipelined run_test CLI.
 
-Synthesizes three tutorial-size tomograms (256x512x512) as .rec files, then
-drives the REAL ``run_test`` surface (disk -> picks) both ways:
+Synthesizes three tutorial-size tomograms (256x512x512) as .rec files plus a
+checkpoint, then drives disk -> detection txt + _hm.mrc three ways:
 
 * old: load_tomos_from_list (float32) then det.run per volume, sequential —
   what run_test did before the streaming change;
-* new: stream_quantized_volumes (uint8 + async device_put producer thread)
-  -> det.run(lo, hi) — what run_test does now.
+* stream: stream_quantized_volumes (uint8 + async device_put producer
+  thread) -> det.run(lo, hi) — inputs pipelined, writes synchronous;
+* cli: the REAL ``run_test`` — inputs pipelined AND the heatmap fetch +
+  writers on a write-behind thread.
 
-Reports wall-clock per volume for each schedule. Run on the TPU box from the
-repo root: ``python benchmarks/cli_pipeline_bench.py``.
+All three write the full outputs. The box + tunnel are noisy: trials are
+interleaved and medians reported, with a tunnel-health probe per trial.
+Run on the TPU box from the repo root:
+``python benchmarks/cli_pipeline_bench.py``.
 """
 
 import os
@@ -28,27 +32,30 @@ def main():
 
     from cet_pick_tpu.config import Config
     from cet_pick_tpu.infer.detector import (
-        TomoDetector, stream_quantized_volumes,
+        TomoDetector, run_test, stream_quantized_volumes,
     )
     from cet_pick_tpu.io.loader import load_tomos_from_list
     from cet_pick_tpu.io.mrc import write_mrc
-    from cet_pick_tpu.train.state import create_train_state
     from cet_pick_tpu.models.detector import create_detector
+    from cet_pick_tpu.train.state import create_train_state, save_checkpoint
 
     D, H, W = 256, 512, 512
     n_vols = 3
+    tmp = tempfile.mkdtemp(prefix="cli_pipe_bench_")
     config = Config(task="semi", arch="unet_4", K=900, nms=3, order="zxy",
-                    dtype="bfloat16").finalize()
+                    dtype="bfloat16", data_dir=tmp, root_dir=tmp).finalize()
     model = create_detector(config)
     state = create_train_state(
         model, config, jax.random.PRNGKey(0),
         np.zeros((1, 8, 64, 64), np.float32),
     )
+    ckpt = os.path.join(tmp, "ck")
+    save_checkpoint(ckpt, state, config)
+    config.load_model = ckpt
     det = TomoDetector(config, params=state.params,
                        batch_stats=state.batch_stats, tile_z=64)
 
     rng = np.random.default_rng(0)
-    tmp = tempfile.mkdtemp(prefix="cli_pipe_bench_")
     names, paths = [], []
     for i in range(n_vols):
         vol = rng.standard_normal((D, H, W)).astype(np.float32)
@@ -56,52 +63,60 @@ def main():
         write_mrc(p, vol)
         names.append(f"v{i}")
         paths.append(p)
+    with open(os.path.join(tmp, "test_images.txt"), "w") as f:
+        f.write("image_name\trec_path\n" + "".join(
+            f"{n}\t{p}\n" for n, p in zip(names, paths)))
+    out_dir = os.path.join(tmp, "out")
 
-    def drain(r):
-        np.asarray(r["dets"])
-
-    # warm both compiled paths (float32 and uint8 tile programs)
+    # warm both compiled tile programs (float32 and uint8)
     warm = load_tomos_from_list(names[:1], paths[:1], order="zxy")
-    drain(det.run(warm["v0"], name="warm"))
+    np.asarray(det.run(warm["v0"], name="warm")["dets"])
     del warm
     with stream_quantized_volumes(config, names[:1], paths[:1]) as vols:
         for name, v, lo, hi in vols:
-            drain(det.run(v, name="warm", lo=lo, hi=hi))
+            np.asarray(det.run(v, name="warm", lo=lo, hi=hi)["dets"])
 
     def run_old():
-        # old schedule: float load of everything, then sequential runs
+        # old schedule: float load of everything, then sequential run+write
         t0 = time.perf_counter()
         images = load_tomos_from_list(names, paths, order="zxy")
         for name, vol in images.items():
-            drain(det.run(np.asarray(vol, np.float32), name=name))
+            det.run(np.asarray(vol, np.float32), name=name, out_dir=out_dir)
         return (time.perf_counter() - t0) / n_vols
 
-    def run_new():
-        # new schedule: streamed uint8 with prefetch
+    def run_stream():
+        # inputs pipelined (uint8 producer thread), writes synchronous
         t0 = time.perf_counter()
         with stream_quantized_volumes(config, names, paths) as vols:
             for name, v, lo, hi in vols:
-                drain(det.run(v, name=name, lo=lo, hi=hi))
+                det.run(v, name=name, out_dir=out_dir, lo=lo, hi=hi)
         return (time.perf_counter() - t0) / n_vols
 
-    # the box + tunnel are noisy: interleave trials so a degraded window
-    # can't flip the verdict, and report per-trial numbers + medians with a
-    # tunnel-health probe between trials
+    def run_cli():
+        # the shipped run_test: pipelined at both ends
+        t0 = time.perf_counter()
+        run_test(config, out_dir=out_dir)
+        return (time.perf_counter() - t0) / n_vols
+
+    run_cli()  # warm run_test's own detector instance (compile-cache hit)
+
     from bench import probe_tunnel
 
-    olds, news = [], []
+    rows = {"old": [], "stream": [], "cli": []}
     for trial in range(3):
-        olds.append(run_old())
-        news.append(run_new())
+        rows["old"].append(run_old())
+        rows["stream"].append(run_stream())
+        rows["cli"].append(run_cli())
         mm, link = probe_tunnel()
-        print(f"trial{trial}: old {olds[-1]:.2f} s/vol   "
-              f"new {news[-1]:.2f} s/vol   "
-              f"(tunnel: matmul {mm:.1f} ms, link {link:.1f} MB/s)",
-              flush=True)
-    t_old, t_new = float(np.median(olds)), float(np.median(news))
-    print(f"old  float sequential : {t_old:.3f} s/volume (median of {olds})")
-    print(f"new  uint8 streamed   : {t_new:.3f} s/volume (median of {news})")
-    print(f"speedup (disk->picks) : {t_old / t_new:.2f}x")
+        print(f"trial{trial}: " + "   ".join(
+            f"{k} {v[-1]:.2f} s/vol" for k, v in rows.items()
+        ) + f"   (tunnel: matmul {mm:.1f} ms, link {link:.1f} MB/s)",
+            flush=True)
+    med = {k: float(np.median(v)) for k, v in rows.items()}
+    for k, v in med.items():
+        print(f"{k:7s}: {v:.3f} s/volume (trials {[round(t, 2) for t in rows[k]]})")
+    print(f"speedup old->cli (disk->picks+writes): "
+          f"{med['old'] / med['cli']:.2f}x")
     shutil.rmtree(tmp, ignore_errors=True)
 
 

@@ -65,6 +65,13 @@ class TiledHeatmapInference:
     """Jitted z-tiled (and optionally xy-tiled) `hm` forward for one model +
     params."""
 
+    # auto-xy-tiling envelope: rough activation bytes per input voxel of the
+    # batched fused forward (f32 trunk activations + skips at the half-res
+    # grid), and the HBM budget those may occupy before fused() tiles xy on
+    # its own (v5e has 16 GB; leave headroom for params/heatmap/workspace).
+    BYTES_PER_VOXEL = 128.0
+    AUTO_XY_BUDGET = 12e9
+
     def __init__(self, model, params, batch_stats, tile_z: int = 64,
                  halo: int = Z_HALO, tile_xy=None):
         self.model = model
@@ -73,6 +80,7 @@ class TiledHeatmapInference:
         self.halo = int(halo)
         # (tile_h, tile_w) in input pixels, 0/None = never tile that axis
         self.tile_xy = tuple(int(t) for t in tile_xy) if tile_xy else None
+        self.auto_xy_budget = float(self.AUTO_XY_BUDGET)
         n_blocks = int(getattr(model, "n_blocks", 4))
         self.xy_halo = xy_halo(n_blocks)
         self.xy_align = xy_align(n_blocks)
@@ -135,11 +143,33 @@ class TiledHeatmapInference:
             plan.append((s, a0, a1))
         return tuple(plan), win
 
-    def _xy_tiled(self, volume, lo, hi, z_forward):
+    def _auto_xy(self, n_windows, win_d, h, w):
+        """Pick a square (tile_h, tile_w) when the fused window batch would
+        exceed the HBM activation budget; None when it fits untiled.
+
+        The reference's answer to volumes that do not fit is a hand-placed
+        validation crop (particle_moco.py:171-177); here oversized volumes
+        tile themselves with the exact full-network halo instead — same
+        bits, bounded memory."""
+        import math
+
+        est = n_windows * win_d * h * w * self.BYTES_PER_VOXEL
+        if est <= self.auto_xy_budget:
+            return None
+        a, halo = self.xy_align, self.xy_halo
+        max_win_area = self.auto_xy_budget / (
+            n_windows * win_d * self.BYTES_PER_VOXEL
+        )
+        side = int(math.floor(math.sqrt(max_win_area))) - 2 * halo
+        tile = max(a, side - side % a)
+        return (tile, tile)
+
+    def _xy_tiled(self, volume, lo, hi, z_forward, tile_xy=None):
         """Decompose xy, run ``z_forward`` per xy window, stitch output cores
         (output grid = input/2). Returns None when no xy tiling is needed."""
         d, h, w = volume.shape
-        th, tw = self.tile_xy if self.tile_xy else (0, 0)
+        tile_xy = tile_xy if tile_xy is not None else self.tile_xy
+        th, tw = tile_xy if tile_xy else (0, 0)
         hplan = self._xy_plan(h, th)
         wplan = self._xy_plan(w, tw)
         if hplan is None and wplan is None:
@@ -184,13 +214,21 @@ class TiledHeatmapInference:
         attached chips it trades peak activation memory for utilization.
         Results are bit-identical to the streamed path.
         """
+        d, h, w = volume.shape
+        tz, halo = self.tile_z, self.halo
+        if d <= tz + 2 * halo:
+            n_win, win_d = 1, d
+        else:
+            plan, win_d = self._window_plan(d)
+            n_win = len(plan)
+        txy = (self.tile_xy if self.tile_xy is not None
+               else self._auto_xy(n_win, win_d, h, w))
         tiled = self._xy_tiled(
-            volume, lo, hi, lambda win_: self.fused(win_, lo=lo, hi=hi)
+            volume, lo, hi, lambda win_: self.fused(win_, lo=lo, hi=hi),
+            tile_xy=txy,
         )
         if tiled is not None:
             return tiled
-        d = volume.shape[0]
-        tz, halo = self.tile_z, self.halo
         if d <= tz + 2 * halo:
             return self._forward_z(volume, lo=lo, hi=hi)
         plan, win = self._window_plan(d)
@@ -248,8 +286,13 @@ class TiledHeatmapInference:
         single full-volume forward. When ``tile_xy`` is set and the volume
         exceeds it, the same scheme tiles H/W with the full-network xy halo.
         """
+        d, h, w = volume.shape
+        win_d = min(d, self.tile_z + 2 * self.halo)
+        txy = (self.tile_xy if self.tile_xy is not None
+               else self._auto_xy(1, win_d, h, w))  # streamed: 1 window live
         tiled = self._xy_tiled(
-            volume, lo, hi, lambda win_: self._forward_z(win_, lo=lo, hi=hi)
+            volume, lo, hi, lambda win_: self._forward_z(win_, lo=lo, hi=hi),
+            tile_xy=txy,
         )
         if tiled is not None:
             return tiled

@@ -249,6 +249,32 @@ def test_xy_tiled_matches_full(small_setup, rng):
     np.testing.assert_allclose(hm_fused, hm_full, rtol=0, atol=1e-6)
 
 
+def test_auto_xy_tiling_engages_and_matches(small_setup, rng):
+    """With no --tile H W, fused()/__call__ must tile xy on their own when
+    the activation envelope exceeds the HBM budget — and stay bit-identical
+    to the full-volume forward."""
+    config, model, state = small_setup
+    vol = rng.standard_normal((12, 192, 192)).astype(np.float32)
+    out = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        vol[None], train=False, active_heads=("hm",),
+    )
+    hm_full = np.asarray(sigmoid_clamped(out["hm"][0, ..., 0]))
+
+    infer = TiledHeatmapInference(model, state.params, state.batch_stats,
+                                  tile_z=64)  # tile_xy NOT set
+    # the real budget never triggers at this size
+    assert infer._auto_xy(1, 12, 192, 192) is None
+    # a forced-small budget must pick an aligned tile and stay exact
+    infer.auto_xy_budget = 30e6
+    t = infer._auto_xy(1, 12, 192, 192)
+    assert t is not None and t[0] % infer.xy_align == 0 and t[0] >= infer.xy_align
+    np.testing.assert_allclose(np.asarray(infer(vol)), hm_full,
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(infer.fused(vol)), hm_full,
+                               rtol=0, atol=1e-6)
+
+
 def test_xy_tiled_one_axis_and_z(small_setup, rng):
     """H-only xy tiling composed with z tiling stays exact."""
     config, model, state = small_setup
