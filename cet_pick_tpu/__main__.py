@@ -23,6 +23,10 @@ scripts in parentheses):
   pr-curve          PR / F1 evaluation             (precision_recall_curve.py)
   remove-golds      drop fiducial detections       (remove_golds.py)
   gen-files         scan dir -> img/coord lists    (utils/generate_train_file.py)
+  extract-spectrum  radial power spectrum -> txt   (cryoDRGN long tail)
+  match-spectrum    equalize volume spectra        (cryoDRGN long tail)
+  backproject       Fourier-voxel reconstruction   (cryoDRGN long tail)
+  export-torch      checkpoint -> reference .pth   (inverse of --load_model model.pth)
 """
 
 from __future__ import annotations
@@ -600,6 +604,62 @@ def cmd_gen_files(argv):
     print(coord_file)
 
 
+def cmd_export_torch(argv):
+    """Export a trained detector checkpoint to the reference's ``.pth``
+    state_dict format (the exact inverse of loading a reference
+    ``model_N.pth`` via --load_model): a model trained here runs unmodified
+    in nextpyp/cet_pick's torch pipeline. Payload layout matches reference
+    models/model.py:283-296 ({'epoch', 'state_dict'}); tensor mapping is
+    models/convert.flax_to_torch_state_dict, round-trip bit-exactness is
+    tests/test_convert.py::test_exported_torch_model_matches_flax."""
+    parser = argparse.ArgumentParser(prog="cet_pick_tpu export-torch")
+    parser.add_argument(
+        "--load_model", required=True,
+        help="checkpoint directory (contains state.msgpack + opt.json)",
+    )
+    parser.add_argument("--out", required=True, help="output .pth path")
+    a = parser.parse_args(argv)
+
+    import jax
+    import numpy as np
+    import torch
+
+    from cet_pick_tpu.models.convert import flax_to_torch_state_dict
+    from cet_pick_tpu.models.detector import create_detector
+    from cet_pick_tpu.train.state import create_train_state, load_checkpoint
+
+    opt_json = os.path.join(a.load_model, "opt.json")
+    if not os.path.exists(opt_json):
+        print(f"no opt.json beside the checkpoint ({opt_json}); "
+              "only checkpoints written by this package can be exported")
+        return 2
+    cfg = Config.load(opt_json)
+    if not cfg.arch.startswith("unet"):
+        print(f"export-torch supports the reference TomoConvUNet family "
+              f"(arch unet_N); checkpoint has arch {cfg.arch!r}")
+        return 2
+    model = create_detector(cfg)
+    state = create_train_state(
+        model, cfg, jax.random.PRNGKey(0), np.zeros((1, 8, 64, 64), np.float32)
+    )
+    state = load_checkpoint(a.load_model, state)
+    n_blocks = int(cfg.arch.split("_")[1]) if "_" in cfg.arch else 4
+    sd = flax_to_torch_state_dict(
+        state.params, state.batch_stats, n_blocks, cfg.heads
+    )
+    payload = {
+        "epoch": int(state.epoch),
+        "state_dict": {
+            k: torch.from_numpy(np.array(v, copy=True))
+            for k, v in sd.items()
+        },
+    }
+    os.makedirs(os.path.dirname(os.path.abspath(a.out)), exist_ok=True)
+    torch.save(payload, a.out)
+    print(f"{a.out}: {len(sd)} tensors (epoch {int(state.epoch)})")
+    return 0
+
+
 def cmd_extract_spectrum(argv):
     """Radially averaged amplitude spectrum of a tomogram
     (utils/extract_spectrum.py)."""
@@ -705,6 +765,7 @@ COMMANDS = {
     "extract-spectrum": cmd_extract_spectrum,
     "match-spectrum": cmd_match_spectrum,
     "backproject": cmd_backproject,
+    "export-torch": cmd_export_torch,
 }
 
 
@@ -744,8 +805,8 @@ def main(argv=None):
         print(f"unknown command {cmd!r}; available: {', '.join(COMMANDS)}")
         return 2
     _setup_jax_cache()
-    COMMANDS[cmd](argv[1:])
-    return 0
+    rc = COMMANDS[cmd](argv[1:])
+    return 0 if rc is None else rc
 
 
 if __name__ == "__main__":

@@ -448,3 +448,56 @@ def test_jax_cache_setup(tmp_path, monkeypatch):
         assert jax.config.jax_compilation_cache_dir is None
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_cli_export_torch_roundtrip(tmp_path):
+    """`export-torch` writes a reference-format .pth that imports back to
+    the exact same parameters (disk-level inverse of --load_model *.pth)."""
+    import jax
+
+    from cet_pick_tpu.models.convert import load_reference_checkpoint
+    from cet_pick_tpu.models.detector import create_detector
+    from cet_pick_tpu.train.state import create_train_state, save_checkpoint
+
+    cfg = Config(task="semi", arch="unet_2", root_dir=str(tmp_path)).finalize()
+    model = create_detector(cfg)
+    state = create_train_state(
+        model, cfg, jax.random.PRNGKey(7), np.zeros((1, 8, 64, 64), np.float32)
+    )
+    ck = tmp_path / "model_last"
+    save_checkpoint(str(ck), state, config=cfg)
+
+    out = tmp_path / "exported.pth"
+    rc = main(["export-torch", "--load_model", str(ck), "--out", str(out)])
+    assert rc in (0, None) and out.exists()
+
+    import torch
+
+    payload = torch.load(str(out), map_location="cpu")
+    assert set(payload) == {"epoch", "state_dict"}
+
+    params, batch_stats = load_reference_checkpoint(str(out), cfg)
+    flat_a = jax.tree_util.tree_leaves_with_path(state.params)
+    flat_b = jax.tree_util.tree_leaves_with_path(params)
+    assert len(flat_a) == len(flat_b)
+    for (pa, la), (pb, lb) in zip(flat_a, flat_b):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    for (pa, la), (pb, lb) in zip(
+        jax.tree_util.tree_leaves_with_path(state.batch_stats),
+        jax.tree_util.tree_leaves_with_path(batch_stats),
+    ):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_cli_export_torch_rejects_non_unet(tmp_path, capsys):
+    cfg = Config(task="semi", arch="res3d_1", root_dir=str(tmp_path)).finalize()
+    ck = tmp_path / "ck"
+    ck.mkdir()
+    cfg.save(str(ck / "opt.json"))
+    (ck / "state.msgpack").write_bytes(b"")
+    rc = main(["export-torch", "--load_model", str(ck),
+               "--out", str(tmp_path / "x.pth")])
+    assert rc == 2
+    assert "unet" in capsys.readouterr().out
