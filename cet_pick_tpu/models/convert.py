@@ -341,6 +341,66 @@ def flax_to_torch_state_dict(params, batch_stats, n_blocks: int, heads):
     return sd
 
 
+def simsiam_flax_to_torch_state_dict(params, batch_stats,
+                                     stage_sizes=(2, 2, 2)):
+    """Inverse of ``simsiam_state_dict_to_flax``: export a trained
+    ``SimSiamEncoder`` (explore / MoCo query encoder) to the reference's
+    ``TomoResClassifier2D3D`` / ``2D`` state_dict so TPU-trained exploration
+    encoders run unmodified in the reference's torch embed/test scripts
+    (simsiam_test_hm_2d3d.py, loaded via models/model.py:199-232 tolerant
+    load). MoCo-trained states (no ``pred`` head in the checkpoint's used
+    params) export whatever heads are present — the reference load fills the
+    rest from its fresh init, same as its own MoCo->simsiam handoff."""
+    sd: Dict = {}
+
+    def bn(dst, src, affine=True):
+        if affine:
+            sd[dst + ".weight"] = _get(params, src + ("scale",))
+            sd[dst + ".bias"] = _get(params, src + ("bias",))
+        sd[dst + ".running_mean"] = _get(batch_stats, src + ("mean",))
+        sd[dst + ".running_var"] = _get(batch_stats, src + ("var",))
+
+    def conv(dst, src):
+        sd[dst + ".weight"] = np.transpose(_get(params, src + ("kernel",)),
+                                           (3, 2, 0, 1))
+
+    def dense(dst, src, bias=True):
+        sd[dst + ".weight"] = np.transpose(_get(params, src + ("kernel",)),
+                                           (1, 0))
+        if bias:
+            sd[dst + ".bias"] = _get(params, src + ("bias",))
+
+    conv("conv1", ("trunk", "conv1"))
+    bn("bn1", ("trunk", "bn1"))
+    for stage, blocks in enumerate(stage_sizes):
+        for b in range(blocks):
+            dst = f"layer{stage + 1}.{b}"
+            src = ("trunk", f"layer{stage + 1}_{b}")
+            conv(dst + ".conv1", src + ("conv1",))
+            bn(dst + ".bn1", src + ("bn1",))
+            conv(dst + ".conv2", src + ("conv2",))
+            bn(dst + ".bn2", src + ("bn2",))
+            if "downsample_conv" in params["trunk"][f"layer{stage + 1}_{b}"]:
+                conv(dst + ".downsample.0", src + ("downsample_conv",))
+                bn(dst + ".downsample.1", src + ("downsample_bn",))
+    if "fc" in params:
+        dense("fc", ("fc",))
+    if "proj" in params:
+        # proj Sequential indices 0,1 / 3,4 / 6,7 (simsiam_model_2d3d.py:590-598)
+        dense("proj.0", ("proj", "fc0"), bias=False)
+        bn("proj.1", ("proj", "bn0"))
+        dense("proj.3", ("proj", "fc1"), bias=False)
+        bn("proj.4", ("proj", "bn1"))
+        dense("proj.6", ("proj", "fc2"), bias=False)
+        bn("proj.7", ("proj", "bn2"), affine=False)
+    if "pred" in params:
+        # pred Sequential indices 0,1 / 3 (:600-605)
+        dense("pred.0", ("pred", "fc0"), bias=False)
+        bn("pred.1", ("pred", "bn0"))
+        dense("pred.3", ("pred", "fc1"))
+    return sd
+
+
 def load_reference_checkpoint(path: str, config):
     """Load a reference ``model_N.pth`` into (params, batch_stats) for
     ``create_detector(config)``. Requires torch (CPU is fine)."""

@@ -35,9 +35,17 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
+        # explicit ((1,1),(1,1)) padding, NOT "SAME": torch's conv3x3 pads
+        # symmetrically (simsiam_model_2d3d.py:56-59). For stride 1 the two
+        # are identical, but at stride 2 on EVEN spatial sizes XLA's SAME
+        # resolves to (0,1) — a one-pixel window shift vs the reference.
+        # The reference's near-zero head init (fill_fc_weights std=0.001)
+        # made the conversion golden test insensitive to the trunk, which is
+        # how this hid until the flax->torch export test (random full-scale
+        # weights) caught it.
         conv = lambda f, s, name: nn.Conv(
-            f, (3, 3), strides=(s, s), padding="SAME", use_bias=False,
-            dtype=self.dtype, name=name,
+            f, (3, 3), strides=(s, s), padding=((1, 1), (1, 1)),
+            use_bias=False, dtype=self.dtype, name=name,
         )
         bn = lambda name: nn.BatchNorm(
             momentum=0.9, epsilon=1e-5, dtype=self.dtype, name=name

@@ -29,7 +29,14 @@ def torch_model_and_outputs():
     torch.manual_seed(0)
     heads = {"hm": 1, "proj": 32}
     model = get_tomo_unet_small(4, heads, 32)
-    # randomize BN running stats so statistics conversion is actually tested
+    # re-randomize every parameter at full scale (the reference init leaves
+    # the task heads near zero — fill_fc_weights std=0.001 — which would make
+    # the output comparison insensitive to upstream layers; see the simsiam
+    # stride-2 padding bug that hid exactly this way) and randomize BN
+    # running stats so statistics conversion is actually tested
+    with torch.no_grad():
+        for p in model.parameters():
+            p.normal_(0, 0.05)
     for m in model.modules():
         if isinstance(m, torch.nn.BatchNorm2d):
             m.running_mean.normal_(0, 0.05)
@@ -91,6 +98,14 @@ def test_simsiam_conversion_matches():
     torch.manual_seed(0)
     heads = {"proj": 64, "pred": 64}
     tm = TomoResClassifier2D3D(BasicBlock, [2, 2, 2], heads, 64)
+    # re-randomize EVERY parameter at full scale: the reference's own init
+    # leaves fc/proj/pred weights at std=0.001 (fill_fc_weights), which made
+    # proj/pred outputs numerically constant in their input — a conversion
+    # test against that init is insensitive to the entire trunk (it masked a
+    # real stride-2 padding mismatch until the export test caught it)
+    with torch.no_grad():
+        for p in tm.parameters():
+            p.normal_(0, 0.05)
     for m in tm.modules():
         if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d)):
             m.running_mean.normal_(0, 0.05)
@@ -310,3 +325,88 @@ def test_moco_wrapper_checkpoint_loads_query_encoder(tmp_path):
     # pred head was not in the checkpoint: fresh init preserved
     np.testing.assert_array_equal(state.params["pred"]["fc1"]["kernel"],
                                   fresh_pred)
+
+
+def test_simsiam_export_matches_reference_model():
+    """A TPU-trained (here: random-init) SimSiamEncoder exported with
+    simsiam_flax_to_torch_state_dict reproduces identical outputs in the
+    actual reference TomoResClassifier2D3D (the simsiam_test_hm_*.py load
+    surface)."""
+    sys.path.insert(0, REFERENCE)
+    import torch
+
+    import jax
+
+    from cet_pick.models.networks.simsiam_model_2d3d import (
+        BasicBlock, TomoResClassifier2D3D,
+    )
+
+    from cet_pick_tpu.config import Config
+    from cet_pick_tpu.models.convert import simsiam_flax_to_torch_state_dict
+    from cet_pick_tpu.models.simsiam import create_simsiam
+
+    cfg = Config(task="simsiam2d3d", arch="simsiam2d3d_18",
+                 head_conv=64).finalize()
+    model = create_simsiam(cfg)
+    rng = np.random.default_rng(5)
+    j2d = rng.standard_normal((2, 24, 24, 1)).astype(np.float32)
+    j3d = rng.standard_normal((2, 24, 24, 1)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(4), j2d, j3d, j2d, j3d,
+                           train=False)
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    stats = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+    # randomize BN stats so the statistics mapping is actually tested
+    stats = jax.tree_util.tree_map(
+        lambda v: v + rng.normal(0, 0.05, v.shape).astype(v.dtype), stats)
+    ours = model.apply({"params": params, "batch_stats": stats},
+                       j2d, j3d, method=model.forward_test)
+
+    sd = simsiam_flax_to_torch_state_dict(params, stats)
+    tm = TomoResClassifier2D3D(BasicBlock, [2, 2, 2],
+                               {"proj": 64, "pred": 64}, 64)
+    missing, unexpected = tm.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=False,
+    )
+    assert not unexpected, unexpected
+    assert all(k.endswith("num_batches_tracked") for k in missing), missing
+    tm.eval()
+    x2d = torch.from_numpy(np.transpose(j2d, (0, 3, 1, 2)))
+    x3d = torch.from_numpy(np.transpose(j3d, (0, 3, 1, 2)))
+    with torch.no_grad():
+        t_out = tm.forward_test(x2d, x3d)
+    np.testing.assert_allclose(np.asarray(ours["proj"]),
+                               t_out["proj"].numpy(), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(ours["pred"]),
+                               t_out["pred"].numpy(), atol=3e-4)
+
+
+def test_simsiam_export_import_roundtrip():
+    """simsiam_flax_to_torch_state_dict is the exact inverse of
+    simsiam_state_dict_to_flax (bitwise, both directions)."""
+    import jax
+
+    from cet_pick_tpu.config import Config
+    from cet_pick_tpu.models.convert import (
+        simsiam_flax_to_torch_state_dict, simsiam_state_dict_to_flax,
+    )
+    from cet_pick_tpu.models.simsiam import create_simsiam
+
+    cfg = Config(task="simsiam2d3d", arch="simsiam2d3d_18",
+                 head_conv=48).finalize()
+    model = create_simsiam(cfg)
+    x = np.zeros((1, 20, 20, 1), np.float32)
+    variables = model.init(jax.random.PRNGKey(9), x, x, x, x, train=False)
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    stats = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+
+    sd = simsiam_flax_to_torch_state_dict(params, stats)
+    params2, stats2 = simsiam_state_dict_to_flax(sd)
+    for tree_a, tree_b in ((params, params2), (stats, stats2)):
+        flat_a = jax.tree_util.tree_leaves_with_path(tree_a)
+        flat_b = jax.tree_util.tree_leaves_with_path(tree_b)
+        assert len(flat_a) == len(flat_b)
+        for (pa, la), (pb, lb) in zip(flat_a, flat_b):
+            assert pa == pb
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb),
+                                          err_msg=str(pa))

@@ -282,7 +282,12 @@ def test_multihost_dp_step_generic_single_process(rng):
     assert pb["anchor"].sharding.spec == jax.sharding.PartitionSpec("data")
     assert pb["norm_mean"].sharding.spec == jax.sharding.PartitionSpec()
     _, m8 = step_mh(place_state(state), pb, key)
-    assert float(m8["loss"]) == pytest.approx(float(m1["loss"]), rel=2e-4)
+    # GSPMD changes the reduction order of the batch statistics / loss mean,
+    # so only near-equality is expected; the loss is a negative cosine near
+    # zero, making pure-relative comparison brittle (observed |diff| ~1e-6
+    # at loss ~3e-3), hence the abs floor.
+    assert float(m8["loss"]) == pytest.approx(float(m1["loss"]),
+                                              rel=2e-4, abs=5e-6)
 
 
 @pytest.mark.slow
