@@ -27,6 +27,7 @@ scripts in parentheses):
   match-spectrum    equalize volume spectra        (cryoDRGN long tail)
   backproject       Fourier-voxel reconstruction   (cryoDRGN long tail)
   export-torch      checkpoint -> reference .pth   (inverse of --load_model model.pth)
+  watch             continuous picking service     (no reference analog)
 """
 
 from __future__ import annotations
@@ -82,6 +83,28 @@ def cmd_test(argv):
     from cet_pick_tpu.infer.detector import run_test
 
     run_test(cfg)
+
+
+def cmd_watch(argv):
+    """Continuous picking service over a watched directory (infer/watch.py):
+    `test` as a long-lived daemon — same detector, same outputs, plus
+    file-stability claiming, a restart manifest, and per-file error
+    isolation. No reference analog (the reference is batch scripts only)."""
+    parser = argparse.ArgumentParser(prog="cet_pick_tpu watch")
+    parser.add_argument("--watch_dir", required=True,
+                        help="directory to poll for new .rec/.mrc volumes")
+    parser.add_argument("--poll", type=float, default=5.0,
+                        help="poll interval in seconds")
+    parser.add_argument("--once", action="store_true",
+                        help="drain the current backlog and exit")
+    add_config_arguments(parser, Config(task="semi"))
+    args = parser.parse_args(argv)
+    cfg = config_from_args(args)
+    if not cfg.load_model:
+        cfg.load_model = os.path.join(cfg.save_dir, "model_last")
+    from cet_pick_tpu.infer.watch import run_watch
+
+    run_watch(cfg, args.watch_dir, poll_s=args.poll, once=args.once)
 
 
 def cmd_classify_test(argv):
@@ -605,13 +628,22 @@ def cmd_gen_files(argv):
 
 
 def cmd_export_torch(argv):
-    """Export a trained detector checkpoint to the reference's ``.pth``
-    state_dict format (the exact inverse of loading a reference
-    ``model_N.pth`` via --load_model): a model trained here runs unmodified
-    in nextpyp/cet_pick's torch pipeline. Payload layout matches reference
-    models/model.py:283-296 ({'epoch', 'state_dict'}); tensor mapping is
-    models/convert.flax_to_torch_state_dict, round-trip bit-exactness is
-    tests/test_convert.py::test_exported_torch_model_matches_flax."""
+    """Export a trained checkpoint to the reference's ``.pth`` state_dict
+    format (the exact inverse of loading a reference ``model_N.pth`` via
+    --load_model): a model trained here runs unmodified in nextpyp/cet_pick's
+    torch pipeline. Covers the three checkpointed model families:
+
+      unet_N          -> TomoConvUNet       (test.py / main.py --load_model)
+      simsiam*        -> TomoResClassifier  (simsiam_test_hm_*.py); MoCo
+                         checkpoints export their query encoder
+      simsiam* (scan) -> ClusteringModel    (backbone.* + cluster_head.{i}.*)
+
+    Payload layout matches reference models/model.py:283-296
+    ({'epoch', 'state_dict'}); tensor mappings are
+    models/convert.flax_to_torch_state_dict /
+    simsiam_flax_to_torch_state_dict, golden-tested against the actual
+    reference models in tests/test_convert.py. The restore is template-free
+    (msgpack_restore), so no model init or forward pass is needed."""
     parser = argparse.ArgumentParser(prog="cet_pick_tpu export-torch")
     parser.add_argument(
         "--load_model", required=True,
@@ -620,13 +652,13 @@ def cmd_export_torch(argv):
     parser.add_argument("--out", required=True, help="output .pth path")
     a = parser.parse_args(argv)
 
-    import jax
     import numpy as np
     import torch
+    from flax import serialization
 
-    from cet_pick_tpu.models.convert import flax_to_torch_state_dict
-    from cet_pick_tpu.models.detector import create_detector
-    from cet_pick_tpu.train.state import create_train_state, load_checkpoint
+    from cet_pick_tpu.models.convert import (
+        flax_to_torch_state_dict, simsiam_flax_to_torch_state_dict,
+    )
 
     opt_json = os.path.join(a.load_model, "opt.json")
     if not os.path.exists(opt_json):
@@ -634,21 +666,48 @@ def cmd_export_torch(argv):
               "only checkpoints written by this package can be exported")
         return 2
     cfg = Config.load(opt_json)
-    if not cfg.arch.startswith("unet"):
-        print(f"export-torch supports the reference TomoConvUNet family "
-              f"(arch unet_N); checkpoint has arch {cfg.arch!r}")
+    if not cfg.arch.startswith(("unet", "simsiam")):
+        print(f"export-torch supports the reference TomoConvUNet (unet_N) "
+              f"and exploration (simsiam*) families; checkpoint has arch "
+              f"{cfg.arch!r}")
         return 2
-    model = create_detector(cfg)
-    state = create_train_state(
-        model, cfg, jax.random.PRNGKey(0), np.zeros((1, 8, 64, 64), np.float32)
-    )
-    state = load_checkpoint(a.load_model, state)
-    n_blocks = int(cfg.arch.split("_")[1]) if "_" in cfg.arch else 4
-    sd = flax_to_torch_state_dict(
-        state.params, state.batch_stats, n_blocks, cfg.heads
-    )
+    state_path = os.path.join(a.load_model, "state.msgpack")
+    moco_path = os.path.join(a.load_model, "moco_state.msgpack")
+    if os.path.exists(state_path):
+        path = state_path
+    elif os.path.exists(moco_path):
+        path = moco_path
+    else:
+        print(f"no state.msgpack / moco_state.msgpack in {a.load_model}")
+        return 2
+    with open(path, "rb") as f:
+        loaded = serialization.msgpack_restore(f.read())
+    params = loaded["params"]
+    stats = loaded.get("batch_stats") or {}
+
+    if cfg.arch.startswith("unet"):
+        n_blocks = int(cfg.arch.split("_")[1]) if "_" in cfg.arch else 4
+        sd = flax_to_torch_state_dict(params, stats, n_blocks, cfg.heads)
+    elif cfg.arch.startswith("simsiam") and "backbone" in params:
+        # SCAN ClusteringModel: backbone.* + cluster_head.{i}.{weight,bias}
+        sd = {
+            "backbone." + k: v
+            for k, v in simsiam_flax_to_torch_state_dict(
+                params["backbone"], stats.get("backbone", {})
+            ).items()
+        }
+        i = 0
+        while f"head{i}" in params:
+            sd[f"cluster_head.{i}.weight"] = np.transpose(
+                np.asarray(params[f"head{i}"]["kernel"]), (1, 0))
+            sd[f"cluster_head.{i}.bias"] = np.asarray(
+                params[f"head{i}"]["bias"])
+            i += 1
+    else:
+        sd = simsiam_flax_to_torch_state_dict(params, stats)
+    epoch = int(np.asarray(loaded.get("epoch", 0)))
     payload = {
-        "epoch": int(state.epoch),
+        "epoch": epoch,
         "state_dict": {
             k: torch.from_numpy(np.array(v, copy=True))
             for k, v in sd.items()
@@ -656,7 +715,7 @@ def cmd_export_torch(argv):
     }
     os.makedirs(os.path.dirname(os.path.abspath(a.out)), exist_ok=True)
     torch.save(payload, a.out)
-    print(f"{a.out}: {len(sd)} tensors (epoch {int(state.epoch)})")
+    print(f"{a.out}: {len(sd)} tensors (epoch {epoch})")
     return 0
 
 
@@ -745,6 +804,7 @@ COMMANDS = {
     "train": cmd_train,
     "test": cmd_test,
     "classify-test": cmd_classify_test,
+    "watch": cmd_watch,
     "explore": cmd_explore,
     "moco": cmd_moco,
     "classify": cmd_classify,

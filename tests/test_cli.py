@@ -501,3 +501,83 @@ def test_cli_export_torch_rejects_non_unet(tmp_path, capsys):
                "--out", str(tmp_path / "x.pth")])
     assert rc == 2
     assert "unet" in capsys.readouterr().out
+
+
+def test_cli_export_torch_simsiam(tmp_path):
+    """export-torch on an explore checkpoint writes a TomoResClassifier-format
+    .pth whose tensors import back bitwise via simsiam_state_dict_to_flax."""
+    import jax
+
+    from cet_pick_tpu.models.convert import simsiam_state_dict_to_flax
+    from cet_pick_tpu.models.simsiam import create_simsiam
+    from cet_pick_tpu.train.explore import create_simsiam_state
+    from cet_pick_tpu.train.state import save_checkpoint
+
+    cfg = Config(task="simsiam2d3d", arch="simsiam2d3d_18", head_conv=32,
+                 bbox=16, root_dir=str(tmp_path)).finalize()
+    model = create_simsiam(cfg)
+    anchor = np.zeros((2, 2, 16, 16), np.float32)
+    state = create_simsiam_state(
+        model, cfg, jax.random.PRNGKey(1), {"anchor": anchor})
+    ck = tmp_path / "model_last"
+    save_checkpoint(str(ck), state, config=cfg)
+
+    out = tmp_path / "simsiam.pth"
+    rc = main(["export-torch", "--load_model", str(ck), "--out", str(out)])
+    assert rc in (0, None) and out.exists()
+
+    import torch
+
+    sd = {k: v.numpy() for k, v in
+          torch.load(str(out), map_location="cpu")["state_dict"].items()}
+    assert "proj.0.weight" in sd and "pred.3.bias" in sd
+    params, stats = simsiam_state_dict_to_flax(sd)
+    for tree_a, tree_b in ((state.params, params),
+                           (state.batch_stats, stats)):
+        flat_a = jax.tree_util.tree_leaves_with_path(tree_a)
+        flat_b = jax.tree_util.tree_leaves_with_path(tree_b)
+        assert len(flat_a) == len(flat_b)
+        for (pa, la), (pb, lb) in zip(flat_a, flat_b):
+            assert pa == pb
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_cli_export_torch_scan(tmp_path):
+    """export-torch on a SCAN checkpoint emits the reference ClusteringModel
+    layout (backbone.* + cluster_head.{i}.*)."""
+    import jax
+
+    from cet_pick_tpu.models.simsiam import create_scan_model
+    from cet_pick_tpu.train.state import TrainState, save_checkpoint
+
+    import optax
+
+    cfg = Config(task="scan2d3d", arch="simsiam2d3d_18", head_conv=32,
+                 bbox=16, root_dir=str(tmp_path)).finalize()
+    model = create_scan_model(cfg, n_clusters=3, n_heads=2)
+    x = np.zeros((2, 16, 16, 1), np.float32)
+    variables = model.init(jax.random.PRNGKey(2), x, x, train=False)
+    tx = optax.sgd(1e-3)
+    state = TrainState(
+        step=0, epoch=4, params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]), tx=tx,
+    )
+    ck = tmp_path / "scan_model_last"
+    save_checkpoint(str(ck), state, config=cfg)
+
+    out = tmp_path / "scan.pth"
+    rc = main(["export-torch", "--load_model", str(ck), "--out", str(out)])
+    assert rc in (0, None)
+
+    import torch
+
+    payload = torch.load(str(out), map_location="cpu")
+    assert payload["epoch"] == 4
+    sd = payload["state_dict"]
+    assert "backbone.conv1.weight" in sd
+    assert "cluster_head.0.weight" in sd and "cluster_head.1.bias" in sd
+    assert tuple(sd["cluster_head.0.weight"].shape) == (3, 32)
+    np.testing.assert_array_equal(
+        sd["cluster_head.1.weight"].numpy(),
+        np.asarray(variables["params"]["head1"]["kernel"]).T)
