@@ -73,6 +73,9 @@ class Config:
     batch_size: int = 1
     num_iters: int = -1
     val_intervals: int = 5
+    # keep a numbered model_{epoch} checkpoint at every val interval instead
+    # of only model_last/model_best (reference --save_all, main.py:100)
+    save_all: bool = False
 
     # -- refinement loss (opts.py:133-141)
     bbox: int = 32

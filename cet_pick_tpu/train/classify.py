@@ -124,4 +124,8 @@ def train_classify(config, dataset, num_epochs=None, log_fn=print):
         if config.save_dir:
             save_checkpoint(os.path.join(config.save_dir, "model_last"),
                             state, config)
+            if config.save_all and (config.val_intervals <= 0
+                                    or epoch % config.val_intervals == 0):
+                save_checkpoint(os.path.join(config.save_dir,
+                                             f"model_{epoch}"), state, config)
     return state, history

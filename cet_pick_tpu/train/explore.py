@@ -239,6 +239,7 @@ def train_explore(config, dataset, num_epochs=None, log_fn=print):
         history.append(means)
         log_fn(f"epoch {epoch}: " + " ".join(f"{k}={v:.5f}" for k, v in means.items()))
         save_checkpoint(os.path.join(config.save_dir, "model_last"), state, config)
-        if config.val_intervals > 0 and epoch % config.val_intervals == 0:
+        if (config.save_all and config.val_intervals > 0
+                and epoch % config.val_intervals == 0):
             save_checkpoint(os.path.join(config.save_dir, f"model_{epoch}"), state, config)
     return state, history

@@ -267,6 +267,10 @@ def train_fewshot(config, dataset, num_epochs=None, log_fn=print):
                             state, config)
             np.save(os.path.join(config.save_dir, "cluster_centers.npy"),
                     np.asarray(centers))
+            if config.save_all and (config.val_intervals <= 0
+                                    or epoch % config.val_intervals == 0):
+                save_checkpoint(os.path.join(config.save_dir,
+                                             f"model_{epoch}"), state, config)
     return state, np.asarray(centers), history
 
 

@@ -306,4 +306,10 @@ def train_moco(config, dataset, num_epochs=None, r=1024, log_fn=print):
             save_moco_checkpoint(
                 os.path.join(config.save_dir, "model_last"), state, config
             )
+            if config.save_all and (config.val_intervals <= 0
+                                    or epoch % config.val_intervals == 0):
+                save_moco_checkpoint(
+                    os.path.join(config.save_dir, f"model_{epoch}"), state,
+                    config,
+                )
     return state, history

@@ -318,9 +318,11 @@ def train_refine(config, dataset, val_dataset=None, num_epochs=None, log_fn=prin
                         os.path.join(config.save_dir, "model_best"), state, config
                     )
                     _save_best_val(config.save_dir, best_val, epoch)
-            save_checkpoint(
-                os.path.join(config.save_dir, f"model_{epoch}"), state, config
-            )
+            if config.save_all:
+                save_checkpoint(
+                    os.path.join(config.save_dir, f"model_{epoch}"), state,
+                    config,
+                )
     return state, history
 
 

@@ -102,7 +102,9 @@ def train_semiclass(config, dataset, val_dataset=None, num_epochs=None,
                 gt = np.where(item["hm"] < 0, 0.0, item["hm"])
                 vals.append(float(val_step(state, item["input"], gt)))
             log_fn(f"epoch {epoch}: val_focal={np.mean(vals):.5f}")
-            save_checkpoint(
-                os.path.join(config.save_dir, f"model_{epoch}"), state, config
-            )
+            if config.save_all:
+                save_checkpoint(
+                    os.path.join(config.save_dir, f"model_{epoch}"), state,
+                    config,
+                )
     return state, history

@@ -89,12 +89,13 @@ def test_train_pick_f1(tmp_path, rng, dtype, contrastive):
 def test_validation_loop_saves_best_checkpoint(tmp_path, rng):
     """train_refine with a val dataset runs the whole-volume focal val step
     every val_intervals epochs and writes model_best on improvement (the reference's
-    model_best_contrastive.pth, main.py:106-128) plus model_{epoch}."""
+    model_best_contrastive.pth, main.py:106-128) plus model_{epoch} under
+    --save_all (main.py:100 `mark = epoch if opt.save_all else 'last'`)."""
     vol, df = make_synthetic(rng, d=20, h=96, w=96, n_part=8)
     cfg = Config(
         task="semi", arch="unet_2", contrastive=False, batch_size=4,
         lr=1e-3, num_epochs=2, val_intervals=1, bbox=8, K=20,
-        root_dir=str(tmp_path),
+        save_all=True, root_dir=str(tmp_path),
     ).finalize()
     ds = RefineDataset(cfg, "train", images={"syn0": vol}, coords_df=df)
     val_ds = RefineDataset(cfg, "val", images={"syn0": vol}, coords_df=df)

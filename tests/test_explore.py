@@ -440,13 +440,16 @@ def test_explore_long_run_no_collapse_and_separable(tmp_path, rng, dtype):
     # mesh_shape=(1,): representation quality is calibrated on the exact
     # single-device trajectory (DP runs differ by f32 reduction order;
     # DP-vs-single equivalence is covered by test_parallel.py).
-    # 20 epochs: recalibrated for the reference-parity 3d aug pipeline
-    # (ColorJitter+RRC) — weaker augs than the old rotate/erase recipe, so
-    # convergence is slower (benchmarks sweep: 10 ep -> 0.56-0.61 agreement,
-    # 20 -> 0.78, 30 -> 0.89; the reference's own guidance is 100-300 epochs
-    # on real data, docs/explore.md)
+    # 20 epochs, lr 0.1: recalibrated twice — for the reference-parity 3d aug
+    # pipeline (ColorJitter+RRC; weaker augs than the old rotate/erase
+    # recipe), then for the torch-parity stride-2 trunk padding, after which
+    # lr 0.05 at 20 ep sat on the pass margin (sweep: 0.61; 0.50 under the
+    # suite's 8-virtual-device env — the trajectory is chaotic to reduction
+    # order). benchmarks/explore_quality_sweep.py: lr 0.1 @ 20 ep -> 0.944,
+    # 30 ep @ 0.05 -> 0.778, 40 ep -> 0.833; the reference's own guidance is
+    # 100-300 epochs on real data (docs/explore.md).
     cfg = Config(task="simsiam3d", arch="simsiam2d_18", bbox=24, batch_size=8,
-                 lr=0.05, num_epochs=20, val_intervals=-1, dog=(2, 4),
+                 lr=0.1, num_epochs=20, val_intervals=-1, dog=(2, 4),
                  cosine=True, head_conv=64, mesh_shape=(1,),
                  dtype=dtype).finalize()
     cfg.save_dir = str(tmp_path)

@@ -327,3 +327,79 @@ def test_xy_tiled_odd_passthrough_axis(small_setup, rng):
         hm = np.asarray(tiled(vol))
     assert hm.shape == hm_full.shape  # (8, 97, 96)
     np.testing.assert_allclose(hm, hm_full, rtol=0, atol=1e-6)
+
+
+def test_fiber_pipeline_recovers_planted_curve(tmp_path):
+    """decode(if_fiber separable NMS) -> xy rescale -> z-grouping ->
+    fiber_postprocess -> writer, end to end on a planted smooth curve: the
+    written picks resample the true curve (reference tomo_det.py:84-95 +
+    post_process.py:52-106 integration, one level above the unit tests)."""
+    from cet_pick_tpu.infer.detector import write_detection_outputs
+    from cet_pick_tpu.ops.decode import tomo_decode
+    from cet_pick_tpu.utils.post_process import group_dets_by_z
+
+    down = 2
+    # curvature |2c| = 0.0016 must clear the reference default
+    # curvature_cutoff 0.003 (post_process.py:52-106 acceptance gates)
+    y_of = lambda x: 32.0 + 0.0008 * (x - 64.0) ** 2
+    z_of = lambda x: 20.0 + 0.05 * (x - 64.0)
+    hm = np.zeros((32, 64, 64), np.float32)
+    planted = []
+    for xg in range(12, 53, 2):  # grid coords; scaled x 24..104 clears the
+                                 # writer's 20 < x < 108 border filter
+        x = xg * down
+        yg = int(round(y_of(x) / down))
+        zg = int(round(z_of(x)))
+        hm[zg, yg, xg] = 1.0
+        planted.append((x, yg * down, zg))
+
+    dets = np.array(tomo_decode(hm, kernel=3, k=60, if_fiber=True))
+    assert (dets[:, 3] > 0.5).sum() == len(planted)
+
+    cfg = Config(task="semi", arch="unet_2", out_thresh=0.0, cutoff_z=0,
+                 fiber=True).finalize()
+    assert cfg.down_ratio == down
+    dets[:, :2] *= down
+    z_groups = group_dets_by_z(dets, hm.shape[0])
+    rows = (c for _, rs in z_groups.items() for c in rs)
+    lines = write_detection_outputs(cfg, hm, rows, str(tmp_path), "fib")
+
+    out = np.loadtxt(tmp_path / "fib.txt", ndmin=2)   # columns x z y
+    assert len(out) >= 10
+    for x, z, y in out:
+        assert abs(y - y_of(x)) <= 2.5, (x, y, y_of(x))
+        assert abs(z - z_of(x)) <= 2.5, (x, z, z_of(x))
+    # resampling densifies along the fit: spacing ~= scale (default 2.0)
+    xs = np.sort(out[:, 0])
+    assert np.median(np.diff(xs)) <= 4.0
+    assert lines == [f"{int(r[0])}\t{int(r[1])}\t{int(r[2])}" for r in out.astype(int)]
+
+
+def test_spike_pipeline_keeps_dense_clusters(tmp_path):
+    """decode -> rescale -> z-grouping -> spike_group_postprocess -> writer
+    on planted clusters: the dense cluster's picks are written (with scores),
+    the sparse one is dropped (reference tomo_det.py:89-95 integration)."""
+    from cet_pick_tpu.infer.detector import write_detection_outputs
+    from cet_pick_tpu.ops.decode import tomo_decode
+    from cet_pick_tpu.utils.post_process import group_dets_by_z
+
+    hm = np.zeros((32, 64, 64), np.float32)
+    dense = [(20 + 2 * i, 16, 15) for i in range(8)]     # 8 tight (grid xy, z)
+    sparse = [(52, 28, 24), (54, 30, 26)]                # 2 stray
+    for xg, yg, zg in dense + sparse:
+        hm[zg, yg, xg] = 1.0
+
+    dets = np.array(tomo_decode(hm, kernel=3, k=40, if_fiber=False))
+    cfg = Config(task="semi", arch="unet_2", out_thresh=0.0, cutoff_z=0,
+                 spike=True, with_score=True,
+                 distance_cutoff=10.0).finalize()
+    dets[:, :2] *= cfg.down_ratio
+    z_groups = group_dets_by_z(dets, hm.shape[0])
+    rows = (c for _, rs in z_groups.items() for c in rs)
+    write_detection_outputs(cfg, hm, rows, str(tmp_path), "spk")
+
+    out = np.loadtxt(tmp_path / "spk.txt", ndmin=2)      # x z y score
+    assert out.shape == (len(dense), 4)
+    assert set(out[:, 0].astype(int)) == {2 * x for x, _, _ in dense}
+    assert np.all(out[:, 2].astype(int) == 32) and np.all(out[:, 1] == 15)
+    assert np.all(out[:, 3] > 0.5)
