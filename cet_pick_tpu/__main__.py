@@ -33,6 +33,7 @@ scripts in parentheses):
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 
@@ -415,8 +416,8 @@ def cmd_scan_finetune(argv):
         p3 = p3n
     else:
         p2, p3 = p3n, None
-    state, model, assign = train_scan_full(
-        cfg, p2, p3, nb, n_clusters=cfg.nclusters,
+    state, model, assign, best_head = train_scan_full(
+        cfg, p2, p3, nb, n_clusters=cfg.nclusters, n_heads=cfg.nheads,
         pretext=(enc_state.params, enc_state.batch_stats),
         num_steps=a.steps, batch_size=cfg.batch_size, lr=a.scan_lr,
         entropy_weight=a.entropy_weight, head_only=a.cluster_head,
@@ -424,10 +425,14 @@ def cmd_scan_finetune(argv):
         selflabel_threshold=a.selflabel_threshold, seed=cfg.seed,
     )
     consistency = scan_evaluate(assign, nb)
-    np.savez(a.out, label=assign, name=result["name"], coords=result["coords"])
-    save_checkpoint(os.path.join(cfg.save_dir, "scan_model_last"), state, cfg)
+    np.savez(a.out, label=assign, name=result["name"], coords=result["coords"],
+             best_head=best_head)
+    ck = os.path.join(cfg.save_dir, "scan_model_last")
+    save_checkpoint(ck, state, cfg)
+    with open(os.path.join(ck, "best_head.json"), "w") as f:
+        json.dump({"best_loss_head": best_head}, f)
     print(f"saved {a.out}; neighbor consistency {consistency:.3f}, "
-          f"{len(set(assign.tolist()))} clusters used")
+          f"{len(set(assign.tolist()))} clusters used, best head {best_head}")
 
 
 def cmd_plot2d(argv):
@@ -713,6 +718,12 @@ def cmd_export_torch(argv):
             for k, v in sd.items()
         },
     }
+    bh = os.path.join(a.load_model, "best_head.json")
+    if os.path.exists(bh):
+        # reference save_model_scan persists the winning cluster head
+        # (model.py:264-281); its loader extracts cluster_head.{this}
+        with open(bh) as f:
+            payload["best_loss_head"] = int(json.load(f)["best_loss_head"])
     os.makedirs(os.path.dirname(os.path.abspath(a.out)), exist_ok=True)
     torch.save(payload, a.out)
     print(f"{a.out}: {len(sd)} tensors (epoch {epoch})")

@@ -118,6 +118,9 @@ class Config:
     # -- exploration (simsiam) specific
     dog: Tuple[float, ...] = (2.5, 5.0)  # DoG sigmas (reference opts.py:189)
     nclusters: int = 3
+    # independent SCAN cluster heads; the lowest-loss one is kept
+    # (reference --nheads, tomo_scan_trainer.py:66-76 + model.py:79-89)
+    nheads: int = 1
 
     # -- TPU-native additions (no reference equivalent)
     profile_dir: str = ""           # write jax.profiler xplane traces here

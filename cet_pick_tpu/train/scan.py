@@ -272,6 +272,10 @@ def make_scan_finetune_step(model, entropy_weight=2.0, head_only=False):
             "total_loss": loss,
             "consistency_loss": jnp.mean(jnp.stack(cons)),
             "entropy_loss": jnp.mean(jnp.stack(ents)),
+            # per-head totals: the reference trains nheads independent
+            # cluster heads and keeps the lowest-loss one
+            # (tomo_scan_trainer.py:66-76, model.py save best_loss_head)
+            "head_losses": jnp.stack(totals),
         }
         return loss, (new_bs, metrics)
 
@@ -286,14 +290,15 @@ def make_scan_finetune_step(model, entropy_weight=2.0, head_only=False):
     return step
 
 
-def make_selflabel_step(model, threshold=0.99, class_balance=True):
+def make_selflabel_step(model, threshold=0.99, class_balance=True, head=0):
     """Jitted self-labeling step: confident weak-view pseudo-labels supervise
     the strong view (loss.py:15-66 ConfidenceBasedCE; the SCAN paper's
-    self-label stage the reference ships the loss for)."""
+    self-label stage the reference ships the loss for). ``head`` selects the
+    cluster head (the SCAN stage's best head when nheads > 1)."""
 
     def loss_fn(params, batch_stats, w2d, w3d, s2d, s3d):
         weak = model.apply({"params": params, "batch_stats": batch_stats},
-                           w2d, w3d, train=False)[0]
+                           w2d, w3d, train=False)[head]
         weak = jax.lax.stop_gradient(weak)
         fs, upd = model.apply(
             {"params": params, "batch_stats": batch_stats}, s2d, s3d,
@@ -301,7 +306,7 @@ def make_selflabel_step(model, threshold=0.99, class_balance=True):
         )
         new_bs = dict(upd).get("batch_stats", batch_stats)
         strong = model.apply({"params": params}, fs,
-                             method=model.head_logits)[0]
+                             method=model.head_logits)[head]
         loss, n_conf = confidence_ce_loss(
             weak, strong, threshold=threshold, class_balance=class_balance
         )
@@ -330,8 +335,10 @@ def _strong_aug(rng, x):
     return y + rng.standard_normal(y.shape).astype(np.float32) * 0.1
 
 
-def scan_assignments(model, state, patches_2d, patches_3d, batch_size=256):
-    """Cluster assignment (head 0 argmax) for every patch."""
+def scan_assignments(model, state, patches_2d, patches_3d, batch_size=256,
+                     head=0):
+    """Cluster assignment (argmax of ``head``, the SCAN stage's best head)
+    for every patch."""
     p2 = _as_nhwc(patches_2d)
     p3 = None if patches_3d is None else _as_nhwc(patches_3d)
     out = []
@@ -339,7 +346,7 @@ def scan_assignments(model, state, patches_2d, patches_3d, batch_size=256):
     @jax.jit
     def fwd(params, batch_stats, x2d, x3d):
         return model.apply({"params": params, "batch_stats": batch_stats},
-                           x2d, x3d, train=False)[0]
+                           x2d, x3d, train=False)[head]
 
     for s in range(0, len(p2), batch_size):
         x2d = jnp.asarray(p2[s : s + batch_size])
@@ -360,7 +367,13 @@ def train_scan_full(config, patches_2d, patches_3d, neighbors, n_clusters,
     2d mode); neighbors: (N, k) mined indices (mine_neighbors over pretext
     embeddings). pretext: optional (params, batch_stats) of a trained SimSiam
     encoder to warm-start the backbone. selflabel_steps > 0 appends the
-    confidence self-labeling round. Returns (state, model, assignments).
+    confidence self-labeling round (driven through the SCAN stage's best
+    head). Returns (state, model, assignments, best_head): with n_heads > 1
+    the reference trains independent cluster heads and keeps the
+    lowest-loss one (tomo_scan_trainer.py:66-76, --nheads; model.py:79-89
+    extracts cluster_head.{best_loss_head} at load time) — best_head is the
+    argmin of the per-head loss averaged over the last 50 steps, and the
+    returned assignments come from it.
     """
     from cet_pick_tpu.models.simsiam import create_scan_model
 
@@ -378,6 +391,9 @@ def train_scan_full(config, patches_2d, patches_3d, neighbors, n_clusters,
     step = make_scan_finetune_step(model, entropy_weight, head_only=head_only)
     rng = np.random.default_rng(seed)
     k = neighbors.shape[1]
+    tail = max(1, min(50, num_steps))  # best-head window: final 50 steps
+    head_sums = np.zeros(n_heads)
+    head_cnt = 0
     for it in range(num_steps):
         idx = rng.integers(0, n, size=min(batch_size, n))
         nb = neighbors[idx, rng.integers(0, k, size=len(idx))]
@@ -385,12 +401,22 @@ def train_scan_full(config, patches_2d, patches_3d, neighbors, n_clusters,
         n3 = None if p3 is None else jnp.asarray(p3[nb])
         state, metrics = step(state, jnp.asarray(p2[idx]), a3,
                               jnp.asarray(p2[nb]), n3)
+        if num_steps - it <= tail:
+            head_sums += np.asarray(metrics["head_losses"])
+            head_cnt += 1
         if (it + 1) % 50 == 0:
             log_fn(f"scan step {it + 1}: " + " ".join(
-                f"{kk}={float(v):.4f}" for kk, v in metrics.items()))
+                f"{kk}={float(v):.4f}" for kk, v in metrics.items()
+                if np.ndim(v) == 0))
+    best_head = int(np.argmin(head_sums / max(head_cnt, 1)))
+    if n_heads > 1:
+        log_fn(f"best cluster head: {best_head} (mean losses "
+               + " ".join(f"{v:.4f}" for v in head_sums / max(head_cnt, 1))
+               + ")")
 
     if selflabel_steps > 0:
-        sl_step = make_selflabel_step(model, threshold=selflabel_threshold)
+        sl_step = make_selflabel_step(model, threshold=selflabel_threshold,
+                                      head=best_head)
         for it in range(selflabel_steps):
             idx = rng.integers(0, n, size=min(batch_size, n))
             w2, s2 = p2[idx], _strong_aug(rng, p2[idx])
@@ -404,5 +430,6 @@ def train_scan_full(config, patches_2d, patches_3d, neighbors, n_clusters,
                 log_fn(f"selflabel step {it + 1}: " + " ".join(
                     f"{kk}={float(v):.4f}" for kk, v in metrics.items()))
 
-    assign, _ = scan_assignments(model, state, patches_2d, patches_3d)
-    return state, model, assign
+    assign, _ = scan_assignments(model, state, patches_2d, patches_3d,
+                                 head=best_head)
+    return state, model, assign, best_head

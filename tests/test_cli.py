@@ -565,6 +565,7 @@ def test_cli_export_torch_scan(tmp_path):
     )
     ck = tmp_path / "scan_model_last"
     save_checkpoint(str(ck), state, config=cfg)
+    (ck / "best_head.json").write_text('{"best_loss_head": 1}')
 
     out = tmp_path / "scan.pth"
     rc = main(["export-torch", "--load_model", str(ck), "--out", str(out)])
@@ -574,6 +575,7 @@ def test_cli_export_torch_scan(tmp_path):
 
     payload = torch.load(str(out), map_location="cpu")
     assert payload["epoch"] == 4
+    assert payload["best_loss_head"] == 1
     sd = payload["state_dict"]
     assert "backbone.conv1.weight" in sd
     assert "cluster_head.0.weight" in sd and "cluster_head.1.bias" in sd

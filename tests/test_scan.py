@@ -112,11 +112,11 @@ def test_scan_full_finetune_updates_backbone(rng):
     cfg = _scan_cfg()
     state0 = None
 
-    state, model, assign = train_scan_full(
+    state, model, assign, best_head = train_scan_full(
         cfg, patches, None, neighbors, n_clusters=2, num_steps=30,
         batch_size=16, lr=1e-3, seed=0, log_fn=lambda *_: None,
     )
-    assert assign.shape == (len(patches),)
+    assert assign.shape == (len(patches),) and best_head == 0
     # with perfect neighbors the SCAN objective should keep mined neighbors
     # together clearly better than chance (0.5 for 2 balanced clusters)
     consistency = scan_evaluate(assign, neighbors)
@@ -217,3 +217,29 @@ def test_scan_head_conv_default_matches_simsiam():
         assert Config(task=task).finalize().head_conv == 128
     assert Config(task="simsiam2d3d").finalize().head_conv == 128
     assert Config(task="semi").finalize().head_conv == 32
+
+
+def test_scan_multihead_best_head_selection(rng):
+    """--nheads parity (tomo_scan_trainer.py:66-76): independent cluster
+    heads train jointly, per-head losses are tracked, the best head drives
+    assignments, and its index is returned for persistence
+    (model.py:79-89 best_loss_head)."""
+    from cet_pick_tpu.train.scan import (
+        scan_assignments, train_scan_full,
+    )
+
+    patches, labels, neighbors = _two_class_patches(rng, n_per=8)
+    cfg = _scan_cfg()
+    state, model, assign, best_head = train_scan_full(
+        cfg, patches, None, neighbors, n_clusters=2, n_heads=3,
+        num_steps=12, batch_size=16, lr=1e-3, seed=0,
+        log_fn=lambda *_: None,
+    )
+    assert 0 <= best_head < 3
+    assert assign.shape == (len(patches),)
+    assert set(np.unique(assign)) <= {0, 1}
+    # the returned assignments are exactly the best head's argmax
+    a_best, logits = scan_assignments(model, state, patches, None,
+                                      head=best_head)
+    np.testing.assert_array_equal(assign, a_best)
+    assert logits.shape == (len(patches), 2)
