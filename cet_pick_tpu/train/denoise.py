@@ -190,6 +190,14 @@ def train_denoise(config, dataset, num_iters=200, crop=128,
             if (it + 1) % log_every == 0:
                 log_fn(f"iter {it + 1}: " + " ".join(
                     f"{k}={v:.5f}" for k, v in history[-1].items()))
+                if config.save_all and config.save_dir:
+                    # denoise is iteration-based (ramped LR), so --save_all
+                    # keeps numbered snapshots at the logging cadence rather
+                    # than per epoch (reference main.py:100 semantics)
+                    save_denoise_checkpoint(
+                        os.path.join(config.save_dir, f"model_{it + 1}"),
+                        state, config,
+                    )
     return state, models, history
 
 
