@@ -26,8 +26,10 @@ Service semantics:
   file changes on disk.
 * **Pipelining.** Volume loading/quantization runs on a producer thread
   with the device transfer dispatched asynchronously behind the previous
-  volume's forward (data/prefetch.py), exactly like run_test's streamed
-  schedule — a backlog drains at the same rate `test` achieves.
+  volume's forward (data/prefetch.py), and a writer thread runs the large
+  heatmap fetch + post-process + file writes behind the next volume's
+  forward — exactly run_test's streamed schedule at both ends, so a
+  backlog drains at the same rate `test` achieves.
 """
 
 from __future__ import annotations
@@ -114,25 +116,54 @@ def _stream(config, items):
 def process_files(det, config, paths, out_dir, log_fn=print):
     """Run the detector over a list of volume files; returns
     {path: (status, n_picks, seconds)}. Outputs are identical to `test` on
-    the same files (same TomoDetector stages + writers)."""
+    the same files (same TomoDetector stages + writers).
+
+    Same write-behind schedule as run_test: a writer thread runs file i's
+    large heatmap fetch + post-process + file writes while file i+1's
+    forward computes — but with per-file error isolation (a writer failure
+    marks that file failed instead of stopping the service)."""
+    import queue
+    import threading
+
     results = {}
     items = [(os.path.splitext(os.path.basename(p))[0], p) for p in paths]
-    with _stream(config, items) as vols:
-        for name, path, v_dev, lo, hi, err in vols:
-            t0 = time.time()
-            if err is None:
-                try:
-                    hm_dev, dets, t0, t_net = det._compute(v_dev, lo=lo, hi=hi)
-                    r = det._finish(hm_dev, dets, name, out_dir, t0, t_net)
-                    n = sum(len(v) for v in r["z_groups"].values())
-                    results[path] = ("ok", n, r["times"]["tot"])
-                    log_fn(f"watch: {name} -> {n} picks " + " ".join(
-                        f"{k} {v:.3f}s" for k, v in r["times"].items()))
-                    continue
-                except Exception as e:  # noqa: BLE001
-                    err = e
-            results[path] = ("failed", 0, time.time() - t0)
-            log_fn(f"watch: {name} FAILED: {type(err).__name__}: {err}")
+    q = queue.Queue(maxsize=2)  # bounds heatmaps held on device
+
+    def writer():
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            name, path, hm_dev, dets, t0, t_net, t_wall = item
+            try:
+                r = det._finish(hm_dev, dets, name, out_dir, t0, t_net)
+                n = sum(len(v) for v in r["z_groups"].values())
+                results[path] = ("ok", n, r["times"]["tot"])
+                log_fn(f"watch: {name} -> {n} picks " + " ".join(
+                    f"{k} {v:.3f}s" for k, v in r["times"].items()))
+            except Exception as e:  # noqa: BLE001 — recorded, service lives
+                results[path] = ("failed", 0, time.time() - t_wall)
+                log_fn(f"watch: {name} FAILED: {type(e).__name__}: {e}")
+
+    w = threading.Thread(target=writer, daemon=True)
+    w.start()
+    try:
+        with _stream(config, items) as vols:
+            for name, path, v_dev, lo, hi, err in vols:
+                t_wall = time.time()
+                if err is None:
+                    try:
+                        hm_dev, dets, t0, t_net = det._compute(
+                            v_dev, lo=lo, hi=hi)
+                        q.put((name, path, hm_dev, dets, t0, t_net, t_wall))
+                        continue
+                    except Exception as e:  # noqa: BLE001
+                        err = e
+                results[path] = ("failed", 0, time.time() - t_wall)
+                log_fn(f"watch: {name} FAILED: {type(err).__name__}: {err}")
+    finally:
+        q.put(None)
+        w.join()
     return results
 
 
@@ -161,7 +192,11 @@ def run_watch(config, watch_dir: str, out_dir: Optional[str] = None,
         pending = fresh
         if ready:
             res = process_files(det, config, ready, out_dir, log_fn=log_fn)
-            for p, (status, n, secs) in res.items():
+            # iterate in claim order, not completion order: the writer thread
+            # may record results out of order, but the manifest stays
+            # deterministic (tests pin its row order)
+            for p in (p for p in ready if p in res):
+                status, n, secs = res[p]
                 stat = stats[p]
                 _append_manifest(out_dir, p, stat, status, n, secs)
                 done[p] = stat
