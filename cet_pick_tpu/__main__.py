@@ -28,6 +28,7 @@ scripts in parentheses):
   backproject       Fourier-voxel reconstruction   (cryoDRGN long tail)
   export-torch      checkpoint -> reference .pth   (inverse of --load_model model.pth)
   watch             continuous picking service     (no reference analog)
+  flags             full flag reference            (generates docs/flags.md)
 """
 
 from __future__ import annotations
@@ -811,6 +812,24 @@ def cmd_backproject(argv):
     print(f"backprojected {n} images -> {a.o}")
 
 
+def cmd_flags(argv):
+    """Print (or write) the full flag reference, generated from Config +
+    cli/common.FLAG_GROUPS — the source behind docs/flags.md."""
+    parser = argparse.ArgumentParser(prog="cet_pick_tpu flags")
+    parser.add_argument("--out", default=None,
+                        help="write the markdown here instead of stdout")
+    a = parser.parse_args(argv)
+    from cet_pick_tpu.cli.common import flags_markdown
+
+    md = flags_markdown()
+    if a.out:
+        with open(a.out, "w") as f:
+            f.write(md)
+        print(f"wrote {a.out}")
+    else:
+        print(md)
+
+
 COMMANDS = {
     "train": cmd_train,
     "test": cmd_test,
@@ -837,6 +856,7 @@ COMMANDS = {
     "match-spectrum": cmd_match_spectrum,
     "backproject": cmd_backproject,
     "export-torch": cmd_export_torch,
+    "flags": cmd_flags,
 }
 
 
