@@ -95,7 +95,14 @@ def train_classify(config, dataset, num_epochs=None, log_fn=print):
         state = load_checkpoint(config.load_model, state, resume=config.resume)
         log_fn(f"loaded checkpoint from {config.load_model} "
                f"(epoch {state.epoch})")
-    step = make_classify_train_step(model, config)
+    from cet_pick_tpu.parallel.mesh import auto_dp_step
+
+    # DP over the mesh like every other loop (BCE is per-voxel, so shards
+    # stay independent; GSPMD reduces the mean like the refine step)
+    step, place_state, place_batch, _ = auto_dp_step(
+        config, make_classify_train_step(model, config), log_fn=log_fn
+    )
+    state = place_state(state)
     num_epochs = num_epochs or config.num_epochs
     history = []
     for epoch in range(1, num_epochs + 1):
@@ -107,7 +114,7 @@ def train_classify(config, dataset, num_epochs=None, log_fn=print):
         # discard half the draws whenever n_tomos > batch_size (the
         # reference's main_class sampler length is likewise its own knob)
         for batch in dataset.epoch_batches(rng, config.batch_size):
-            state, metrics = step(state, jax.device_put(batch))
+            state, metrics = step(state, place_batch(batch))
             metrics_epoch.append({k: float(v) for k, v in metrics.items()})
         if not metrics_epoch:
             raise ValueError(

@@ -171,7 +171,14 @@ def train_denoise(config, dataset, num_iters=200, crop=128,
     rng = np.random.default_rng(config.seed)
     state, models = create_denoise_state(config, jax.random.PRNGKey(config.seed),
                                          crop=crop)
-    step = make_denoise_train_step(models)
+    from cet_pick_tpu.parallel.mesh import auto_dp_step
+
+    # DP over the mesh like every other loop: the SSDN loss is per-crop
+    # (the sigma estimate averages within each sample), so crops shard
+    step, place_state, place_batch, _ = auto_dp_step(
+        config, make_denoise_train_step(models), log_fn=log_fn
+    )
+    state = place_state(state)
     history = []
     from cet_pick_tpu.train.state import set_learning_rate
 
@@ -180,7 +187,8 @@ def train_denoise(config, dataset, num_iters=200, crop=128,
     # crop sampling + host->device transfer of batch i+1 hide behind step i
     batches = (dataset.sample_batch(rng, config.batch_size)
                for _ in range(num_iters))
-    with PrefetchIterator(batches, depth=2) as prefetched:
+    with PrefetchIterator(batches, depth=2,
+                          device_put=place_batch) as prefetched:
         for it, batch in enumerate(prefetched):
             lr = compute_ramped_lrate(it, num_iters, ramp_up, ramp_down,
                                       config.lr)

@@ -62,7 +62,13 @@ def train_semiclass(config, dataset, val_dataset=None, num_epochs=None,
         log_fn(f"loaded checkpoint from {config.load_model} "
                f"(epoch {state.epoch})")
 
-    train_step = make_train_step(model, config)
+    from cet_pick_tpu.parallel.mesh import auto_dp_step
+
+    # same DP policy as the semi task it shares its step with (refine.py)
+    train_step, place_state, place_batch, _ = auto_dp_step(
+        config, make_train_step(model, config), log_fn=log_fn
+    )
+    state = place_state(state)
     val_step = make_val_step(model) if val_dataset is not None else None
 
     num_epochs = num_epochs or config.num_epochs
@@ -75,7 +81,7 @@ def train_semiclass(config, dataset, val_dataset=None, num_epochs=None,
         cap = config.num_iters if config.num_iters >= 0 else None
         for batch in itertools.islice(
                 dataset.epoch_batches(rng, config.batch_size), cap):
-            state, metrics = train_step(state, jax.device_put(batch))
+            state, metrics = train_step(state, place_batch(batch))
             epoch_metrics.append({k: float(v) for k, v in metrics.items()})
         if not epoch_metrics:
             raise ValueError(

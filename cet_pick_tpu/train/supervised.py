@@ -221,7 +221,15 @@ def train_supervised(config, dataset, num_epochs=None, log_fn=print):
         log_fn(f"loaded checkpoint from {config.load_model} "
                f"(epoch {state.epoch})")
 
-    step = make_supervised_train_step(model, config, config.task)
+    from cet_pick_tpu.parallel.mesh import auto_dp_step
+
+    # DP over the mesh like every other loop (the PRNG key rides replicated);
+    # both losses are vmapped per sample, so shards stay independent
+    step, place_state, place_batch, _ = auto_dp_step(
+        config, make_supervised_train_step(model, config, config.task),
+        log_fn=log_fn,
+    )
+    state = place_state(state)
     num_epochs = num_epochs or config.num_epochs
     history = []
     key = jax.random.PRNGKey(config.seed + 1)
@@ -234,7 +242,7 @@ def train_supervised(config, dataset, num_epochs=None, log_fn=print):
         for batch in itertools.islice(
                 dataset.epoch_batches(rng, config.batch_size), cap):
             key, sub = jax.random.split(key)
-            state, metrics = step(state, jax.device_put(batch), sub)
+            state, metrics = step(state, place_batch(batch), sub)
             epoch_metrics.append({k: float(v) for k, v in metrics.items()})
         if not epoch_metrics:
             raise ValueError(

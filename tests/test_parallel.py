@@ -325,3 +325,116 @@ def test_multihost_dp_two_processes(tmp_path):
     losses = [float(re.search(r"MULTIHOST pid=\d loss=([\d.e+-]+)", o).group(1))
               for o in outs]
     assert losses[0] == pytest.approx(losses[1], rel=1e-6), losses
+
+
+def _pn_batch(rng, b=8, d=6, h=32, w=32, p=2):
+    """Supervised (pn) batch: explicit 0/1 heatmap labels, no -1 fill."""
+    batch = {
+        "input": rng.standard_normal((b, p, d, h, w)).astype(np.float32),
+        "hm": np.where(rng.random((b, p, d, h // 2, w // 2)) < 0.02, 1.0, 0.0
+                       ).astype(np.float32),
+    }
+    batch["hm"][:, 0, 3, h // 4, w // 4] = 1.0
+    return batch
+
+
+@pytest.mark.parametrize("task", ["tomo", "cr"])
+def test_supervised_dp_step_matches_single(rng, task):
+    """The tomo/cr supervised step under the DP mesh == single device (both
+    losses are vmapped per sample, so shards stay independent)."""
+    from cet_pick_tpu.parallel.mesh import make_dp_step
+    from cet_pick_tpu.train.supervised import make_supervised_train_step
+
+    cfg = Config(task=task, arch="unet_2", pn=True, contrastive=True,
+                 batch_size=8, bbox=16).finalize()
+    model = create_detector(cfg)
+    batch = _pn_batch(rng, h=16, w=16)
+    state = create_train_state(
+        model, cfg, jax.random.PRNGKey(0),
+        batch["input"].reshape(-1, *batch["input"].shape[2:]),
+    )
+    key = jax.random.PRNGKey(11)
+
+    step1 = make_supervised_train_step(model, cfg, task)
+    new1, m1 = step1(state, jax.device_put(batch), key)
+
+    mesh = make_mesh((8,), ("data",))
+    step8, place_state, place_batch = make_dp_step(
+        make_supervised_train_step(model, cfg, task), mesh
+    )
+    new8, m8 = step8(place_state(state), place_batch(batch), key)
+
+    for k in m1:
+        assert float(m8[k]) == pytest.approx(float(m1[k]), rel=2e-4, abs=1e-6)
+    _assert_grads_match(new1.opt_state, new8.opt_state)
+
+
+def _assert_grads_match(opt1, opt8):
+    """Compare the gradient-LINEAR optimizer state (Adam's first moment is
+    (1-b1)*grad after step one). Comparing params would amplify reduction-
+    order fp noise through Adam's m/sqrt(v) ≈ sign(grad): a 1-ulp flip of a
+    near-zero gradient moves the param a full ±lr."""
+    for a, b in zip(jax.tree_util.tree_leaves(opt1),
+                    jax.tree_util.tree_leaves(opt8)):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.ndim == 0:
+            continue
+        # 1e-3 of the leaf's largest gradient: loose enough for f32
+        # reduction-order noise (denoise losses are O(10^3)), tight enough
+        # that any real DP bug (per-shard mean = 8x scale) fails loudly
+        np.testing.assert_allclose(
+            a, b, atol=1e-3 * (np.abs(a).max() + 1e-3))
+
+
+def test_classify_dp_step_matches_single(rng):
+    """The tcla BCE step under the DP mesh == single device."""
+    from cet_pick_tpu.parallel.mesh import make_dp_step
+    from cet_pick_tpu.train.classify import make_classify_train_step
+
+    cfg = Config(task="tcla", arch="unet_2", batch_size=8, bbox=16).finalize()
+    model = create_detector(cfg)
+    batch = _pn_batch(rng, h=16, w=16)
+    state = create_train_state(
+        model, cfg, jax.random.PRNGKey(0),
+        batch["input"].reshape(-1, *batch["input"].shape[2:]),
+    )
+
+    step1 = make_classify_train_step(model, cfg)
+    new1, m1 = step1(state, jax.device_put(batch))
+
+    mesh = make_mesh((8,), ("data",))
+    step8, place_state, place_batch = make_dp_step(
+        make_classify_train_step(model, cfg), mesh
+    )
+    new8, m8 = step8(place_state(state), place_batch(batch))
+
+    assert float(m8["loss"]) == pytest.approx(float(m1["loss"]), rel=2e-4)
+    assert float(m8["acc"]) == pytest.approx(float(m1["acc"]), rel=2e-4)
+    _assert_grads_match(new1.opt_state, new8.opt_state)
+
+
+def test_denoise_dp_step_matches_single(rng):
+    """The SSDN denoise step under the DP mesh == single device (the sigma
+    estimate averages within each crop, so crops shard independently)."""
+    from cet_pick_tpu.parallel.mesh import make_dp_step
+    from cet_pick_tpu.train.denoise import (
+        create_denoise_state, make_denoise_train_step,
+    )
+
+    cfg = Config(task="denoise", batch_size=8).finalize()
+    state, models = create_denoise_state(cfg, jax.random.PRNGKey(0), crop=32)
+    batch = rng.standard_normal((8, 32, 32, 1)).astype(np.float32)
+
+    step1 = make_denoise_train_step(models)
+    new1, m1 = step1(state, jax.device_put(batch))
+
+    mesh = make_mesh((8,), ("data",))
+    step8, place_state, place_batch = make_dp_step(
+        make_denoise_train_step(models), mesh
+    )
+    new8, m8 = step8(place_state(state), place_batch(batch))
+
+    assert float(m8["loss"]) == pytest.approx(float(m1["loss"]), rel=2e-4)
+    assert float(m8["noise_std"]) == pytest.approx(
+        float(m1["noise_std"]), rel=2e-4)
+    _assert_grads_match(new1.opt_state, new8.opt_state)
