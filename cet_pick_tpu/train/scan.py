@@ -388,7 +388,23 @@ def train_scan_full(config, patches_2d, patches_3d, neighbors, n_clusters,
     if pretext is not None:
         state = load_pretext_backbone(state, *pretext)
 
-    step = make_scan_finetune_step(model, entropy_weight, head_only=head_only)
+    from cet_pick_tpu.parallel.mesh import auto_dp_step
+
+    inner = make_scan_finetune_step(model, entropy_weight,
+                                    head_only=head_only)
+
+    def dict_step(state, batch):
+        # dict adapter so the shared DP policy can shard the patch leaves;
+        # the entropy term's batch-mean becomes a GSPMD psum, the rest is
+        # per-sample (fewshot stays single-device by design: its loss runs
+        # a GLOBAL constrained kmeans over every pixel in the batch)
+        return inner(state, batch["a2d"], batch.get("a3d"),
+                     batch["n2d"], batch.get("n3d"))
+
+    step, place_state, place_batch, _ = auto_dp_step(
+        config, dict_step, log_fn=log_fn
+    )
+    state = place_state(state)
     rng = np.random.default_rng(seed)
     k = neighbors.shape[1]
     tail = max(1, min(50, num_steps))  # best-head window: final 50 steps
@@ -397,10 +413,10 @@ def train_scan_full(config, patches_2d, patches_3d, neighbors, n_clusters,
     for it in range(num_steps):
         idx = rng.integers(0, n, size=min(batch_size, n))
         nb = neighbors[idx, rng.integers(0, k, size=len(idx))]
-        a3 = None if p3 is None else jnp.asarray(p3[idx])
-        n3 = None if p3 is None else jnp.asarray(p3[nb])
-        state, metrics = step(state, jnp.asarray(p2[idx]), a3,
-                              jnp.asarray(p2[nb]), n3)
+        batch = {"a2d": p2[idx], "n2d": p2[nb]}
+        if p3 is not None:
+            batch["a3d"], batch["n3d"] = p3[idx], p3[nb]
+        state, metrics = step(state, place_batch(batch))
         if num_steps - it <= tail:
             head_sums += np.asarray(metrics["head_losses"])
             head_cnt += 1
@@ -415,17 +431,23 @@ def train_scan_full(config, patches_2d, patches_3d, neighbors, n_clusters,
                + ")")
 
     if selflabel_steps > 0:
-        sl_step = make_selflabel_step(model, threshold=selflabel_threshold,
-                                      head=best_head)
+        sl_inner = make_selflabel_step(model, threshold=selflabel_threshold,
+                                       head=best_head)
+
+        def sl_dict_step(state, batch):
+            return sl_inner(state, batch["w2d"], batch.get("w3d"),
+                            batch["s2d"], batch.get("s3d"))
+
+        sl_step, _, sl_place_batch, _ = auto_dp_step(
+            config, sl_dict_step, log_fn=lambda *_: None  # mesh already logged
+        )
         for it in range(selflabel_steps):
             idx = rng.integers(0, n, size=min(batch_size, n))
-            w2, s2 = p2[idx], _strong_aug(rng, p2[idx])
-            if p3 is None:
-                w3 = s3 = None
-            else:
-                w3, s3 = jnp.asarray(p3[idx]), jnp.asarray(_strong_aug(rng, p3[idx]))
-            state, metrics = sl_step(state, jnp.asarray(w2), w3,
-                                     jnp.asarray(s2), s3)
+            batch = {"w2d": p2[idx], "s2d": _strong_aug(rng, p2[idx])}
+            if p3 is not None:
+                batch["w3d"] = p3[idx]
+                batch["s3d"] = _strong_aug(rng, p3[idx])
+            state, metrics = sl_step(state, sl_place_batch(batch))
             if (it + 1) % 50 == 0:
                 log_fn(f"selflabel step {it + 1}: " + " ".join(
                     f"{kk}={float(v):.4f}" for kk, v in metrics.items()))
