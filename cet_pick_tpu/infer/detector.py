@@ -78,9 +78,18 @@ class TomoDetector:
                 )
                 state = load_checkpoint(config.load_model, state)
                 params, batch_stats = state.params, state.batch_stats
+        mesh = None
+        if config.mesh_shape and len(jax.devices()) > 1:
+            # --mesh_shape at inference: spatially shard every forward's H
+            # axis over the chips (replicated params, XLA halo exchanges) —
+            # the CLI-reachable form of parallel.mesh.make_spatial_infer.
+            # Opt-in only: single-chip stays the default everywhere.
+            from cet_pick_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(tuple(config.mesh_shape), ("space",))
         self.infer = TiledHeatmapInference(
             self.model, params, batch_stats, tile_z=tile_z, halo=halo,
-            tile_xy=tile_xy,
+            tile_xy=tile_xy, mesh=mesh,
         )
 
     # -- pipeline stages -----------------------------------------------------

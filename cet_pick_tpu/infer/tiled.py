@@ -73,7 +73,7 @@ class TiledHeatmapInference:
     AUTO_XY_BUDGET = 12e9
 
     def __init__(self, model, params, batch_stats, tile_z: int = 64,
-                 halo: int = Z_HALO, tile_xy=None):
+                 halo: int = Z_HALO, tile_xy=None, mesh=None):
         self.model = model
         self.variables = {"params": params, "batch_stats": batch_stats}
         self.tile_z = int(tile_z)
@@ -84,9 +84,25 @@ class TiledHeatmapInference:
         n_blocks = int(getattr(model, "n_blocks", 4))
         self.xy_halo = xy_halo(n_blocks)
         self.xy_align = xy_align(n_blocks)
+        # multi-chip spatial sharding (--mesh_shape on test/watch): params
+        # replicated, every forward's H axis partitioned over the mesh with
+        # XLA-inserted conv halo exchanges; outputs replicated so decode and
+        # stitching are unchanged. Same partitioning as
+        # parallel.mesh.make_spatial_infer, reachable from the CLI.
+        self._h_shard = self._repl = None
+        if mesh is not None and mesh.devices.size > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
 
-        @functools.partial(jax.jit, static_argnames=())
+            ax = mesh.axis_names[0]
+            self._h_shard = NamedSharding(mesh, PartitionSpec(None, ax, None))
+            self._repl = NamedSharding(mesh, PartitionSpec())
+            self.variables = jax.device_put(self.variables, self._repl)
+        h_shard, repl = self._h_shard, self._repl
+
+        @functools.partial(jax.jit, out_shardings=repl)
         def _tile_forward(variables, tile, lo, hi):
+            if h_shard is not None:
+                tile = jax.lax.with_sharding_constraint(tile, h_shard)
             # affine dequantization fuses into the stem conv's input read;
             # float inputs pass through unchanged via (lo, hi) = (0, 1)
             x = (tile.astype(jnp.float32) - lo) / jnp.maximum(hi - lo, 1e-12)
@@ -99,6 +115,15 @@ class TiledHeatmapInference:
             return sigmoid_clamped(out["hm"][0, ..., 0])
 
         self._tile_forward = _tile_forward
+
+    def _put_volume(self, volume):
+        """Host volume -> device, directly into the spatial sharding when a
+        mesh is active (a single-device put would bounce through one HBM)."""
+        if isinstance(volume, jax.Array):
+            return volume
+        if self._h_shard is not None:
+            return jax.device_put(volume, self._h_shard)
+        return jax.device_put(volume)
 
     def _window_plan(self, d):
         """Static (start, core_lo, core_hi) per tile for depth d."""
@@ -187,8 +212,7 @@ class TiledHeatmapInference:
             s, a0, a1 = entry
             return s, slice((a0 - s) // 2, (a1 - s) // 2)
 
-        if not isinstance(volume, jax.Array):
-            volume = jax.device_put(volume)
+        volume = self._put_volume(volume)
         rows = []
         for he in hp:
             sy, ysl = core(he)
@@ -232,8 +256,7 @@ class TiledHeatmapInference:
         if d <= tz + 2 * halo:
             return self._forward_z(volume, lo=lo, hi=hi)
         plan, win = self._window_plan(d)
-        if not isinstance(volume, jax.Array):
-            volume = jax.device_put(volume)
+        volume = self._put_volume(volume)
 
         if not hasattr(self, "_fused_fns"):
             # bounded compile cache: each distinct (shape, dtype, plan)
@@ -249,10 +272,14 @@ class TiledHeatmapInference:
             while len(self._fused_fns) >= 8:
                 self._fused_fns.popitem(last=False)
 
-            @jax.jit
+            h_shard, repl = self._h_shard, self._repl
+
+            @functools.partial(jax.jit, out_shardings=repl)
             def _fused(variables, vol, lo_, hi_):
                 from cet_pick_tpu.ops.nms import sigmoid_clamped
 
+                if h_shard is not None:
+                    vol = jax.lax.with_sharding_constraint(vol, h_shard)
                 windows = jnp.stack([
                     jax.lax.slice_in_dim(vol, s, s + win, axis=0)
                     for s, _, _ in plan
@@ -304,8 +331,7 @@ class TiledHeatmapInference:
         # jax.device_put streams ~GB/s where jnp.asarray / per-tile host
         # slices fall into a ~40 MB/s synchronous path on remote-attached
         # TPU runtimes — and per-tile sends would ship halo rows twice.
-        if not isinstance(volume, jax.Array):
-            volume = jax.device_put(volume)
+        volume = self._put_volume(volume)
         lo = jnp.float32(lo)
         hi = jnp.float32(hi)
         plan, win = self._window_plan(d)

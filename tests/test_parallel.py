@@ -488,3 +488,36 @@ def test_scan_finetune_dp_step_matches_single(rng):
     # the 18-BN-layer trunk amplifies sharded-reduction stat noise through
     # forward AND backward (the explore test tolerates the same class)
     _assert_grads_match(new1.opt_state, new8.opt_state, norm_rel=2e-2)
+
+
+def test_detector_spatial_mesh_matches_single(rng, tmp_path):
+    """TomoDetector with --mesh_shape shards the forward's H axis over the
+    mesh (CLI-reachable spatial inference) and reproduces the single-device
+    picks."""
+    from cet_pick_tpu.infer.detector import TomoDetector
+
+    vol = rng.standard_normal((12, 64, 64)).astype(np.float32)
+    cfg1 = Config(task="semi", arch="unet_2", K=40, out_thresh=0.0,
+                  cutoff_z=1, root_dir=str(tmp_path)).finalize()
+    model = create_detector(cfg1)
+    state = create_train_state(
+        model, cfg1, jax.random.PRNGKey(0), np.zeros((1, 8, 64, 64),
+                                                     np.float32))
+
+    det1 = TomoDetector(cfg1, params=state.params,
+                        batch_stats=state.batch_stats)
+    hm1, dets1 = det1.process(vol)
+
+    cfg8 = Config(task="semi", arch="unet_2", K=40, out_thresh=0.0,
+                  cutoff_z=1, mesh_shape=(8,),
+                  root_dir=str(tmp_path)).finalize()
+    det8 = TomoDetector(cfg8, params=state.params,
+                        batch_stats=state.batch_stats)
+    assert det8.infer._h_shard is not None  # the mesh actually engaged
+    hm8, dets8 = det8.process(vol)
+
+    np.testing.assert_allclose(np.asarray(hm8), np.asarray(hm1), atol=2e-5)
+    d1, d8 = np.asarray(dets1), np.asarray(dets8)
+    # same picked voxels; scores within conv reduction-order noise
+    np.testing.assert_array_equal(d8[:, :3], d1[:, :3])
+    np.testing.assert_allclose(d8[:, 3:], d1[:, 3:], atol=2e-5)
