@@ -72,8 +72,10 @@ FLAG_GROUPS = (
                     "only `model_last` / `model_best`",
         "contrastive": "train refinement with the debiased contrastive "
                        "branch (the reference's `--contrastive`)",
-        "mesh_shape": "data-parallel device mesh shape; empty = all visible "
-                      "devices",
+        "mesh_shape": "device mesh shape; empty = all visible devices. "
+                      "Training: data-parallel batch sharding. Inference "
+                      "(test/watch/classify-test): spatial sharding of each "
+                      "volume's H axis across the chips",
     }),
     ("Refinement loss", {
         "bbox": "particle box size in pixels; sets the crop size and the "
