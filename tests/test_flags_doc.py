@@ -43,3 +43,15 @@ def test_help_reaches_argparse(capsys):
     help_text = parser.format_help()
     assert "InfoNCE temperature" in help_text
     assert "(default: 0.07)" in help_text
+
+
+def test_flags_cli_writes_page(tmp_path, capsys):
+    from cet_pick_tpu.__main__ import main
+
+    out = tmp_path / "flags.md"
+    rc = main(["flags", "--out", str(out)])
+    assert rc in (0, None)
+    assert out.read_text() == flags_markdown()
+    rc = main(["flags"])
+    assert rc in (0, None)
+    assert "# Flag reference" in capsys.readouterr().out
