@@ -75,7 +75,9 @@ FLAG_GROUPS = (
         "mesh_shape": "device mesh shape; empty = all visible devices. "
                       "Training: data-parallel batch sharding. Inference "
                       "(test/watch/classify-test): spatial sharding of each "
-                      "volume's H axis across the chips",
+                      "volume's H axis across the chips. Both consume ONE "
+                      "mesh axis: a multi-dim shape rides its total device "
+                      "count on it",
     }),
     ("Refinement loss", {
         "bbox": "particle box size in pixels; sets the crop size and the "

@@ -7,9 +7,10 @@ test_class.py:47-78:
   semi detector (infer/tiled.py replaces the reference's host-side
   PatchDataset loop, tomo_det_classify.py:18-75/116-151 — bit-exact vs the
   whole-volume forward and one device dispatch instead of a patch loop);
-* a 30-pixel xy border of the heatmap is zeroed before decoding
-  (tomo_det_classify.py:106-109, in input pixels -> 30 // down_ratio heatmap
-  voxels here since our heatmap lives at the down_ratio grid);
+* a 30-HEATMAP-voxel xy border is zeroed before decoding — the reference
+  indexes ``out_hm``, its down_ratio-grid model output, so the band is 30
+  heatmap voxels (= 60 input pixels at down_ratio 2), NOT 30 input pixels
+  (tomo_det_classify.py:106-109; see ``TomoClassDetector.BORDER``);
 * decoding is greedy spherical NMS with exclusion diameter ``--nms`` and
   score floor ``--out_thresh`` (models/decode.py:108-120 via
   ops/greedy_nms.py) — not max-pool top-K;

@@ -233,7 +233,8 @@ def write_detection_outputs(cfg, hm: np.ndarray, rows, path: str, name: str):
     return lines
 
 
-def stream_quantized_volumes(config, names, paths, depth: int = 2):
+def stream_quantized_volumes(config, names, paths, depth: int = 2,
+                             isolate_errors: bool = False):
     """Disk -> quantize -> async device transfer pipeline over a volume list.
 
     The reference streams test tomograms through a PrefetchDataset wrapped in
@@ -245,7 +246,11 @@ def stream_quantized_volumes(config, names, paths, depth: int = 2):
     dispatched asynchronously so the transfer also hides behind compute.
 
     Yields ``(name, device_volume_u8, lo, hi)``; use as a context manager so
-    an early exit releases the producer thread.
+    an early exit releases the producer thread. A load failure kills the
+    whole stream — what `test` wants for a fixed list. ``isolate_errors=True``
+    (the `watch` service: it must outlive one corrupt volume) instead yields
+    ``(name, device_volume_u8 | None, lo, hi, exc | None)`` per input, in
+    input order, so the ONE streaming schedule serves both consumers.
     """
     import jax
 
@@ -254,11 +259,24 @@ def stream_quantized_volumes(config, names, paths, depth: int = 2):
 
     def produce():
         for name, path in zip(names, paths):
-            vol = load_rec(path, order=config.order, compress=config.compress)
-            u8, lo, hi = preprocess_quantized(vol, denoise=config.gauss)
-            yield name, u8, lo, hi
+            try:
+                vol = load_rec(path, order=config.order,
+                               compress=config.compress)
+                u8, lo, hi = preprocess_quantized(vol, denoise=config.gauss)
+            except Exception as e:  # noqa: BLE001 — recorded per file
+                if not isolate_errors:
+                    raise
+                yield name, None, 0.0, 0.0, e
+                continue
+            yield (name, u8, lo, hi, None) if isolate_errors else (
+                name, u8, lo, hi)
 
     def put(item):
+        if isolate_errors:
+            name, u8, lo, hi, err = item
+            if err is not None:
+                return item
+            return name, jax.device_put(u8), lo, hi, None
         name, u8, lo, hi = item
         return name, jax.device_put(u8), lo, hi
 

@@ -189,6 +189,24 @@ class TiledHeatmapInference:
         tile = max(a, side - side % a)
         return (tile, tile)
 
+    def _effective_xy(self, n_windows, win_d, h, w):
+        """Merge the explicit ``--tile H W`` with the auto HBM envelope: the
+        smaller tile wins per axis, so the always-set default-config tile
+        (512, 512) can never bypass the OOM protection — without the merge
+        any volume whose extent fits inside one explicit window (<= tile +
+        2*halo) ran untiled no matter how many z-windows the fused batch
+        stacked. An explicit 0 still opts that axis out entirely (expert
+        escape hatch). The envelope estimate uses the untiled extents, so a
+        clamp can be slightly conservative when the explicit tile alone
+        would have fit; the budget is a rough bound either way."""
+        auto = self._auto_xy(n_windows, win_d, h, w)
+        if auto is None:
+            return self.tile_xy
+        if self.tile_xy is None:
+            return auto
+        return tuple(t if t == 0 else min(t, a)
+                     for t, a in zip(self.tile_xy, auto))
+
     def _xy_tiled(self, volume, lo, hi, z_forward, tile_xy=None):
         """Decompose xy, run ``z_forward`` per xy window, stitch output cores
         (output grid = input/2). Returns None when no xy tiling is needed."""
@@ -245,8 +263,7 @@ class TiledHeatmapInference:
         else:
             plan, win_d = self._window_plan(d)
             n_win = len(plan)
-        txy = (self.tile_xy if self.tile_xy is not None
-               else self._auto_xy(n_win, win_d, h, w))
+        txy = self._effective_xy(n_win, win_d, h, w)
         tiled = self._xy_tiled(
             volume, lo, hi, lambda win_: self.fused(win_, lo=lo, hi=hi),
             tile_xy=txy,
@@ -315,8 +332,7 @@ class TiledHeatmapInference:
         """
         d, h, w = volume.shape
         win_d = min(d, self.tile_z + 2 * self.halo)
-        txy = (self.tile_xy if self.tile_xy is not None
-               else self._auto_xy(1, win_d, h, w))  # streamed: 1 window live
+        txy = self._effective_xy(1, win_d, h, w)  # streamed: 1 window live
         tiled = self._xy_tiled(
             volume, lo, hi, lambda win_: self._forward_z(win_, lo=lo, hi=hi),
             tile_xy=txy,

@@ -84,33 +84,16 @@ def _append_manifest(out_dir: str, path: str, stat: Tuple[int, int],
 
 
 def _stream(config, items):
-    """Producer-thread load + quantize + async device_put over (name, path)
-    pairs, with PER-FILE error isolation: a failed load yields
-    (name, path, None, 0, 0, exc) instead of killing the stream (the service
-    must outlive one corrupt volume — stream_quantized_volumes, which this
-    mirrors, is allowed to fail the whole batch because `test` wants that)."""
-    import jax
+    """The exact `test` streaming schedule (detector.stream_quantized_volumes
+    — ONE shared implementation, so the two can't drift) with per-file error
+    isolation: a failed load yields (name, None, 0, 0, exc) instead of
+    killing the stream; the service must outlive one corrupt volume."""
+    from cet_pick_tpu.infer.detector import stream_quantized_volumes
 
-    from cet_pick_tpu.data.prefetch import PrefetchIterator
-    from cet_pick_tpu.io.loader import load_rec, preprocess_quantized
-
-    def produce():
-        for name, path in items:
-            try:
-                vol = load_rec(path, order=config.order,
-                               compress=config.compress)
-                u8, lo, hi = preprocess_quantized(vol, denoise=config.gauss)
-                yield name, path, u8, lo, hi, None
-            except Exception as e:  # noqa: BLE001 — recorded, service lives
-                yield name, path, None, 0.0, 0.0, e
-
-    def put(item):
-        name, path, u8, lo, hi, err = item
-        if err is not None:
-            return item
-        return name, path, jax.device_put(u8), lo, hi, None
-
-    return PrefetchIterator(produce(), depth=2, device_put=put)
+    return stream_quantized_volumes(
+        config, [n for n, _ in items], [p for _, p in items],
+        isolate_errors=True,
+    )
 
 
 def process_files(det, config, paths, out_dir, log_fn=print):
@@ -149,7 +132,9 @@ def process_files(det, config, paths, out_dir, log_fn=print):
     w.start()
     try:
         with _stream(config, items) as vols:
-            for name, path, v_dev, lo, hi, err in vols:
+            # the stream yields strictly in input order (FIFO queue over a
+            # sequential producer), so zip recovers each item's path
+            for (name, path), (_, v_dev, lo, hi, err) in zip(items, vols):
                 t_wall = time.time()
                 if err is None:
                     try:

@@ -52,6 +52,12 @@ def make_mesh(
         shape = (len(devices),)
         axis_names = tuple(axis_names[:1])
     n = int(np.prod(shape))
+    if len(shape) != len(axis_names) and len(axis_names) == 1:
+        # the DP train loops and spatial inference consume ONE mesh axis; a
+        # multi-dim --mesh_shape (e.g. a 2x4 layout) rides its total device
+        # count on that axis instead of crashing in Mesh() with an opaque
+        # ndim/axis_names mismatch
+        shape = (n,)
     if n > len(devices):
         raise ValueError(f"mesh shape {shape} needs {n} devices, have {len(devices)}")
     arr = np.array(devices[:n]).reshape(shape)

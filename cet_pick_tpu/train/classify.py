@@ -105,7 +105,9 @@ def train_classify(config, dataset, num_epochs=None, log_fn=print):
     state = place_state(state)
     num_epochs = num_epochs or config.num_epochs
     history = []
-    for epoch in range(1, num_epochs + 1):
+    # resume continues from the restored epoch (model.py:234-247 semantics,
+    # matching every other loop) instead of retraining the full schedule
+    for epoch in range(state.epoch + 1, num_epochs + 1):
         metrics_epoch = []
         # NO base_trainer-style num_iters cap here: for tcla the flag is
         # consumed by SemiClassDataset as the per-tomogram stratified draw
@@ -123,6 +125,7 @@ def train_classify(config, dataset, num_epochs=None, log_fn=print):
                 + (" (--num_iters 0 caps every epoch at zero batches)"
                    if config.num_iters == 0 else "")
             )
+        state = state.replace(epoch=epoch)
         means = {k: float(np.mean([m[k] for m in metrics_epoch]))
                  for k in metrics_epoch[0]}
         history.append(means)

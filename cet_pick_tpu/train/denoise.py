@@ -270,7 +270,17 @@ def denoise_volume(models, state, volume, z_batch=8):
         )
         return pme
 
-    padded = np.pad(volume, ((0, 0), (0, ph), (0, pw)), mode="reflect")
+    padded = volume
+    for ax, p in ((1, ph), (2, pw)):
+        if p:
+            width = [(0, 0)] * 3
+            width[ax] = (0, p)
+            # reflect needs pad < extent; tiny slices (<= 16 px on an axis)
+            # fall back to edge replication instead of raising
+            padded = np.pad(
+                padded, width,
+                mode="reflect" if p < padded.shape[ax] else "edge",
+            )
     out = np.empty((d, h, w), np.float32)
     for z0 in range(0, d, z_batch):
         z1 = min(z0 + z_batch, d)

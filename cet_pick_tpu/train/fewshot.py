@@ -240,7 +240,9 @@ def train_fewshot(config, dataset, num_epochs=None, log_fn=print):
     step = make_fewshot_train_step(model, config)
     num_epochs = num_epochs or config.num_epochs
     history = []
-    for epoch in range(1, num_epochs + 1):
+    # resume continues from the restored epoch (model.py:234-247 semantics,
+    # matching every other loop) instead of retraining the full schedule
+    for epoch in range(state.epoch + 1, num_epochs + 1):
         epoch_metrics = []
         # per-epoch iteration cap (base_trainer.py:263-268); islice avoids
         # building the first discarded batch

@@ -216,3 +216,27 @@ def test_fewshot_load_model_applies(tmp_path, rng):
     l1 = jax.tree_util.tree_leaves(state.params)[0]
     l2 = jax.tree_util.tree_leaves(state2.params)[0]
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-6)
+
+
+def test_fewshot_resume_continues_epochs(tmp_path, rng):
+    """--resume must continue at the restored epoch (regression: the fs and
+    tcla loops restarted at epoch 1, retraining the full schedule after a
+    resume)."""
+    from cet_pick_tpu.config import Config
+    from cet_pick_tpu.data.fewshot_dataset import FewshotDataset
+    from cet_pick_tpu.train.fewshot import train_fewshot
+
+    vol, df = make_two_class_synthetic(rng)
+    cfg = Config(task="fs", arch="unet_2", bbox=8, batch_size=2,
+                 num_epochs=2, lr=2e-3, nclusters=3, val_intervals=-1,
+                 root_dir=str(tmp_path)).finalize()
+    ds = FewshotDataset(cfg, "train", images={"syn0": vol}, coords_df=df,
+                        crop_d=6, crop_xy=64)
+    state, _, hist = train_fewshot(cfg, ds, log_fn=lambda *_: None)
+    assert state.epoch == 2 and len(hist) == 2
+
+    cfg2 = Config(task="fs", arch="unet_2", bbox=8, batch_size=2,
+                  num_epochs=3, lr=2e-3, nclusters=3, val_intervals=-1,
+                  resume=True, root_dir=str(tmp_path)).finalize()
+    state2, _, hist2 = train_fewshot(cfg2, ds, log_fn=lambda *_: None)
+    assert state2.epoch == 3 and len(hist2) == 1  # only epoch 3 ran

@@ -275,6 +275,43 @@ def test_auto_xy_tiling_engages_and_matches(small_setup, rng):
                                rtol=0, atol=1e-6)
 
 
+def test_auto_xy_clamps_explicit_tile(small_setup, rng):
+    """The CLI default config ALWAYS sets --tile H W (512, 512), so the HBM
+    envelope must also clamp explicitly-set tiles whose windows would blow
+    the budget (regression: the envelope used to be consulted only when
+    tile_xy was unset — i.e. never from the CLI); an explicit 0 stays the
+    expert opt-out. Clamped runs remain bit-identical to the full forward."""
+    config, model, state = small_setup
+    vol = rng.standard_normal((12, 192, 192)).astype(np.float32)
+    out = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        vol[None], train=False, active_heads=("hm",),
+    )
+    hm_full = np.asarray(sigmoid_clamped(out["hm"][0, ..., 0]))
+
+    infer = TiledHeatmapInference(model, state.params, state.batch_stats,
+                                  tile_z=64, tile_xy=(512, 512))
+    # (512, 512) covers the whole 192^2 extent: without the merge this ran
+    # untiled no matter the budget
+    infer.auto_xy_budget = 30e6
+    eff = infer._effective_xy(1, 12, 192, 192)
+    assert eff is not None and eff[0] < 512 and eff[0] % infer.xy_align == 0
+    assert infer._xy_plan(192, eff[0]) is not None, "clamp must actually tile"
+    np.testing.assert_allclose(np.asarray(infer(vol)), hm_full,
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(infer.fused(vol)), hm_full,
+                               rtol=0, atol=1e-6)
+    # a roomy budget keeps the explicit tile as-is
+    infer.auto_xy_budget = TiledHeatmapInference.AUTO_XY_BUDGET
+    assert infer._effective_xy(1, 12, 192, 192) == (512, 512)
+
+    # explicit 0 = opt-out: never tiled, even over budget
+    infer2 = TiledHeatmapInference(model, state.params, state.batch_stats,
+                                   tile_z=64, tile_xy=(0, 0))
+    infer2.auto_xy_budget = 30e6
+    assert infer2._effective_xy(1, 12, 192, 192) == (0, 0)
+
+
 def test_xy_tiled_one_axis_and_z(small_setup, rng):
     """H-only xy tiling composed with z tiling stays exact."""
     config, model, state = small_setup

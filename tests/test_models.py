@@ -227,6 +227,36 @@ def test_tcla_classifier_trains(rng, tmp_path):
     assert hist[-1]["acc"] > 0.9
 
 
+def test_tcla_resume_continues_epochs(rng, tmp_path):
+    """--resume must continue at the restored epoch (regression: the tcla
+    loop restarted at epoch 1 — and never recorded the epoch into the
+    saved state at all)."""
+    import pandas as pd
+
+    from cet_pick_tpu.config import Config
+    from cet_pick_tpu.data.refine_dataset import RefineDataset
+    from cet_pick_tpu.train.classify import train_classify
+
+    d, h, w = 12, 64, 64
+    vol = rng.standard_normal((d, h, w)).astype(np.float32) * 0.4
+    rows = [("v", 32, 32, 6), ("v", 20, 40, 6), ("v", 44, 24, 6),
+            ("v", 28, 20, 7)]
+    df = pd.DataFrame(rows, columns=["image_name", "x_coord", "y_coord",
+                                     "z_coord"])
+    cfg = Config(task="tcla", arch="unet_2", pn=True, batch_size=4, lr=1e-3,
+                 num_epochs=2, val_intervals=-1, bbox=8,
+                 root_dir=str(tmp_path)).finalize()
+    ds = RefineDataset(cfg, "train", images={"v": vol}, coords_df=df)
+    state, hist = train_classify(cfg, ds, log_fn=lambda *_: None)
+    assert state.epoch == 2 and len(hist) == 2
+
+    cfg2 = Config(task="tcla", arch="unet_2", pn=True, batch_size=4, lr=1e-3,
+                  num_epochs=3, val_intervals=-1, bbox=8, resume=True,
+                  root_dir=str(tmp_path)).finalize()
+    state2, hist2 = train_classify(cfg2, ds, log_fn=lambda *_: None)
+    assert state2.epoch == 3 and len(hist2) == 1  # only epoch 3 ran
+
+
 def test_tolerant_load_survives_structure_changes(tmp_path, rng):
     """Warm-starting across ARCHITECTURE changes (added/missing params,
     different optimizer tree) must tolerant-merge instead of raising —

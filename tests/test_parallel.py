@@ -50,6 +50,11 @@ def test_mesh_construction():
     assert mesh2.axis_names == ("data", "space")
     with pytest.raises(ValueError):
         make_mesh((100,))
+    # a multi-dim --mesh_shape handed to a single-axis consumer (DP train
+    # loops, spatial inference) rides its total device count on that axis
+    # instead of crashing in Mesh() (regression: `test --mesh_shape 2 4`)
+    mesh3 = make_mesh((2, 4), ("space",))
+    assert mesh3.axis_names == ("space",) and mesh3.devices.shape == (8,)
 
 
 def test_dp_step_matches_single_device(rng):
