@@ -10,7 +10,9 @@ HBM), the same methodology as benchmarks/roofline.py:
 - sigma forward: the plain N2N UNet (bs = 16)
 - full value_and_grad step
 
-Run from the repo root (TPU attached): python benchmarks/denoise_roofline.py
+Run from the repo root (TPU attached):
+    python benchmarks/denoise_roofline.py [bfloat16]
+(the optional arg sets the conv compute dtype — the --dtype flag's A/B)
 """
 
 import os
@@ -56,7 +58,9 @@ def main():
     print(f"devices: {jax.devices()}")
     rng = np.random.default_rng(0)
     b, hw = 16, 128
-    cfg = Config(task="denoise", batch_size=b).finalize()
+    dtype = sys.argv[1] if len(sys.argv) > 1 else "float32"
+    print(f"compute dtype: {dtype}")
+    cfg = Config(task="denoise", batch_size=b, dtype=dtype).finalize()
     state, models = create_denoise_state(cfg, jax.random.PRNGKey(0), crop=hw)
     noisy = jnp.asarray(rng.standard_normal((b, hw, hw, 1)), jnp.float32)
 

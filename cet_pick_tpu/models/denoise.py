@@ -37,12 +37,13 @@ class ShiftConv(nn.Module):
     kernel: int = 3
     blindspot: bool = True
     zero_init: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         init = nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal()
         conv = nn.Conv(self.features, (self.kernel, self.kernel),
-                       padding="SAME", kernel_init=init)
+                       padding="SAME", kernel_init=init, dtype=self.dtype)
         s = self.kernel // 2
         if self.blindspot and s > 0:
             x = jnp.pad(x, ((0, 0), (s, 0), (0, 0), (0, 0)))
@@ -71,13 +72,15 @@ class NoiseNetwork(nn.Module):
     out_channels: int = 1
     blindspot: bool = False
     zero_output_weights: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         bs = self.blindspot
         conv = lambda f, k=3, zero=False: ShiftConv(
-            f, k, blindspot=bs, zero_init=zero
+            f, k, blindspot=bs, zero_init=zero, dtype=self.dtype
         )
+        x = x.astype(self.dtype)
         if bs:
             rots = [jnp.rot90(x, k=r, axes=(1, 2)) for r in range(4)]
             x = jnp.concatenate(rots, axis=0)
@@ -115,14 +118,18 @@ class NoiseNetwork(nn.Module):
         y = _lrelu(conv(nin, k=1)(y))
         y = _lrelu(conv(96, k=1)(y))
         y = conv(self.out_channels, k=1, zero=self.zero_output_weights)(y)
-        return y
+        # the gaussian noise-model loss (squares, logs, divisions) runs in
+        # f32 regardless of the trunk compute dtype
+        return y.astype(jnp.float32)
 
 
-def create_denoise_models():
+def create_denoise_models(dtype=jnp.float32):
     """{'denoise': blindspot 2-channel net, 'sigma': plain zero-init net}
-    (denoise_network.py:268-276)."""
+    (denoise_network.py:268-276). ``dtype`` is the conv compute dtype
+    (params stay f32; pass jnp.bfloat16 on TPU — quality-gated in
+    tests/test_denoise.py)."""
     return {
-        "denoise": NoiseNetwork(out_channels=2, blindspot=True),
+        "denoise": NoiseNetwork(out_channels=2, blindspot=True, dtype=dtype),
         "sigma": NoiseNetwork(out_channels=1, blindspot=False,
-                              zero_output_weights=True),
+                              zero_output_weights=True, dtype=dtype),
     }

@@ -59,7 +59,10 @@ def compute_ramped_lrate(i, iteration_count, ramp_up_fraction,
 
 
 def create_denoise_state(config, rng, crop=128, lr=None):
-    models = create_denoise_models()
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+        getattr(config, "dtype", "float32")
+    ]
+    models = create_denoise_models(dtype=dtype)
     x = jnp.zeros((1, crop, crop, 1), jnp.float32)
     k1, k2 = jax.random.split(rng)
     params_dn = models["denoise"].init(k1, x)["params"]

@@ -60,17 +60,42 @@ def test_ramped_lrate():
     assert compute_ramped_lrate(99, 100, 0.1, 0.3, lr) < lr * 0.01
 
 
+def test_bfloat16_forward_close_to_f32(rng):
+    """--dtype bfloat16 keeps params f32 and only changes conv compute;
+    outputs must track the f32 forward within bf16 rounding."""
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 1)).astype(np.float32))
+    cfg32 = Config(task="denoise", batch_size=2).finalize()
+    cfg16 = Config(task="denoise", batch_size=2, dtype="bfloat16").finalize()
+    s32, m32 = create_denoise_state(cfg32, jax.random.PRNGKey(0), crop=32)
+    s16, m16 = create_denoise_state(cfg16, jax.random.PRNGKey(0), crop=32)
+    # identical f32 params regardless of compute dtype
+    a = jax.tree_util.tree_leaves(s32.params_dn)
+    b = jax.tree_util.tree_leaves(s16.params_dn)
+    for la, lb in zip(a, b):
+        assert la.dtype == lb.dtype == jnp.float32
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    mu32, _, sy32, _ = denoise_forward(m32, s32.params_dn, s32.params_sigma, x)
+    mu16, _, sy16, _ = denoise_forward(m16, s16.params_dn, s16.params_sigma, x)
+    assert mu16.dtype == jnp.float32  # loss math stays f32
+    scale = float(np.abs(np.asarray(mu32)).max())
+    assert float(np.abs(np.asarray(mu16) - np.asarray(mu32)).max()) < 0.1 * max(scale, 1.0)
+    assert np.isfinite(np.asarray(sy16)).all()
+
+
 @pytest.mark.slow
-def test_denoise_training_stable_and_learning(rng):
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_denoise_training_stable_and_learning(rng, dtype):
     """Short-budget smoke: the SSDN objective must decrease and stay finite
     (full noise-beating quality needs thousands of iterations — the
-    architecture correctness is pinned by the blind-spot property test)."""
+    architecture correctness is pinned by the blind-spot property test).
+    The bfloat16 variant quality-gates the --dtype production setting."""
     yy, xx = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
     clean = np.sin(xx / 8.0) + np.cos(yy / 10.0)
     vol = np.stack([
         clean + rng.standard_normal((64, 64)) * 0.8 for _ in range(12)
     ]).astype(np.float32)
-    cfg = Config(task="denoise", arch="unet_4", lr=1e-3, batch_size=4).finalize()
+    cfg = Config(task="denoise", arch="unet_4", lr=1e-3, batch_size=4,
+                 dtype=dtype).finalize()
     ds = DenoiseDataset({"v": vol}, crop=32, exclude=0)
     state, models, hist = train_denoise(cfg, ds, num_iters=60, crop=32,
                                         log_fn=lambda *_: None)
