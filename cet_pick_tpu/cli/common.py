@@ -73,11 +73,14 @@ FLAG_GROUPS = (
         "contrastive": "train refinement with the debiased contrastive "
                        "branch (the reference's `--contrastive`)",
         "mesh_shape": "device mesh shape; empty = all visible devices. "
-                      "Training: data-parallel batch sharding. Inference "
-                      "(test/watch/classify-test): spatial sharding of each "
-                      "volume's H axis across the chips. Both consume ONE "
-                      "mesh axis: a multi-dim shape rides its total device "
-                      "count on it",
+                      "Training: data-parallel batch sharding (one axis; a "
+                      "multi-dim shape rides its total device count on it). "
+                      "Inference (test/watch/classify-test): one dim shards "
+                      "each volume's H axis across the chips (lowest "
+                      "latency / per-chip HBM); two dims `DATA SPACE` also "
+                      "spread the fused forward's z-window batch over the "
+                      "leading DATA axis (highest throughput for deep "
+                      "volumes, e.g. `--mesh_shape 4 2` on 8 chips)",
     }),
     ("Refinement loss", {
         "bbox": "particle box size in pixels; sets the crop size and the "

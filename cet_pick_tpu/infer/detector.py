@@ -80,13 +80,24 @@ class TomoDetector:
                 params, batch_stats = state.params, state.batch_stats
         mesh = None
         if config.mesh_shape and len(jax.devices()) > 1:
-            # --mesh_shape at inference: spatially shard every forward's H
-            # axis over the chips (replicated params, XLA halo exchanges) —
-            # the CLI-reachable form of parallel.mesh.make_spatial_infer.
-            # Opt-in only: single-chip stays the default everywhere.
+            # --mesh_shape at inference. One dim: spatially shard every
+            # forward's H axis over the chips (replicated params, XLA halo
+            # exchanges) — the CLI-reachable form of
+            # parallel.mesh.make_spatial_infer, minimizing single-volume
+            # latency / per-chip HBM. Two dims ("data", "space"): ALSO shard
+            # the z-window batch of the fused forward over the leading axis
+            # (the trunk folds z into batch, so this is plain DP over a
+            # volume's own tiles) — the throughput layout for deep volumes,
+            # e.g. `--mesh_shape 4 2` on a v5e-8. Opt-in only: single-chip
+            # stays the default everywhere.
             from cet_pick_tpu.parallel.mesh import make_mesh
 
-            mesh = make_mesh(tuple(config.mesh_shape), ("space",))
+            shape = tuple(int(s) for s in config.mesh_shape)
+            if len(shape) > 2:  # collapse extras onto the data axis
+                import math
+
+                shape = (math.prod(shape[:-1]), shape[-1])
+            mesh = make_mesh(shape, ("data", "space")[-len(shape):])
         self.infer = TiledHeatmapInference(
             self.model, params, batch_stats, tile_z=tile_z, halo=halo,
             tile_xy=tile_xy, mesh=mesh,

@@ -84,25 +84,35 @@ class TiledHeatmapInference:
         n_blocks = int(getattr(model, "n_blocks", 4))
         self.xy_halo = xy_halo(n_blocks)
         self.xy_align = xy_align(n_blocks)
-        # multi-chip spatial sharding (--mesh_shape on test/watch): params
-        # replicated, every forward's H axis partitioned over the mesh with
-        # XLA-inserted conv halo exchanges; outputs replicated so decode and
-        # stitching are unchanged. Same partitioning as
-        # parallel.mesh.make_spatial_infer, reachable from the CLI.
-        self._h_shard = self._repl = None
+        # multi-chip sharding (--mesh_shape on test/watch): params
+        # replicated, every forward's H axis partitioned over the mesh's
+        # trailing ("space") axis with XLA-inserted conv halo exchanges;
+        # outputs replicated so decode and stitching are unchanged. A 2D
+        # ("data", "space") mesh additionally shards the z dimension — the
+        # fused window batch, or a single window's slices (the trunk folds z
+        # into batch either way, so this is plain DP over a volume's own
+        # tiles; only the 3D head's +-3 z reach exchanges halos).
+        self._vol_shard = self._tile_shard = self._win_shard = None
+        self._repl = None
         if mesh is not None and mesh.devices.size > 1:
             from jax.sharding import NamedSharding, PartitionSpec
 
-            ax = mesh.axis_names[0]
-            self._h_shard = NamedSharding(mesh, PartitionSpec(None, ax, None))
+            space = mesh.axis_names[-1]
+            data = mesh.axis_names[0] if len(mesh.axis_names) > 1 else None
+            self._vol_shard = NamedSharding(
+                mesh, PartitionSpec(None, space, None))
+            self._tile_shard = NamedSharding(
+                mesh, PartitionSpec(data, space, None))
+            self._win_shard = NamedSharding(
+                mesh, PartitionSpec(data, None, space, None))
             self._repl = NamedSharding(mesh, PartitionSpec())
             self.variables = jax.device_put(self.variables, self._repl)
-        h_shard, repl = self._h_shard, self._repl
+        tile_shard, repl = self._tile_shard, self._repl
 
         @functools.partial(jax.jit, out_shardings=repl)
         def _tile_forward(variables, tile, lo, hi):
-            if h_shard is not None:
-                tile = jax.lax.with_sharding_constraint(tile, h_shard)
+            if tile_shard is not None:
+                tile = jax.lax.with_sharding_constraint(tile, tile_shard)
             # affine dequantization fuses into the stem conv's input read;
             # float inputs pass through unchanged via (lo, hi) = (0, 1)
             x = (tile.astype(jnp.float32) - lo) / jnp.maximum(hi - lo, 1e-12)
@@ -121,8 +131,8 @@ class TiledHeatmapInference:
         mesh is active (a single-device put would bounce through one HBM)."""
         if isinstance(volume, jax.Array):
             return volume
-        if self._h_shard is not None:
-            return jax.device_put(volume, self._h_shard)
+        if self._vol_shard is not None:
+            return jax.device_put(volume, self._vol_shard)
         return jax.device_put(volume)
 
     def _window_plan(self, d):
@@ -289,18 +299,23 @@ class TiledHeatmapInference:
             while len(self._fused_fns) >= 8:
                 self._fused_fns.popitem(last=False)
 
-            h_shard, repl = self._h_shard, self._repl
+            vol_shard, win_shard = self._vol_shard, self._win_shard
+            repl = self._repl
 
             @functools.partial(jax.jit, out_shardings=repl)
             def _fused(variables, vol, lo_, hi_):
                 from cet_pick_tpu.ops.nms import sigmoid_clamped
 
-                if h_shard is not None:
-                    vol = jax.lax.with_sharding_constraint(vol, h_shard)
+                if vol_shard is not None:
+                    vol = jax.lax.with_sharding_constraint(vol, vol_shard)
                 windows = jnp.stack([
                     jax.lax.slice_in_dim(vol, s, s + win, axis=0)
                     for s, _, _ in plan
                 ])
+                if win_shard is not None:
+                    # 2D mesh: window batch over "data", H over "space"
+                    windows = jax.lax.with_sharding_constraint(
+                        windows, win_shard)
                 x = (windows.astype(jnp.float32) - lo_) / jnp.maximum(
                     hi_ - lo_, 1e-12
                 )

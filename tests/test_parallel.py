@@ -518,7 +518,7 @@ def test_detector_spatial_mesh_matches_single(rng, tmp_path):
                   root_dir=str(tmp_path)).finalize()
     det8 = TomoDetector(cfg8, params=state.params,
                         batch_stats=state.batch_stats)
-    assert det8.infer._h_shard is not None  # the mesh actually engaged
+    assert det8.infer._vol_shard is not None  # the mesh actually engaged
     hm8, dets8 = det8.process(vol)
 
     np.testing.assert_allclose(np.asarray(hm8), np.asarray(hm1), atol=2e-5)
@@ -526,3 +526,39 @@ def test_detector_spatial_mesh_matches_single(rng, tmp_path):
     # same picked voxels; scores within conv reduction-order noise
     np.testing.assert_array_equal(d8[:, :3], d1[:, :3])
     np.testing.assert_allclose(d8[:, 3:], d1[:, 3:], atol=2e-5)
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4), (8, 1)])
+def test_detector_2d_mesh_matches_single(rng, tmp_path, mesh_shape):
+    """A 2D --mesh_shape ("data", "space") DP-shards the fused forward's
+    z-window batch over the leading axis AND spatially shards H over the
+    trailing one; picks reproduce the single-device run. The volume is deep
+    enough (3 z-windows at tile_z=16) that the fused batch actually has a
+    data dimension to shard."""
+    from cet_pick_tpu.infer.detector import TomoDetector
+
+    vol = rng.standard_normal((48, 32, 32)).astype(np.float32)
+    common = dict(task="semi", arch="unet_2", K=40, out_thresh=0.0,
+                  cutoff_z=1, tile=(16, 0, 0))
+    cfg1 = Config(root_dir=str(tmp_path / "s"), **common).finalize()
+    model = create_detector(cfg1)
+    state = create_train_state(
+        model, cfg1, jax.random.PRNGKey(0), np.zeros((1, 8, 32, 32),
+                                                     np.float32))
+
+    det1 = TomoDetector(cfg1, params=state.params,
+                        batch_stats=state.batch_stats)
+    hm1, dets1 = det1.process(vol)
+
+    cfgm = Config(root_dir=str(tmp_path / "m"), mesh_shape=mesh_shape,
+                  **common).finalize()
+    detm = TomoDetector(cfgm, params=state.params,
+                        batch_stats=state.batch_stats)
+    assert detm.infer._win_shard is not None
+    assert detm.infer._win_shard.mesh.axis_names == ("data", "space")
+    hmm, detsm = detm.process(vol)
+
+    np.testing.assert_allclose(np.asarray(hmm), np.asarray(hm1), atol=2e-5)
+    d1, dm = np.asarray(dets1), np.asarray(detsm)
+    np.testing.assert_array_equal(dm[:, :3], d1[:, :3])
+    np.testing.assert_allclose(dm[:, 3:], d1[:, 3:], atol=2e-5)
