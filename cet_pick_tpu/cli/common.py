@@ -105,6 +105,11 @@ FLAG_GROUPS = (
         "cutoff_z": "drop picks within this many slices of the z borders",
         "with_score": "append the score column to output txt rows",
         "out_id": "output directory name under the experiment dir",
+        "write_hm": "write {name}_hm.mrc next to the picks (the reference "
+                    "always does). --no-write_hm skips the file AND, on "
+                    "test/watch, the full-heatmap device->host fetch — the "
+                    "largest transfer of the pipeline; the txt picks are "
+                    "identical (decode runs on device)",
         "tile": "inference tile (D, H, W); z streams in depth-D windows, "
                 "and H/W tile automatically (bit-exactly) when a volume "
                 "exceeds the HBM activation envelope",

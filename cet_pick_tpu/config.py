@@ -92,6 +92,10 @@ class Config:
     out_thresh: float = 0.25
     with_score: bool = False
     out_id: str = "output"
+    # beyond the reference surface: --no-write_hm skips the {name}_hm.mrc
+    # write — and, on the refine detector, the large heatmap device->host
+    # fetch itself (picks decode on device, so the txt is identical)
+    write_hm: bool = True
 
     # -- PU variants (opts.py:164-167)
     pn: bool = False

@@ -152,9 +152,17 @@ class TomoDetector:
                 out_dir: Optional[str], t0: float, t_net: float) -> Dict:
         """Host half of run(): heatmap fetch, grouping, writers. Safe to run
         on a writer thread while the next volume computes (run_test does)."""
-        hm = np.asarray(hm_dev)  # the large heatmap device->host fetch
+        hm_shape = tuple(hm_dev.shape)
+        if self.config.write_hm:
+            hm = np.asarray(hm_dev)  # the large heatmap device->host fetch
+        else:
+            # --no-write_hm: picks decode on device, so the heatmap — the
+            # pipeline's largest device->host transfer — never crosses
+            hm = None
+            if np.isnan(dets).any():  # keep the reference's NaN fail-fast
+                raise ValueError("Output contains NaN values")
         t_fetch = time.time()
-        z_groups = self.post_process(dets, z_dim_tot=hm.shape[0])
+        z_groups = self.post_process(dets, z_dim_tot=hm_shape[0])
         t_post = time.time()
         ret = {
             "name": name,
@@ -165,38 +173,43 @@ class TomoDetector:
                       "post": t_post - t_fetch},
         }
         if out_dir is not None:
-            self.save_detection(hm, z_groups, out_dir, name)
+            self.save_detection(hm, z_groups, out_dir, name,
+                                hm_shape=hm_shape)
             ret["times"]["save"] = time.time() - t_post
         ret["times"]["tot"] = time.time() - t0
         return ret
 
     # -- output writers ------------------------------------------------------
 
-    def save_detection(self, hm: np.ndarray, z_groups: Dict, path: str,
-                       name: str):
+    def save_detection(self, hm: Optional[np.ndarray], z_groups: Dict,
+                       path: str, name: str, hm_shape=None):
         """Write ``{name}_hm.mrc`` + filtered ``{name}.txt`` (tomo_det.py:53-95)."""
         rows = (c for _, rs in z_groups.items() for c in rs)
-        return write_detection_outputs(self.config, hm, rows, path, name)
+        return write_detection_outputs(self.config, hm, rows, path, name,
+                                       hm_shape=hm_shape)
 
 
-def write_detection_outputs(cfg, hm: np.ndarray, rows, path: str, name: str):
+def write_detection_outputs(cfg, hm: Optional[np.ndarray], rows, path: str,
+                            name: str, hm_shape=None):
     """Shared reference-format detection writer (tomo_det.py:53-95 ==
     tomo_det_classify.py:172-216): ``{name}_hm.mrc`` with y/z axes swapped +
     ``{name}.txt`` after the frozen score / cutoff_z / 20-px-border filters
     and the fiber/spike post-processing branches.
 
     rows: iterable of (x, y, z, score) with xy already at input resolution.
+    hm may be None under --no-write_hm (pass hm_shape for the filters).
     """
     os.makedirs(path, exist_ok=True)
 
-    max_z, max_y, max_x = hm.shape
+    max_z, max_y, max_x = hm.shape if hm is not None else hm_shape
     max_x, max_y = max_x * cfg.down_ratio, max_y * cfg.down_ratio
-    if np.isnan(hm).any():
-        raise ValueError("Output contains NaN values")
-    # heatmap saved with y/z axes swapped, matching the reference's
-    # np.swapaxes(hm, 1, 0) before mrc write (tomo_det.py:60-67)
-    write_mrc(os.path.join(path, f"{name}_hm.mrc"),
-              np.float32(np.swapaxes(hm, 1, 0)))
+    if hm is not None and cfg.write_hm:
+        if np.isnan(hm).any():
+            raise ValueError("Output contains NaN values")
+        # heatmap saved with y/z axes swapped, matching the reference's
+        # np.swapaxes(hm, 1, 0) before mrc write (tomo_det.py:60-67)
+        write_mrc(os.path.join(path, f"{name}_hm.mrc"),
+                  np.float32(np.swapaxes(hm, 1, 0)))
 
     lines = []
     pre_coords = []

@@ -86,14 +86,26 @@ def extract_embeddings(config, dataset, params, batch_stats, batch_size=256):
     # batch i+1's host->device transfer rides behind batch i's forward
     # (reference uses a 1-worker DataLoader over PrefetchDatasetProj,
     # simsiam_test_hm_2d3d.py:165)
+    # ... and batch i-1's OUTPUT fetch rides behind batch i's forward
+    # (fetched one batch late, after the next dispatch is in flight)
+    pending = None
+
+    def drain(p):
+        if p is None:
+            return
+        kept_, out_ = p
+        projs.append(np.asarray(out_["proj"])[:kept_])
+        preds.append(np.asarray(out_["pred"])[:kept_])
+
     with PrefetchIterator(
         batches(), depth=2,
         device_put=lambda item: (item[0], jax.device_put(item[1])),
     ) as it:
         for kept, xs in it:
             out = fwd(*xs) if mode == "2d3d" else fwd_2donly(*xs)
-            projs.append(np.asarray(out["proj"])[:kept])
-            preds.append(np.asarray(out["pred"])[:kept])
+            drain(pending)
+            pending = (kept, out)
+    drain(pending)
 
     result = {
         "proj": np.concatenate(projs),

@@ -115,9 +115,18 @@ def train_classify(config, dataset, num_epochs=None, log_fn=print):
         # intended iteration budget, and capping again would silently
         # discard half the draws whenever n_tomos > batch_size (the
         # reference's main_class sampler length is likewise its own knob)
+        # lagged single-transfer metric fetch (train/metrics.py)
+        from cet_pick_tpu.train.metrics import LaggedMetrics
+
+        drain = LaggedMetrics()
         for batch in dataset.epoch_batches(rng, config.batch_size):
             state, metrics = step(state, place_batch(batch))
-            metrics_epoch.append({k: float(v) for k, v in metrics.items()})
+            m = drain.push(metrics)
+            if m is not None:
+                metrics_epoch.append(m)
+        m = drain.pop()
+        if m is not None:
+            metrics_epoch.append(m)
         if not metrics_epoch:
             raise ValueError(
                 f"no training batches: {len(dataset)} samples < batch_size "

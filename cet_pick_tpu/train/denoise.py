@@ -190,6 +190,22 @@ def train_denoise(config, dataset, num_iters=200, crop=128,
     # crop sampling + host->device transfer of batch i+1 hide behind step i
     batches = (dataset.sample_batch(rng, config.batch_size)
                for _ in range(num_iters))
+    # lagged single-transfer metric fetch (train/metrics.py); entries are
+    # labeled by their own iteration (len(history)), so log lines and
+    # --save_all snapshots keep their meaning, emitted one step later
+    from cet_pick_tpu.train.metrics import LaggedMetrics
+
+    drain = LaggedMetrics()
+
+    def _collect(m):
+        if m is None:
+            return
+        history.append(m)
+        n = len(history)
+        if n % log_every == 0:
+            log_fn(f"iter {n}: " + " ".join(
+                f"{k}={v:.5f}" for k, v in m.items()))
+
     with PrefetchIterator(batches, depth=2,
                           device_put=place_batch) as prefetched:
         for it, batch in enumerate(prefetched):
@@ -197,18 +213,19 @@ def train_denoise(config, dataset, num_iters=200, crop=128,
                                       config.lr)
             state = set_learning_rate(state, lr)
             state, metrics = step(state, batch)
-            history.append({k: float(v) for k, v in metrics.items()})
-            if (it + 1) % log_every == 0:
-                log_fn(f"iter {it + 1}: " + " ".join(
-                    f"{k}={v:.5f}" for k, v in history[-1].items()))
-                if config.save_all and config.save_dir:
-                    # denoise is iteration-based (ramped LR), so --save_all
-                    # keeps numbered snapshots at the logging cadence rather
-                    # than per epoch (reference main.py:100 semantics)
-                    save_denoise_checkpoint(
-                        os.path.join(config.save_dir, f"model_{it + 1}"),
-                        state, config,
-                    )
+            _collect(drain.push(metrics))
+            if (it + 1) % log_every == 0 and config.save_all \
+                    and config.save_dir:
+                # denoise is iteration-based (ramped LR), so --save_all
+                # keeps numbered snapshots at the logging cadence rather
+                # than per epoch (reference main.py:100 semantics); saved
+                # here (not in _collect) so model_{n} is exactly the state
+                # after n steps despite the lagged log line
+                save_denoise_checkpoint(
+                    os.path.join(config.save_dir, f"model_{it + 1}"),
+                    state, config,
+                )
+    _collect(drain.pop())
     return state, models, history
 
 

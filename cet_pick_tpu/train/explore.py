@@ -216,6 +216,10 @@ def train_explore(config, dataset, num_epochs=None, log_fn=print):
         )
         total_batches = max(len(dataset) // config.batch_size, 1)
         cap = config.num_iters if config.num_iters >= 0 else None
+        # lagged single-transfer metric fetch (train/metrics.py)
+        from cet_pick_tpu.train.metrics import LaggedMetrics
+
+        drain = LaggedMetrics()
         with batches:  # releases the producer thread on a num_iters break
             # per-epoch cap (base_trainer.py:263-268); islice doesn't pull
             # the first discarded batch
@@ -225,7 +229,12 @@ def train_explore(config, dataset, num_epochs=None, log_fn=print):
                     state = set_learning_rate(state, wlr)
                 key, sub = jax.random.split(key)
                 state, metrics = step(state, batch, sub)
-                epoch_metrics.append({k: float(v) for k, v in metrics.items()})
+                m = drain.push(metrics)
+                if m is not None:
+                    epoch_metrics.append(m)
+        m = drain.pop()
+        if m is not None:
+            epoch_metrics.append(m)
         if not epoch_metrics:
             raise ValueError(
                 f"no training batches: {len(dataset)} samples < batch_size "

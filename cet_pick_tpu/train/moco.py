@@ -278,6 +278,10 @@ def train_moco(config, dataset, num_epochs=None, r=1024, log_fn=print):
         epoch_metrics = []
         total_batches = max(len(dataset) // config.batch_size, 1)
         cap = config.num_iters if config.num_iters >= 0 else None
+        # lagged single-transfer metric fetch (train/metrics.py)
+        from cet_pick_tpu.train.metrics import LaggedMetrics
+
+        drain = LaggedMetrics()
         # per-epoch cap (base_trainer.py:263-268); islice doesn't build the
         # first discarded batch
         for it, batch in enumerate(itertools.islice(
@@ -289,7 +293,12 @@ def train_moco(config, dataset, num_epochs=None, r=1024, log_fn=print):
             batch["norm_std"] = norm_std
             key, sub = jax.random.split(key)
             state, metrics = step(state, place_batch(batch), sub)
-            epoch_metrics.append({k: float(v) for k, v in metrics.items()})
+            m = drain.push(metrics)
+            if m is not None:
+                epoch_metrics.append(m)
+        m = drain.pop()
+        if m is not None:
+            epoch_metrics.append(m)
         if not epoch_metrics:
             raise ValueError(
                 f"no training batches: {len(dataset)} samples < batch_size "

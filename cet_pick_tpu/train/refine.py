@@ -31,6 +31,7 @@ import numpy as np
 
 from cet_pick_tpu.ops.nms import sigmoid_clamped
 from cet_pick_tpu.train import losses as L
+from cet_pick_tpu.train.metrics import LaggedMetrics
 from cet_pick_tpu.train.state import TrainState
 
 
@@ -267,25 +268,35 @@ def train_refine(config, dataset, val_dataset=None, num_epochs=None, log_fn=prin
         # the context manager releases the producer thread + its in-flight
         # device batches when the --num_iters cap breaks out mid-epoch
         cap = config.num_iters if config.num_iters >= 0 else None
+        # lagged single-transfer metric fetch (train/metrics.py): the PU
+        # zero-positive guard below therefore fires one step late — fine,
+        # it aborts the whole run either way
+        drain = LaggedMetrics()
+
+        def _collect(m):
+            if m is None:
+                return
+            # only the plain PU risk estimator is undefined without
+            # positives (reference loss.py:275-276); pn (focal) and ge
+            # tolerate it
+            if not config.pn and not config.ge and m.get("num_pos", 1) == 0:
+                # the reference's PU loss raises here (loss.py:275-276):
+                # zero labeled positives make the PU risk estimate undefined
+                raise ValueError(
+                    "batch contains no positive heatmap voxels — "
+                    "annotations missing or dropped (check --order and "
+                    "coordinate files)"
+                )
+            epoch_metrics.append(m)
+
         with maybe_trace(config.profile_dir if epoch == start_epoch else None), \
                 batches:
             # per-epoch iteration cap (base_trainer.py:263-268; -1 = all);
             # islice never pulls the first discarded batch off the prefetcher
             for batch in itertools.islice(batches, cap):
                 state, metrics = train_step(state, batch)
-                m = {k: float(v) for k, v in metrics.items()}
-                # only the plain PU risk estimator is undefined without
-                # positives (reference loss.py:275-276); pn (focal) and ge
-                # tolerate it
-                if not config.pn and not config.ge and m.get("num_pos", 1) == 0:
-                    # the reference's PU loss raises here (loss.py:275-276):
-                    # zero labeled positives make the PU risk estimate undefined
-                    raise ValueError(
-                        "batch contains no positive heatmap voxels — "
-                        "annotations missing or dropped (check --order and "
-                        "coordinate files)"
-                    )
-                epoch_metrics.append(m)
+                _collect(drain.push(metrics))
+        _collect(drain.pop())
         if not epoch_metrics:
             raise ValueError(
                 f"no training batches: {len(dataset)} samples < batch_size "

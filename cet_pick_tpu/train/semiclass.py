@@ -79,10 +79,19 @@ def train_semiclass(config, dataset, val_dataset=None, num_epochs=None,
         # per-epoch iteration cap (base_trainer.py:263-268); islice avoids
         # building the first discarded batch
         cap = config.num_iters if config.num_iters >= 0 else None
+        # lagged single-transfer metric fetch (train/metrics.py)
+        from cet_pick_tpu.train.metrics import LaggedMetrics
+
+        drain = LaggedMetrics()
         for batch in itertools.islice(
                 dataset.epoch_batches(rng, config.batch_size), cap):
             state, metrics = train_step(state, place_batch(batch))
-            epoch_metrics.append({k: float(v) for k, v in metrics.items()})
+            m = drain.push(metrics)
+            if m is not None:
+                epoch_metrics.append(m)
+        m = drain.pop()
+        if m is not None:
+            epoch_metrics.append(m)
         if not epoch_metrics:
             raise ValueError(
                 f"no training batches: {len(dataset)} samples < batch_size "

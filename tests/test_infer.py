@@ -440,3 +440,28 @@ def test_spike_pipeline_keeps_dense_clusters(tmp_path):
     assert set(out[:, 0].astype(int)) == {2 * x for x, _, _ in dense}
     assert np.all(out[:, 2].astype(int) == 32) and np.all(out[:, 1] == 15)
     assert np.all(out[:, 3] > 0.5)
+
+
+def test_no_write_hm_identical_picks(small_setup, tmp_path, rng):
+    """--no-write_hm skips the _hm.mrc file AND the full-heatmap fetch
+    (ret["hm"] is None) while the picks txt stays byte-identical."""
+    import dataclasses
+
+    config, model, state = small_setup
+    vol = rng.standard_normal((16, 96, 96)).astype(np.float32)
+
+    det = TomoDetector(config, params=state.params,
+                       batch_stats=state.batch_stats, tile_z=8)
+    r_full = det.run(vol, name="t1", out_dir=str(tmp_path / "full"))
+
+    cfg = dataclasses.replace(config, write_hm=False)
+    cfg.heads = config.heads
+    det_nh = TomoDetector(cfg, params=state.params,
+                          batch_stats=state.batch_stats, tile_z=8)
+    r = det_nh.run(vol, name="t1", out_dir=str(tmp_path / "nohm"))
+    assert r["hm"] is None
+    assert not (tmp_path / "nohm" / "t1_hm.mrc").exists()
+    assert (tmp_path / "full" / "t1_hm.mrc").exists()
+    assert ((tmp_path / "nohm" / "t1.txt").read_text()
+            == (tmp_path / "full" / "t1.txt").read_text())
+    np.testing.assert_array_equal(r["dets"], r_full["dets"])

@@ -59,3 +59,28 @@ def test_xla_profiler_trace(tmp_path):
         pass
     with maybe_trace(""):
         pass
+
+
+def test_lagged_metrics_drain():
+    """train/metrics.LaggedMetrics returns every pushed dict exactly once,
+    one step late, with float values matching the device scalars — and a
+    mixed int/float dict round-trips (num_pos is an int count)."""
+    import jax.numpy as jnp
+
+    from cet_pick_tpu.train.metrics import LaggedMetrics
+
+    drain = LaggedMetrics()
+    pushed = []
+    got = []
+    for i in range(5):
+        m = {"loss": jnp.float32(0.5 * i), "num_pos": jnp.int32(i)}
+        pushed.append({k: float(v) for k, v in m.items()})
+        out = drain.push(m)
+        if i == 0:
+            assert out is None  # nothing pending on the first push
+        else:
+            got.append(out)
+    got.append(drain.pop())
+    assert drain.pop() is None  # drained
+    assert got == pushed
+    assert all(isinstance(v, float) for m in got for v in m.values())
