@@ -98,15 +98,28 @@ def main():
         run_test(config, out_dir=out_dir)
         return (time.perf_counter() - t0) / n_vols
 
+    import dataclasses
+
+    config_nohm = dataclasses.replace(config, write_hm=False)
+    config_nohm.heads = config.heads
+
+    def run_cli_nohm():
+        # picks-only serving: --no-write_hm skips the 67 MB heatmap fetch
+        # and the _hm.mrc write per volume
+        t0 = time.perf_counter()
+        run_test(config_nohm, out_dir=os.path.join(tmp, "out_nohm"))
+        return (time.perf_counter() - t0) / n_vols
+
     run_cli()  # warm run_test's own detector instance (compile-cache hit)
 
     from bench import probe_tunnel
 
-    rows = {"old": [], "stream": [], "cli": []}
+    rows = {"old": [], "stream": [], "cli": [], "cli_nohm": []}
     for trial in range(3):
         rows["old"].append(run_old())
         rows["stream"].append(run_stream())
         rows["cli"].append(run_cli())
+        rows["cli_nohm"].append(run_cli_nohm())
         mm, link = probe_tunnel()
         print(f"trial{trial}: " + "   ".join(
             f"{k} {v[-1]:.2f} s/vol" for k, v in rows.items()

@@ -1,0 +1,107 @@
+"""Flagship tutorial-scale end-to-end run: train + pick + score, timed.
+
+Reproduces the reference tutorial's refinement recipe at its data scale
+(docs/quick_tutorial.md:13-14, :95): 2 tomograms of 256x512x512 with 100
+sparse annotations each, 10 epochs of PU + debiased-contrastive training
+(batch 4, bf16 compute), then the tiled `test` inference and Hungarian-match
+PR/F1 against the planted coordinates at radius 10.
+
+Everything goes through the real CLI surface (`train` then `test`), so the
+wall-clock includes data loading, heatmap building, the prefetched epoch
+loops, checkpointing, and the pipelined inference writers — the honest
+number a user sees.
+
+Run on the TPU box from the repo root: python benchmarks/flagship_e2e.py
+"""
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_volume(rng, name, d=256, h=512, w=512, n_part=100, margin=40):
+    """Dark gaussian particles splatted in LOCAL windows (the full-volume
+    version in tests/test_e2e.py is O(n_part * volume) — too slow here)."""
+    import pandas as pd
+
+    vol = (rng.standard_normal((d, h, w)) * 0.5).astype(np.float32)
+    r = 16
+    zz, yy, xx = np.meshgrid(np.arange(-r, r + 1), np.arange(-r, r + 1),
+                             np.arange(-r, r + 1), indexing="ij")
+    blob = np.exp(-((zz ** 2) / 8.0 + (yy ** 2) / 18.0 + (xx ** 2) / 18.0))
+    blob = (2.5 * blob).astype(np.float32)
+    coords = []
+    for _ in range(n_part):
+        z = int(rng.integers(r, d - r))
+        y = int(rng.integers(margin, h - margin))
+        x = int(rng.integers(margin, w - margin))
+        vol[z - r : z + r + 1, y - r : y + r + 1, x - r : x + r + 1] -= blob
+        coords.append((name, x, y, z))
+    vol = (vol - vol.mean()) / vol.std()
+    df = pd.DataFrame(coords,
+                      columns=["image_name", "x_coord", "y_coord", "z_coord"])
+    return vol, df
+
+
+def main():
+    import pandas as pd
+
+    from cet_pick_tpu.__main__ import main as cli
+    from cet_pick_tpu.config import Config
+    from cet_pick_tpu.eval.metrics import evaluate_detections
+    from cet_pick_tpu.io.mrc import write_mrc
+
+    tmp = tempfile.mkdtemp(prefix="flagship_")
+    data = os.path.join(tmp, "data")
+    os.makedirs(data)
+    rng = np.random.default_rng(0)
+    dfs, listing = [], "image_name\trec_path\n"
+    for i in range(2):
+        name = f"syn{i}"
+        vol, df = make_volume(rng, name)
+        write_mrc(os.path.join(data, f"{name}.rec"), vol)
+        del vol
+        dfs.append(df)
+        listing += f"{name}\t{os.path.join(data, f'{name}.rec')}\n"
+    targets = pd.concat(dfs, ignore_index=True)
+    open(os.path.join(data, "train_images.txt"), "w").write(listing)
+    open(os.path.join(data, "test_images.txt"), "w").write(listing)
+    targets.to_csv(os.path.join(data, "train_coords.txt"), sep="\t",
+                   index=False)
+
+    common = ["--task", "semi", "--arch", "unet_4", "--order", "zxy",
+              "--data_dir", data, "--root_dir", tmp, "--dtype", "bfloat16",
+              "--bbox", "24"]
+    t0 = time.perf_counter()
+    cli(["train", *common, "--contrastive", "--batch_size", "4",
+         "--num_epochs", "10", "--val_intervals", "-1", "--lr", "1e-3"])
+    t_train = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    cli(["test", *common, "--K", "900", "--nms", "3", "--out_thresh", "0.0",
+         "--cutoff_z", "2", "--with_score", "--tile", "64", "0", "0"])
+    t_test = time.perf_counter() - t0
+
+    cfg = Config(task="semi", root_dir=tmp).finalize()
+    rows = []
+    for i in range(2):
+        arr = np.loadtxt(os.path.join(cfg.out_path, f"syn{i}.txt"), ndmin=2)
+        for x, z, y, s in arr:
+            rows.append((f"syn{i}", x, y, z, s))
+    preds = pd.DataFrame(
+        rows, columns=["image_name", "x_coord", "y_coord", "z_coord", "score"])
+    res = evaluate_detections(targets, preds, radius=10.0)
+    print(f"train {t_train:.1f} s (10 epochs, 2x 256x512x512, 200 ann)  "
+          f"test {t_test:.1f} s  best_f1 {res['best_f1']:.4f}  "
+          f"auprc {res['auprc']:.4f}", flush=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

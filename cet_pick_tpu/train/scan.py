@@ -408,7 +408,9 @@ def train_scan_full(config, patches_2d, patches_3d, neighbors, n_clusters,
     rng = np.random.default_rng(seed)
     k = neighbors.shape[1]
     tail = max(1, min(50, num_steps))  # best-head window: final 50 steps
-    head_sums = np.zeros(n_heads)
+    # head_sums accumulates ON DEVICE (adding two device vectors dispatches
+    # async); the eager np.asarray per tail step was 50 blocking round trips
+    head_sums = None
     head_cnt = 0
     for it in range(num_steps):
         idx = rng.integers(0, n, size=min(batch_size, n))
@@ -418,12 +420,16 @@ def train_scan_full(config, patches_2d, patches_3d, neighbors, n_clusters,
             batch["a3d"], batch["n3d"] = p3[idx], p3[nb]
         state, metrics = step(state, place_batch(batch))
         if num_steps - it <= tail:
-            head_sums += np.asarray(metrics["head_losses"])
+            hl = metrics["head_losses"]
+            head_sums = hl if head_sums is None else head_sums + hl
             head_cnt += 1
         if (it + 1) % 50 == 0:
             log_fn(f"scan step {it + 1}: " + " ".join(
                 f"{kk}={float(v):.4f}" for kk, v in metrics.items()
                 if np.ndim(v) == 0))
+    # one fetch for the whole tail window (num_steps=0 leaves it empty)
+    head_sums = (np.asarray(head_sums) if head_sums is not None
+                 else np.zeros(n_heads))
     best_head = int(np.argmin(head_sums / max(head_cnt, 1)))
     if n_heads > 1:
         log_fn(f"best cluster head: {best_head} (mean losses "
