@@ -125,6 +125,19 @@ def run_classify_test(config, out_dir=None):
     out_dir = out_dir or config.out_path
     results = {}
     with stream_quantized_volumes(config, il.image_name, il.rec_path) as vols:
+        # pre-compile for volume 0's geometry while its data loads
+        # (run_test does the same; detector.py)
+        from cet_pick_tpu.io.loader import predict_loaded_shape
+
+        if len(il.rec_path):
+            try:
+                shape = predict_loaded_shape(
+                    il.rec_path.iloc[0], order=config.order,
+                    compress=config.compress)
+            except Exception:
+                shape = None
+            if shape is not None:
+                det.warm(shape)
         for name, v_dev, lo, hi in vols:
             r = det.run(v_dev, name=name, out_dir=out_dir, lo=lo, hi=hi)
             print(f"{name}: " + " ".join(

@@ -121,6 +121,18 @@ class TomoDetector:
         dets = tomo_decode(hm, kernel=cfg.nms, k=cfg.K, if_fiber=cfg.fiber)
         return hm, dets
 
+    def warm(self, shape):
+        """Compile (and first-run) the full device pipeline for a volume
+        geometry using an on-device zeros dummy — no host transfer. run_test
+        calls this with header-predicted shapes while the producer thread is
+        still reading volume 0 from disk, so the one-time compile+warmup cost
+        overlaps the load instead of following it."""
+        import jax.numpy as jnp
+
+        v = jnp.zeros(tuple(int(s) for s in shape), jnp.uint8)
+        _, dets = self.process(v, lo=0.0, hi=1.0)
+        np.asarray(dets)  # drain: the next dispatch starts clean
+
     def post_process(self, dets: np.ndarray, z_dim_tot: int):
         """Scale xy back to input resolution and group rows by z
         (tomo_det.py:42-51)."""
@@ -349,6 +361,23 @@ def run_test(config, out_dir=None):
             with stream_quantized_volumes(
                 config, il.image_name, il.rec_path
             ) as vols:
+                # pre-compile the device pipeline for volume 0's geometry
+                # (a 1 KB header read) WHILE the producer thread is loading
+                # its 256 MB of data — the compile+warmup no longer
+                # serializes behind the first disk read (benchmarks/
+                # test_cli_phases.py measured both near ~11-25 s). Later
+                # volumes' compiles already overlap the prefetched loads.
+                from cet_pick_tpu.io.loader import predict_loaded_shape
+
+                if len(il.rec_path):
+                    try:
+                        shape = predict_loaded_shape(
+                            il.rec_path.iloc[0], order=config.order,
+                            compress=config.compress)
+                    except Exception:
+                        shape = None  # unreadable: the stream will report
+                    if shape is not None:
+                        det.warm(shape)
                 for name, v_dev, lo, hi in vols:
                     hm_dev, dets, t0, t_net = det._compute(v_dev, lo=lo, hi=hi)
                     q.put((name, hm_dev, dets, t0, t_net))

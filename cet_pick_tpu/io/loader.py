@@ -60,6 +60,30 @@ def _standardize(x, axis=None, inplace=False):
     return (x - m) / s
 
 
+def predict_loaded_shape(path, order="xyz", compress=False):
+    """Shape ``load_rec(path, order, compress)`` will return, from the MRC
+    header alone (no data read) — used to pre-compile inference programs
+    while the volume loads (tested against load_rec for every order,
+    tests/test_io.py)."""
+    from cet_pick_tpu.io.mrc import read_mrc_shape
+
+    a0, a1, a2 = read_mrc_shape(path)  # raw (nz, ny, nx) array axes
+    # mirror load_rec's axis moves on the shape tuple
+    if order == "zxy":
+        d, h, w = a0, a1, a2
+    elif order == "xzy":  # swapaxes(2,1) then moveaxis(2, 0)
+        d, h, w = a1, a0, a2
+    elif order == "xyz":  # moveaxis(2, 0)
+        d, h, w = a2, a0, a1
+    elif order == "yxz":  # swapaxes(1,0) then moveaxis(2, 0)
+        d, h, w = a2, a1, a0
+    else:
+        raise ValueError(f"unknown axis order {order!r}")
+    if compress:
+        d = (d + 1) // 2  # _compress_z: pairs max-merged, odd tail kept
+    return d, h, w
+
+
 def _compress_z(vol):
     """Max over consecutive z-slice pairs; odd tails keep the single slice.
 

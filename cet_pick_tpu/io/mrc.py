@@ -110,6 +110,18 @@ def _parse_header(buf: bytes):
     return hdr, order
 
 
+def read_mrc_shape(path: str):
+    """Array shape ``(nz, ny, nx)`` that ``read_mrc(path)`` would return,
+    from the 1 KB header alone — lets inference pre-compile programs for a
+    volume's geometry while the volume itself is still loading."""
+    with open(path, "rb") as f:
+        buf = f.read(_HEADER_SIZE)
+    if len(buf) < _HEADER_SIZE:
+        raise ValueError(f"{path}: truncated MRC header ({len(buf)} bytes)")
+    hdr, _ = _parse_header(buf)
+    return hdr.nz, hdr.ny, hdr.nx
+
+
 def read_mrc(path: str, return_header: bool = False):
     """Read an MRC file -> float-preserving numpy array of shape (nz, ny, nx).
 

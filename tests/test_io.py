@@ -439,3 +439,22 @@ def test_refine_dataset_needs_two_annotations(rng):
     cfg = Config(task="semi", bbox=8).finalize()
     with _pytest.raises(ValueError, match=">= 2 annotations"):
         RefineDataset(cfg, "train", images={"syn0": vol}, coords_df=df)
+
+
+def test_predict_loaded_shape_matches_load_rec(tmp_path, rng):
+    """Header-only shape prediction == load_rec's actual output shape for
+    every axis order, with and without z-compression (odd + even depths) —
+    run_test pre-compiles from this prediction while volume 0 loads."""
+    from cet_pick_tpu.io.loader import load_rec, predict_loaded_shape
+    from cet_pick_tpu.io.mrc import read_mrc_shape, write_mrc
+
+    for i, dims in enumerate([(7, 10, 12), (8, 12, 10)]):
+        raw = rng.standard_normal(dims).astype(np.float32)
+        p = str(tmp_path / f"v{i}.rec")
+        write_mrc(p, raw)
+        assert read_mrc_shape(p) == dims
+        for order in ("zxy", "xzy", "xyz", "yxz"):
+            for compress in (False, True):
+                got = predict_loaded_shape(p, order=order, compress=compress)
+                real = load_rec(p, order=order, compress=compress).shape
+                assert got == real, (order, compress, got, real)
