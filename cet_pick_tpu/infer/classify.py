@@ -71,6 +71,19 @@ class TomoClassDetector(TomoDetector):
         dets = tomo_decode_classify(hm_dec, cfg.nms, cfg.out_thresh)
         return hm, dets
 
+    def warm(self, shape):
+        """Compile the device half only. Unlike the refine detector, this
+        pipeline's decode (greedy ball NMS) is host numpy — running the full
+        ``process`` on a zeros dummy would fetch the entire heatmap and then
+        greedy-NMS ~every voxel of it on the host (the clamped sigmoid of a
+        constant volume clears any out_thresh <= 1e-4), minutes of warmup
+        for nothing. Fence with a one-element fetch, not the heatmap."""
+        import jax.numpy as jnp
+
+        v = jnp.zeros(tuple(int(s) for s in shape), jnp.uint8)
+        hm = self.infer.fused(v, lo=0.0, hi=1.0)
+        np.asarray(hm[0, 0, 0])  # drain: the next dispatch starts clean
+
     def post_process(self, dets: np.ndarray, z_dim_tot: int = None):
         """xy back to input resolution (tomo_det_classify.py:158-170)."""
         dets = np.asarray(dets, dtype=np.float32).copy()
@@ -117,7 +130,9 @@ def run_classify_test(config, out_dir=None):
     """test_class.py equivalent: semiclass picking over the test image list
     (reference cet_pick/test_class.py:47-78), on the same pipelined uint8
     transfer schedule as run_test."""
-    from cet_pick_tpu.infer.detector import stream_quantized_volumes
+    from cet_pick_tpu.infer.detector import (
+        stream_quantized_volumes, warm_from_header,
+    )
     from cet_pick_tpu.io.coords import read_image_list
 
     il = read_image_list(os.path.join(config.data_dir, config.test_img_txt))
@@ -126,18 +141,7 @@ def run_classify_test(config, out_dir=None):
     results = {}
     with stream_quantized_volumes(config, il.image_name, il.rec_path) as vols:
         # pre-compile for volume 0's geometry while its data loads
-        # (run_test does the same; detector.py)
-        from cet_pick_tpu.io.loader import predict_loaded_shape
-
-        if len(il.rec_path):
-            try:
-                shape = predict_loaded_shape(
-                    il.rec_path.iloc[0], order=config.order,
-                    compress=config.compress)
-            except Exception:
-                shape = None
-            if shape is not None:
-                det.warm(shape)
+        warm_from_header(det, il.rec_path, config)
         for name, v_dev, lo, hi in vols:
             r = det.run(v_dev, name=name, out_dir=out_dir, lo=lo, hi=hi)
             print(f"{name}: " + " ".join(

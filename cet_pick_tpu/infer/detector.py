@@ -215,13 +215,17 @@ def write_detection_outputs(cfg, hm: Optional[np.ndarray], rows, path: str,
 
     max_z, max_y, max_x = hm.shape if hm is not None else hm_shape
     max_x, max_y = max_x * cfg.down_ratio, max_y * cfg.down_ratio
-    if hm is not None and cfg.write_hm:
+    if hm is not None:
+        # NaN fail-fast runs whenever the heatmap is available, even under
+        # --no-write_hm (the classify path always fetches it for host NMS;
+        # the refine path covers --no-write_hm via the dets check in _finish)
         if np.isnan(hm).any():
             raise ValueError("Output contains NaN values")
-        # heatmap saved with y/z axes swapped, matching the reference's
-        # np.swapaxes(hm, 1, 0) before mrc write (tomo_det.py:60-67)
-        write_mrc(os.path.join(path, f"{name}_hm.mrc"),
-                  np.float32(np.swapaxes(hm, 1, 0)))
+        if cfg.write_hm:
+            # heatmap saved with y/z axes swapped, matching the reference's
+            # np.swapaxes(hm, 1, 0) before mrc write (tomo_det.py:60-67)
+            write_mrc(os.path.join(path, f"{name}_hm.mrc"),
+                      np.float32(np.swapaxes(hm, 1, 0)))
 
     lines = []
     pre_coords = []
@@ -319,6 +323,28 @@ def stream_quantized_volumes(config, names, paths, depth: int = 2,
     return PrefetchIterator(produce(), depth=depth, device_put=put)
 
 
+def warm_from_header(det, rec_paths, config):
+    """Pre-compile ``det``'s device pipeline for volume 0's geometry (a 1 KB
+    MRC header read) while the producer thread is still loading its data —
+    the one-time compile+warmup no longer serializes behind the first disk
+    read (benchmarks/test_cli_phases.py measured both near ~11-25 s).
+
+    Purely an optimization: ANY failure (unreadable header, absurd dims from
+    a corrupt-but-parseable file, device OOM on a bogus geometry) is
+    swallowed so the stream's loader keeps reporting its actionable per-file
+    error instead of an opaque crash inside the warmup."""
+    if not len(rec_paths):
+        return
+    from cet_pick_tpu.io.loader import predict_loaded_shape
+
+    try:
+        shape = predict_loaded_shape(
+            rec_paths.iloc[0], order=config.order, compress=config.compress)
+        det.warm(shape)
+    except Exception:
+        pass
+
+
 def run_test(config, out_dir=None):
     """test.py equivalent: run the detector over the test image list
     (reference cet_pick/test.py:65-93), pipelined at both ends: the producer
@@ -361,23 +387,10 @@ def run_test(config, out_dir=None):
             with stream_quantized_volumes(
                 config, il.image_name, il.rec_path
             ) as vols:
-                # pre-compile the device pipeline for volume 0's geometry
-                # (a 1 KB header read) WHILE the producer thread is loading
-                # its 256 MB of data — the compile+warmup no longer
-                # serializes behind the first disk read (benchmarks/
-                # test_cli_phases.py measured both near ~11-25 s). Later
-                # volumes' compiles already overlap the prefetched loads.
-                from cet_pick_tpu.io.loader import predict_loaded_shape
-
-                if len(il.rec_path):
-                    try:
-                        shape = predict_loaded_shape(
-                            il.rec_path.iloc[0], order=config.order,
-                            compress=config.compress)
-                    except Exception:
-                        shape = None  # unreadable: the stream will report
-                    if shape is not None:
-                        det.warm(shape)
+                # pre-compile for volume 0's geometry while the producer
+                # thread is loading its 256 MB of data; later volumes'
+                # compiles already overlap the prefetched loads
+                warm_from_header(det, il.rec_path, config)
                 for name, v_dev, lo, hi in vols:
                     hm_dev, dets, t0, t_net = det._compute(v_dev, lo=lo, hi=hi)
                     q.put((name, hm_dev, dets, t0, t_net))

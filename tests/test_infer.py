@@ -442,6 +442,64 @@ def test_spike_pipeline_keeps_dense_clusters(tmp_path):
     assert np.all(out[:, 3] > 0.5)
 
 
+def test_nan_failfast_survives_no_write_hm(tmp_path):
+    """The reference's NaN fail-fast must fire whenever the heatmap is
+    available, even under --no-write_hm (the classify path always fetches
+    the heatmap for its host NMS and passes it to the writer regardless of
+    the flag — a NaN there must not silently yield a partial txt)."""
+    from cet_pick_tpu.infer.detector import write_detection_outputs
+
+    hm = np.zeros((8, 64, 64), np.float32)
+    hm[4, 30, 30] = np.nan
+    cfg = Config(task="semi", arch="unet_2", out_thresh=0.0, cutoff_z=0,
+                 write_hm=False).finalize()
+    with pytest.raises(ValueError, match="NaN"):
+        write_detection_outputs(cfg, hm, [], str(tmp_path), "nanvol")
+    assert not (tmp_path / "nanvol_hm.mrc").exists()  # flag still honored
+
+
+def test_classify_warm_skips_host_nms(small_setup, monkeypatch):
+    """TomoClassDetector.warm must only warm the device forward: on a zeros
+    dummy the clamped-sigmoid heatmap is a near-constant > out_thresh, so
+    running the full process() would greedy-NMS ~every voxel on the host
+    (minutes) plus fetch the full heatmap — neither compiles anything."""
+    import cet_pick_tpu.infer.classify as icl
+
+    config, model, state = small_setup
+    det = icl.TomoClassDetector(
+        config, params=state.params, batch_stats=state.batch_stats)
+
+    def boom(*a, **k):  # any decode attempt fails the test
+        raise AssertionError("warm must not run the host greedy NMS")
+
+    monkeypatch.setattr(icl, "tomo_decode_classify", boom)
+    det.warm((12, 64, 64))
+    # and the real decode still works afterwards on the warmed geometry
+    monkeypatch.undo()
+    hm, dets = det.process(np.zeros((12, 64, 64), np.uint8))
+    assert hm.shape == (12, 32, 32)
+
+
+def test_warm_from_header_swallows_bad_files(small_setup, tmp_path):
+    """warm_from_header is a pure optimization: a corrupt-but-parseable MRC
+    header (absurd dims) must not crash the run — the streaming loader keeps
+    reporting its actionable per-file error instead."""
+    import pandas as pd
+
+    from cet_pick_tpu.infer.detector import TomoDetector, warm_from_header
+
+    config, model, state = small_setup
+    det = TomoDetector(config, params=state.params,
+                       batch_stats=state.batch_stats)
+    # 1024-byte header claiming bogus huge dims, then no data
+    hdr = np.zeros(256, np.int32)
+    hdr[0], hdr[1], hdr[2] = 2 ** 20, 2 ** 20, 2 ** 20
+    hdr[3] = 2  # mode 2 = float32
+    p = tmp_path / "corrupt.rec"
+    p.write_bytes(hdr.tobytes())
+    warm_from_header(det, pd.Series([str(p)]), config)  # must not raise
+
+
 def test_no_write_hm_identical_picks(small_setup, tmp_path, rng):
     """--no-write_hm skips the _hm.mrc file AND the full-heatmap fetch
     (ret["hm"] is None) while the picks txt stays byte-identical."""
