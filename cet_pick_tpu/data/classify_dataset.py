@@ -42,7 +42,7 @@ from cet_pick_tpu.io.coords import (
     read_coord_table,
     read_image_list,
 )
-from cet_pick_tpu.io.loader import load_tomos_from_list
+from cet_pick_tpu.io.loader import QuantizedTomo, load_tomos_quantized_from_list
 from cet_pick_tpu.ops.heatmap import (
     downscale_coord,
     draw_gaussian_3d,
@@ -106,7 +106,8 @@ class SemiClassDataset:
                 "test": config.test_coord_txt,
             }[split]
             il = read_image_list(os.path.join(config.data_dir, img_txt))
-            images = load_tomos_from_list(
+            # uint8-resident volumes, bit-identical crops (io/loader)
+            images = load_tomos_quantized_from_list(
                 il.image_name, il.rec_path,
                 order=config.order, compress=config.compress,
                 denoise=config.gauss,
@@ -119,7 +120,9 @@ class SemiClassDataset:
         self.balance = balance
         pu = not config.pn
         for name, entry in matched.items():
-            tomo = entry["tomo"].astype(np.float32)
+            tomo = entry["tomo"]
+            if not isinstance(tomo, QuantizedTomo):  # keep the uint8 store
+                tomo = np.asarray(tomo, np.float32)
             hm, gt_det = build_class_heatmap(
                 tomo.shape, entry["coord"],
                 bbox=config.bbox, down_ratio=config.down_ratio,

@@ -28,7 +28,7 @@ import math
 import numpy as np
 
 from cet_pick_tpu.io.coords import read_coord_table, read_image_list
-from cet_pick_tpu.io.loader import load_tomos_from_list
+from cet_pick_tpu.io.loader import QuantizedTomo, load_tomos_quantized_from_list
 from cet_pick_tpu.ops.heatmap import (
     downscale_coord,
     draw_gaussian_3d,
@@ -92,7 +92,8 @@ class FewshotDataset:
                 "test": config.test_coord_txt,
             }[split]
             il = read_image_list(os.path.join(config.data_dir, img_txt))
-            images = load_tomos_from_list(
+            # uint8-resident volumes, bit-identical crops (io/loader)
+            images = load_tomos_quantized_from_list(
                 il.image_name, il.rec_path,
                 order=config.order, compress=config.compress,
                 denoise=config.gauss,
@@ -111,7 +112,8 @@ class FewshotDataset:
             df = coords_df[coords_df.image_name == name]
             coords = df[["x_coord", "y_coord", "z_coord"]].values.astype(np.int32)
             labels = df["label"].values.astype(np.int32)
-            tomo = np.asarray(tomo, np.float32)
+            if not isinstance(tomo, QuantizedTomo):  # keep the uint8 store
+                tomo = np.asarray(tomo, np.float32)
             hm, lb_map, gt_det = build_fewshot_maps(
                 tomo.shape, coords, labels,
                 bbox=config.bbox, down_ratio=config.down_ratio,

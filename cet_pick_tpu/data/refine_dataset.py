@@ -26,7 +26,7 @@ from __future__ import annotations
 import numpy as np
 
 from cet_pick_tpu.io.coords import match_coordinates_to_images, read_coord_table, read_image_list
-from cet_pick_tpu.io.loader import load_tomos_from_list
+from cet_pick_tpu.io.loader import QuantizedTomo, load_tomos_quantized_from_list
 from cet_pick_tpu.ops.heatmap import build_heatmap
 
 CROP_D, CROP_HALF_XY, CROP_HM_HALF = 6, 32, 16  # particle_moco.py:132-137
@@ -52,7 +52,9 @@ class RefineDataset:
                 "test": config.test_coord_txt,
             }[split]
             il = read_image_list(os.path.join(config.data_dir, img_txt))
-            images = load_tomos_from_list(
+            # volumes stay uint8-resident (4x less host RAM); crops
+            # dequantize bit-identically on access (io/loader.QuantizedTomo)
+            images = load_tomos_quantized_from_list(
                 il.image_name, il.rec_path,
                 order=config.order, compress=config.compress, denoise=config.gauss,
             )
@@ -63,7 +65,9 @@ class RefineDataset:
         self.all_anns = []  # rows (x_down, y_down, z, tomo_index)
         pu = not config.pn
         for i, (name, entry) in enumerate(matched.items()):
-            tomo = entry["tomo"].astype(np.float32)
+            tomo = entry["tomo"]
+            if not isinstance(tomo, QuantizedTomo):  # keep the uint8 store
+                tomo = np.asarray(tomo, np.float32)
             hm, inds, gt_det, anns = build_heatmap(
                 tomo.shape, entry["coord"],
                 bbox=config.bbox, down_ratio=config.down_ratio,

@@ -333,13 +333,14 @@ def warm_from_header(det, rec_paths, config):
     a corrupt-but-parseable file, device OOM on a bogus geometry) is
     swallowed so the stream's loader keeps reporting its actionable per-file
     error instead of an opaque crash inside the warmup."""
-    if not len(rec_paths):
+    paths = list(rec_paths)
+    if not paths:
         return
     from cet_pick_tpu.io.loader import predict_loaded_shape
 
     try:
         shape = predict_loaded_shape(
-            rec_paths.iloc[0], order=config.order, compress=config.compress)
+            paths[0], order=config.order, compress=config.compress)
         det.warm(shape)
     except Exception:
         pass

@@ -96,7 +96,7 @@ def _stream(config, items):
     )
 
 
-def process_files(det, config, paths, out_dir, log_fn=print):
+def process_files(det, config, paths, out_dir, warm=False, log_fn=print):
     """Run the detector over a list of volume files; returns
     {path: (status, n_picks, seconds)}. Outputs are identical to `test` on
     the same files (same TomoDetector stages + writers).
@@ -104,7 +104,12 @@ def process_files(det, config, paths, out_dir, log_fn=print):
     Same write-behind schedule as run_test: a writer thread runs file i's
     large heatmap fetch + post-process + file writes while file i+1's
     forward computes — but with per-file error isolation (a writer failure
-    marks that file failed instead of stopping the service)."""
+    marks that file failed instead of stopping the service).
+
+    ``warm=True`` pre-compiles for the first file's header-predicted
+    geometry while its data loads (run_test's schedule); the service passes
+    it only on the first batch — at steady state the compiled programs are
+    already cached and re-warming would just burn a zeros forward."""
     import queue
     import threading
 
@@ -132,6 +137,10 @@ def process_files(det, config, paths, out_dir, log_fn=print):
     w.start()
     try:
         with _stream(config, items) as vols:
+            if warm:
+                from cet_pick_tpu.infer.detector import warm_from_header
+
+                warm_from_header(det, [p for _, p in items], config)
             # the stream yields strictly in input order (FIFO queue over a
             # sequential producer), so zip recovers each item's path
             for (name, path), (_, v_dev, lo, hi, err) in zip(items, vols):
@@ -165,6 +174,7 @@ def run_watch(config, watch_dir: str, out_dir: Optional[str] = None,
     served: Dict[str, str] = {}
     pending: Dict[str, Tuple[int, int]] = {}
     cycles = 0
+    first_batch = True
     log_fn(f"watch: serving {watch_dir} -> {out_dir} "
            f"({len(done)} already in manifest)")
     while True:
@@ -176,7 +186,9 @@ def run_watch(config, watch_dir: str, out_dir: Optional[str] = None,
             ready = sorted(p for p, s in fresh.items() if pending.get(p) == s)
         pending = fresh
         if ready:
-            res = process_files(det, config, ready, out_dir, log_fn=log_fn)
+            res = process_files(det, config, ready, out_dir,
+                                warm=first_batch, log_fn=log_fn)
+            first_batch = False
             # iterate in claim order, not completion order: the writer thread
             # may record results out of order, but the manifest stays
             # deterministic (tests pin its row order)

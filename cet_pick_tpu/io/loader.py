@@ -195,6 +195,71 @@ def preprocess_quantized(vol, denoise=0):
     return q, lo, hi
 
 
+class QuantizedTomo:
+    """A preprocessed tomogram kept uint8-resident in host RAM.
+
+    ``preprocess``'s tomogram output takes only 256 distinct float values —
+    it IS ``(q - lo) / (hi - lo)`` for the ``(q, lo, hi)`` that
+    ``preprocess_quantized`` returns — so training datasets can hold volumes
+    quantized (4x less host RAM than float32; the reference keeps every
+    volume float on the torch side, tomo_moco.py:75-131) and dequantize
+    crops on access. Dequantization runs the same float64 elementwise ops as
+    ``preprocess``'s final min-max pass, so samples are BIT-IDENTICAL to a
+    float-resident dataset (tests/test_io.py::test_quantized_tomo_store).
+
+    Supports the ndarray surface the crop datasets use: ``.shape``,
+    ``.ndim``, slicing (returns a dequantized float32 array) and
+    ``.astype``.
+    """
+
+    def __init__(self, u8, lo, hi):
+        self.u8 = u8
+        self.lo = float(lo)
+        self.hi = float(hi)
+
+    @property
+    def shape(self):
+        return self.u8.shape
+
+    @property
+    def ndim(self):
+        return self.u8.ndim
+
+    def _dequant(self, q):
+        x = q.astype(np.float64)
+        x -= self.lo
+        x /= (self.hi - self.lo) or 1.0  # constant volume -> zeros (like
+        #                                  _minmax01's mx == mn guard)
+        return x.astype(np.float32)
+
+    def __getitem__(self, idx):
+        return self._dequant(self.u8[idx])
+
+    def astype(self, dtype):
+        return self._dequant(self.u8).astype(dtype, copy=False)
+
+    def __array__(self, dtype=None, copy=None):
+        # np.asarray(tomo, np.float32) materializes the dequantized volume
+        out = self._dequant(self.u8)
+        return out.astype(dtype, copy=False) if dtype is not None else out
+
+
+def load_tomos_quantized_from_list(names, paths, order="xzy", compress=False,
+                                   denoise=0):
+    """``load_tomos_from_list`` (tomogram path) with uint8-resident volumes.
+
+    Returns {name: QuantizedTomo}: same preprocessing, 4x less host RAM,
+    bit-identical crops (see QuantizedTomo). Tomograms only — the tilt path
+    normalizes per slice, which has no single (lo, hi) representation.
+    """
+    images = {}
+    for name, path in zip(names, paths):
+        im = load_rec(path, order=order, compress=compress, is_tilt=False)
+        q, lo, hi = preprocess_quantized(im, denoise=denoise)
+        images[name] = QuantizedTomo(q, lo, hi)
+    return images
+
+
 def load_tlt(path):
     """Read a .tlt tilt-angle file -> (n, 1) float array (loader.py:134-137)."""
     return np.loadtxt(path, ndmin=1).reshape(-1, 1)

@@ -458,3 +458,56 @@ def test_predict_loaded_shape_matches_load_rec(tmp_path, rng):
                 got = predict_loaded_shape(p, order=order, compress=compress)
                 real = load_rec(p, order=order, compress=compress).shape
                 assert got == real, (order, compress, got, real)
+
+
+def test_quantized_tomo_store_bit_identical(tmp_path, rng):
+    """Datasets built from disk hold volumes uint8-resident (4x less host
+    RAM) and must produce BIT-IDENTICAL samples to a float-resident build:
+    preprocess()'s tomogram output is exactly (q - lo)/(hi - lo), and
+    QuantizedTomo dequantizes crops with the same float64 op order."""
+    import pandas as pd
+
+    from cet_pick_tpu.config import Config
+    from cet_pick_tpu.data.refine_dataset import RefineDataset
+    from cet_pick_tpu.io.loader import (
+        QuantizedTomo, load_rec, load_tomos_quantized_from_list, preprocess,
+    )
+    from cet_pick_tpu.io.mrc import write_mrc
+
+    vol = rng.standard_normal((16, 96, 96)).astype(np.float32)
+    p = str(tmp_path / "syn0.rec")
+    write_mrc(p, vol)
+    (tmp_path / "train_images.txt").write_text(
+        f"image_name\trec_path\nsyn0\t{p}\n")
+    df = pd.DataFrame({
+        "image_name": ["syn0"] * 6,
+        "x_coord": [20, 40, 60, 70, 30, 50],
+        "y_coord": [30, 60, 20, 50, 70, 40],
+        "z_coord": [4, 8, 11, 6, 9, 7],
+    })
+    df.to_csv(tmp_path / "train_coords.txt", sep="\t", index=False)
+
+    cfg = Config(task="semi", arch="unet_2", order="zxy", bbox=8,
+                 data_dir=str(tmp_path), root_dir=str(tmp_path)).finalize()
+    ds_q = RefineDataset(cfg, "train")  # disk path -> quantized store
+    assert isinstance(ds_q.tomos[0], QuantizedTomo)
+    assert ds_q.tomos[0].u8.dtype == np.uint8
+
+    floats = {"syn0": preprocess(load_rec(p, order="zxy")).astype(np.float32)}
+    ds_f = RefineDataset(cfg, "train", images=floats, coords_df=df)
+
+    # the standalone QuantizedTomo views equal the float volume bitwise
+    qt = load_tomos_quantized_from_list(["syn0"], [p], order="zxy")["syn0"]
+    np.testing.assert_array_equal(qt.astype(np.float32), floats["syn0"])
+    np.testing.assert_array_equal(qt[3:9, 10:40, 20:50],
+                                  floats["syn0"][3:9, 10:40, 20:50])
+    np.testing.assert_array_equal(np.asarray(qt, np.float32), floats["syn0"])
+
+    # identical rng streams -> identical batches, bit for bit
+    b_q = ds_q.sample_batch(np.random.default_rng(7), [0, 3, 5])
+    b_f = ds_f.sample_batch(np.random.default_rng(7), [0, 3, 5])
+    for k in b_f:
+        np.testing.assert_array_equal(b_q[k], b_f[k], err_msg=k)
+    v_q, v_f = ds_q.val_item(0), ds_f.val_item(0)
+    np.testing.assert_array_equal(v_q["input"], v_f["input"])
+    np.testing.assert_array_equal(v_q["hm"], v_f["hm"])
