@@ -32,7 +32,7 @@ from flax import core
 
 from cet_pick_tpu.ops.augment import simsiam_augment, simsiam_augment_3d
 from cet_pick_tpu.train.losses import simsiam_loss
-from cet_pick_tpu.train.state import TrainState
+from cet_pick_tpu.train.state import TrainState, jit_init
 
 
 def create_simsiam_state(model, config, rng, sample_batch, lr=None):
@@ -41,7 +41,7 @@ def create_simsiam_state(model, config, rng, sample_batch, lr=None):
     b, c = anchor.shape[:2]
     x2d = anchor[:, 0, :, :, None]
     x3d = anchor[:, 1, :, :, None] if c == 2 else None
-    variables = model.init(rng, x2d, x3d, x2d, x3d, train=False)
+    variables = jit_init(model, rng, x2d, x3d, x2d, x3d, train=False)
     tx = optax.inject_hyperparams(optax.sgd)(
         learning_rate=lr if lr is not None else config.lr
     )

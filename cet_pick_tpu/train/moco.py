@@ -50,11 +50,13 @@ class MoCoState(struct.PyTreeNode):
 
 
 def create_moco_state(model, config, rng, sample_batch, r=1024, lr=None):
+    from cet_pick_tpu.train.state import jit_init
+
     anchor = jnp.asarray(sample_batch["anchor"])
     b, c = anchor.shape[:2]
     x2d = anchor[:, 0, :, :, None]
     x3d = anchor[:, 1, :, :, None] if c == 2 else None
-    variables = model.init(rng, x2d, x3d, x2d, x3d, train=False)
+    variables = jit_init(model, rng, x2d, x3d, x2d, x3d, train=False)
     tx = optax.inject_hyperparams(optax.sgd)(
         learning_rate=lr if lr is not None else config.lr
     )

@@ -176,9 +176,11 @@ def create_scan_state(model, config, rng, sample2d, sample3d, lr=1e-4):
 
     from cet_pick_tpu.train.state import TrainState
 
-    variables = model.init(rng, jnp.asarray(sample2d),
-                           None if sample3d is None else jnp.asarray(sample3d),
-                           train=False)
+    from cet_pick_tpu.train.state import jit_init
+
+    variables = jit_init(model, rng, jnp.asarray(sample2d),
+                         None if sample3d is None else jnp.asarray(sample3d),
+                         train=False)
     tx = _optax.inject_hyperparams(_optax.adam)(learning_rate=lr)
     params = variables["params"]
     from flax import core

@@ -43,6 +43,19 @@ class TrainState(struct.PyTreeNode):
         )
 
 
+def jit_init(model, *args, **kwargs):
+    """``model.init`` under jit. flax's init runs EAGERLY, op by op; on a
+    remote-attached TPU each of its hundreds of tiny dispatches pays the
+    link's ~8-11 ms latency floor — measured 102 s of pure init for the
+    flagship detector (benchmarks/train_cli_phases.py) vs one compile + one
+    dispatch jitted. Param values are unchanged: init is PRNG- and
+    shape-dependent only. kwargs (e.g. ``train=False``) are closed over as
+    static; None args stay valid (empty pytrees)."""
+    import functools
+
+    return jax.jit(functools.partial(model.init, **kwargs))(*args)
+
+
 def create_train_state(model, config, rng, sample_input, lr=None,
                        freeze=()):
     """Initialize model variables + Adam optimizer (torch defaults, main.py:55).
@@ -51,7 +64,7 @@ def create_train_state(model, config, rng, sample_input, lr=None,
     the sequential fine-tune mode that freezes the ``hm`` head before
     continuing training (reference main_seq.py:36-40).
     """
-    variables = model.init(rng, jnp.asarray(sample_input), train=False)
+    variables = jit_init(model, rng, jnp.asarray(sample_input), train=False)
     tx = optax.inject_hyperparams(optax.adam)(
         learning_rate=lr if lr is not None else config.lr
     )
