@@ -67,12 +67,39 @@ def cmd_train(argv):
         train_ds = RefineDataset(cfg, "train")
         train_supervised(cfg, train_ds, log_fn=log)
     else:
-        from cet_pick_tpu.data.refine_dataset import RefineDataset
-        from cet_pick_tpu.train.refine import train_refine
+        import threading
 
-        train_ds = RefineDataset(cfg, "train")
-        val_ds = RefineDataset(cfg, "val") if cfg.val_intervals > 0 else None
-        train_refine(cfg, train_ds, val_dataset=val_ds, log_fn=log)
+        from cet_pick_tpu.data.refine_dataset import RefineDataset
+        from cet_pick_tpu.train.refine import prepare_refine, train_refine
+
+        # fail fast on missing inputs BEFORE paying the device setup below
+        for f in (cfg.train_img_txt, cfg.train_coord_txt):
+            p = os.path.join(cfg.data_dir, f)
+            if not os.path.exists(p):
+                raise FileNotFoundError(p)
+
+        # the dataset build (disk read + preprocess + heatmap splat) is pure
+        # host work and every train-step shape is static, so it overlaps the
+        # device-side setup (backend handshake + jitted init + step compile
+        # — minutes on a remote-attached TPU) on a sibling thread
+        holder, errs = {}, []
+
+        def _build():
+            try:
+                holder["train"] = RefineDataset(cfg, "train")
+                if cfg.val_intervals > 0:
+                    holder["val"] = RefineDataset(cfg, "val")
+            except BaseException as e:  # surfaced after join
+                errs.append(e)
+
+        th = threading.Thread(target=_build, daemon=True)
+        th.start()
+        prepared = prepare_refine(cfg, log_fn=log)
+        th.join()
+        if errs:
+            raise errs[0]
+        train_refine(cfg, holder["train"], val_dataset=holder.get("val"),
+                     log_fn=log, prepared=prepared)
     logger.close()
 
 

@@ -214,22 +214,41 @@ def lr_at_epoch(config, epoch):
     return lr
 
 
-def train_refine(config, dataset, val_dataset=None, num_epochs=None, log_fn=print):
-    """Full training loop (main.py:99-128): epochs, LR steps, periodic val/ckpt."""
-    import os
+def dummy_refine_batch(config):
+    """Zeros batch with RefineDataset's sample layout. Every shape is a
+    constant (CROP_D x 64 x 64 crops, pairs of 2, batch_size) — which is
+    what lets the whole device-side setup compile before any data exists."""
+    from cet_pick_tpu.data.refine_dataset import CROP_D
 
+    b = config.batch_size
+    return {
+        "input": np.zeros((b, 2, CROP_D, 64, 64), np.float32),
+        "input_aug": np.zeros((b, 2, CROP_D, 64, 64), np.float32),
+        "hm": np.zeros((b, 2, CROP_D, 32, 32), np.float32),
+        "hm_aug": np.zeros((b, 2, CROP_D, 32, 32), np.float32),
+        "flip_prob": np.zeros((b,), np.float32),
+    }
+
+
+def prepare_refine(config, log_fn=print):
+    """Device-side setup from config alone: model, train state (jitted
+    init), checkpoint load, DP placement, and the train step compiled +
+    warm-run once on a zeros batch (outputs discarded — params untouched).
+
+    None of this needs data, so ``cmd_train`` runs it concurrently with the
+    host-side dataset build (disk read + preprocess + heatmap splat, tens
+    of seconds): on a remote-attached TPU the backend handshake + XLA
+    compile are minutes that otherwise serialize in front of epoch 1."""
     from cet_pick_tpu.models.detector import create_detector
-    from cet_pick_tpu.train.state import (
-        create_train_state, load_checkpoint, save_checkpoint, set_learning_rate,
-    )
+    from cet_pick_tpu.parallel.mesh import auto_dp_step
+    from cet_pick_tpu.train.state import create_train_state, load_checkpoint
 
     model = create_detector(config)
-    rng = np.random.default_rng(config.seed)
     init_rng = jax.random.PRNGKey(config.seed)
-
-    sample = dataset.sample_batch(rng, [0])
-    b, p, d, h, w = sample["input"].shape
-    state = create_train_state(model, config, init_rng, sample["input"].reshape(b * p, d, h, w))
+    dummy = dummy_refine_batch(config)
+    b, p, d, h, w = dummy["input"].shape
+    state = create_train_state(
+        model, config, init_rng, dummy["input"].reshape(b * p, d, h, w))
     if config.load_model:
         state = load_checkpoint(config.load_model, state, resume=config.resume)
         log_fn(f"loaded checkpoint from {config.load_model} (epoch {state.epoch})")
@@ -237,12 +256,35 @@ def train_refine(config, dataset, val_dataset=None, num_epochs=None, log_fn=prin
     # data-parallel mesh when requested (--mesh_shape N) or when several
     # devices are visible and the batch shards evenly: state replicated,
     # batch sharded, gradient all-reduce inserted by GSPMD (parallel/mesh.py)
-    from cet_pick_tpu.parallel.mesh import auto_dp_step
-
     train_step, place_state, place_batch, _ = auto_dp_step(
         config, make_train_step(model, config), log_fn=log_fn
     )
     state = place_state(state)
+    # compile + first-run the step now; everything is discarded
+    _s, _m = train_step(state, place_batch(dummy))
+    np.asarray(jax.tree_util.tree_leaves(_m)[0])
+    del _s, _m
+    return {"model": model, "state": state, "train_step": train_step,
+            "place_batch": place_batch}
+
+
+def train_refine(config, dataset, val_dataset=None, num_epochs=None,
+                 log_fn=print, prepared=None):
+    """Full training loop (main.py:99-128): epochs, LR steps, periodic val/ckpt.
+
+    ``prepared``: the result of :func:`prepare_refine`, when the caller
+    overlapped device setup with the dataset build (cmd_train)."""
+    import os
+
+    from cet_pick_tpu.train.state import save_checkpoint, set_learning_rate
+
+    if prepared is None:
+        prepared = prepare_refine(config, log_fn=log_fn)
+    model = prepared["model"]
+    state = prepared["state"]
+    train_step = prepared["train_step"]
+    place_batch = prepared["place_batch"]
+    rng = np.random.default_rng(config.seed)
     val_step = make_val_step(model) if val_dataset is not None else None
 
     num_epochs = num_epochs or config.num_epochs
