@@ -156,16 +156,34 @@ def cmd_explore(argv):
                batch_size=256, lr=1e-3, cosine=True, num_epochs=20),
     )
     cfg = config_from_args(parser.parse_args(argv))
-    from cet_pick_tpu.data.explore_dataset import ExploreDataset
-    from cet_pick_tpu.train.explore import train_explore
+    import threading
 
+    from cet_pick_tpu.data.explore_dataset import ExploreDataset
+    from cet_pick_tpu.train.explore import prepare_explore, train_explore
     from cet_pick_tpu.utils.logger import Logger
 
-    ds = ExploreDataset(cfg, "train")
+    if not os.path.exists(os.path.join(cfg.data_dir, cfg.train_img_txt)):
+        raise FileNotFoundError(os.path.join(cfg.data_dir, cfg.train_img_txt))
     logger = Logger(cfg)
-
     log = logger.log
-    train_explore(cfg, ds, log_fn=log)
+
+    # overlap the dataset build (DoG mining + tilt-sum extraction) with the
+    # device-side setup — see train/explore.prepare_explore
+    holder, errs = {}, []
+
+    def _build():
+        try:
+            holder["ds"] = ExploreDataset(cfg, "train")
+        except BaseException as e:  # surfaced after join
+            errs.append(e)
+
+    th = threading.Thread(target=_build, daemon=True)
+    th.start()
+    prepared = prepare_explore(cfg, log_fn=log)
+    th.join()
+    if errs:
+        raise errs[0]
+    train_explore(cfg, holder["ds"], log_fn=log, prepared=prepared)
     logger.close()
 
 
@@ -198,16 +216,33 @@ def cmd_embed(argv):
     cfg = config_from_args(parser.parse_args(argv))
     if not cfg.load_model:
         cfg.load_model = os.path.join(cfg.save_dir, "model_last")
+    import threading
+
     import jax
     import numpy as np
 
     from cet_pick_tpu.data.explore_dataset import ExploreDataset
-    from cet_pick_tpu.infer.embed import extract_embeddings, save_embeddings
+    from cet_pick_tpu.infer.embed import (
+        extract_embeddings, prepare_embed, save_embeddings,
+    )
     from cet_pick_tpu.models.simsiam import create_simsiam
     from cet_pick_tpu.train.explore import create_simsiam_state
     from cet_pick_tpu.train.state import load_checkpoint
 
-    ds = ExploreDataset(cfg, "test")
+    if not os.path.exists(os.path.join(cfg.data_dir, cfg.test_img_txt)):
+        raise FileNotFoundError(os.path.join(cfg.data_dir, cfg.test_img_txt))
+    # overlap the dataset build (DoG mining + patch extraction) with the
+    # checkpoint load + forward compile (infer/embed.prepare_embed)
+    holder, errs = {}, []
+
+    def _build():
+        try:
+            holder["ds"] = ExploreDataset(cfg, "test")
+        except BaseException as e:  # surfaced after join
+            errs.append(e)
+
+    th = threading.Thread(target=_build, daemon=True)
+    th.start()
     model = create_simsiam(cfg)
     if cfg.load_model.endswith((".pth", ".pt")):
         # trained reference exploration checkpoint: convert in place
@@ -229,7 +264,12 @@ def cmd_embed(argv):
         state = create_simsiam_state(model, cfg, jax.random.PRNGKey(0), sample)
         state = load_checkpoint(cfg.load_model, state)
         params, batch_stats = state.params, state.batch_stats
-    result = extract_embeddings(cfg, ds, params, batch_stats)
+    prepared = prepare_embed(cfg, params, batch_stats)
+    th.join()
+    if errs:
+        raise errs[0]
+    result = extract_embeddings(cfg, holder["ds"], params, batch_stats,
+                                prepared=prepared)
     path = save_embeddings(cfg, result)
     print(f"saved {path}")
 

@@ -21,12 +21,11 @@ import jax
 import numpy as np
 
 
-def extract_embeddings(config, dataset, params, batch_stats, batch_size=256):
-    """Run forward_test over every candidate patch; returns the npz dict."""
+def _fwd_fns(config, params, batch_stats):
+    """Jitted forward_test closures over fixed params (2d3d + 3d variants)."""
     from cet_pick_tpu.models.simsiam import create_simsiam
 
     model = create_simsiam(config)
-    mode = model.mode
 
     @jax.jit
     def fwd(x2d, x3d):
@@ -41,6 +40,34 @@ def extract_embeddings(config, dataset, params, batch_stats, batch_size=256):
             {"params": params, "batch_stats": batch_stats},
             x2d, None, method=model.forward_test,
         )
+
+    return model.mode, fwd, fwd_2donly
+
+
+def prepare_embed(config, params, batch_stats, batch_size=256):
+    """Compile + warm-run forward_test on its static (batch_size, bbox,
+    bbox, 1) patch shape. cmd_embed runs this concurrently with the
+    ExploreDataset build (DoG mining + patch extraction) so the remote
+    backend handshake + XLA compile stop serializing behind it — the same
+    schedule as train/refine.prepare_refine."""
+    mode, fwd, fwd_2donly = prepared = _fwd_fns(config, params, batch_stats)
+    z = np.zeros((batch_size, int(config.bbox), int(config.bbox), 1),
+                 np.float32)
+    out = fwd(z, z) if mode == "2d3d" else fwd_2donly(z)
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
+    del out
+    return prepared
+
+
+def extract_embeddings(config, dataset, params, batch_stats, batch_size=256,
+                       prepared=None):
+    """Run forward_test over every candidate patch; returns the npz dict.
+
+    ``prepared``: the result of :func:`prepare_embed` when the caller
+    overlapped compilation with the dataset build."""
+    if prepared is None:
+        prepared = _fwd_fns(config, params, batch_stats)
+    mode, fwd, fwd_2donly = prepared
 
     names, coords, p2s, p3s = [], [], [], []
     for name, coord, p2, p3 in dataset.test_items():

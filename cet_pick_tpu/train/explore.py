@@ -147,19 +147,38 @@ def simsiam_step_fn(model, config, mode: str):
     return train_step
 
 
-def train_explore(config, dataset, num_epochs=None, log_fn=print):
-    """Full exploration training loop (simsiam_main.py:108-166)."""
+def dummy_explore_batch(config, mode):
+    """Zeros batch with ExploreDataset's sample layout — (B, C, bbox, bbox)
+    anchor/aug plus per-channel norm constants, all static from config."""
+    c = 2 if mode == "2d3d" else 1
+    b = config.batch_size
+    s = int(config.bbox)
+    return {
+        "anchor": np.zeros((b, c, s, s), np.float32),
+        "aug": np.zeros((b, c, s, s), np.float32),
+        "norm_mean": np.zeros((c,), np.float32),
+        "norm_std": np.ones((c,), np.float32),
+    }
+
+
+def prepare_explore(config, log_fn=print):
+    """Device-side setup from config alone: model, train state (jitted
+    init), checkpoint load, DP placement, and the step compiled + warm-run
+    once on a zeros batch (outputs discarded).
+
+    Every shape the exploration step sees is static, so ``cmd_explore``
+    runs this concurrently with the ExploreDataset build — DoG mining +
+    tilt-sum patch extraction, the pipeline's heaviest host preprocess
+    (SURVEY §3.3) — instead of serializing the remote backend handshake +
+    XLA compile behind it (same schedule as train/refine.prepare_refine)."""
     from cet_pick_tpu.models.simsiam import create_simsiam
-    from cet_pick_tpu.train.state import (
-        load_checkpoint, save_checkpoint, set_learning_rate,
-    )
+    from cet_pick_tpu.parallel.mesh import auto_dp_step
+    from cet_pick_tpu.train.state import load_checkpoint
 
     model = create_simsiam(config)
-    rng = np.random.default_rng(config.seed)
     init_rng = jax.random.PRNGKey(config.seed)
-
-    sample = dataset.sample_batch(rng, [0])
-    state = create_simsiam_state(model, config, init_rng, sample)
+    dummy = dummy_explore_batch(config, model.mode)
+    state = create_simsiam_state(model, config, init_rng, dummy)
     if config.load_model:
         if config.load_model.endswith((".pth", ".pt")):
             # torch checkpoint: trained reference exploration ckpt converts
@@ -175,12 +194,32 @@ def train_explore(config, dataset, num_epochs=None, log_fn=print):
     # data-parallel mesh when requested (--mesh_shape N) or when several
     # devices are visible and the batch shards evenly — shared policy with
     # train_refine/train_moco; the reference's DDP path (simsiam_main.py:28-45)
-    from cet_pick_tpu.parallel.mesh import auto_dp_step
-
     step, place_state, place_batch, _ = auto_dp_step(
         config, simsiam_step_fn(model, config, model.mode), log_fn=log_fn
     )
     state = place_state(state)
+    _s, _m = step(state, place_batch(dummy), jax.random.PRNGKey(0))
+    np.asarray(jax.tree_util.tree_leaves(_m)[0])
+    del _s, _m
+    return {"model": model, "state": state, "step": step,
+            "place_batch": place_batch}
+
+
+def train_explore(config, dataset, num_epochs=None, log_fn=print,
+                  prepared=None):
+    """Full exploration training loop (simsiam_main.py:108-166).
+
+    ``prepared``: the result of :func:`prepare_explore`, when the caller
+    overlapped device setup with the dataset build (cmd_explore)."""
+    from cet_pick_tpu.train.state import save_checkpoint, set_learning_rate
+
+    if prepared is None:
+        prepared = prepare_explore(config, log_fn=log_fn)
+    model = prepared["model"]
+    state = prepared["state"]
+    step = prepared["step"]
+    place_batch = prepared["place_batch"]
+    rng = np.random.default_rng(config.seed)
     norm_mean = (
         np.array([dataset.mean_2d, dataset.mean_3d], np.float32)
         if model.mode == "2d3d" else np.array([dataset.mean_3d], np.float32)
