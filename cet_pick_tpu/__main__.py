@@ -196,15 +196,33 @@ def cmd_moco(argv):
                lr=1e-3, cosine=True, num_epochs=20, head_conv=256),
     )
     cfg = config_from_args(parser.parse_args(argv))
+    import threading
+
     from cet_pick_tpu.data.explore_dataset import ExploreDataset
-    from cet_pick_tpu.train.moco import train_moco
+    from cet_pick_tpu.train.moco import prepare_moco, train_moco
     from cet_pick_tpu.utils.logger import Logger
 
-    ds = ExploreDataset(cfg, "train")
+    if not os.path.exists(os.path.join(cfg.data_dir, cfg.train_img_txt)):
+        raise FileNotFoundError(os.path.join(cfg.data_dir, cfg.train_img_txt))
     logger = Logger(cfg)
-
     log = logger.log
-    train_moco(cfg, ds, log_fn=log)
+
+    # overlap the dataset build with the device-side setup (train/moco)
+    holder, errs = {}, []
+
+    def _build():
+        try:
+            holder["ds"] = ExploreDataset(cfg, "train")
+        except BaseException as e:  # surfaced after join
+            errs.append(e)
+
+    th = threading.Thread(target=_build, daemon=True)
+    th.start()
+    prepared = prepare_moco(cfg, log_fn=log)
+    th.join()
+    if errs:
+        raise errs[0]
+    train_moco(cfg, holder["ds"], log_fn=log, prepared=prepared)
     logger.close()
 
 

@@ -215,18 +215,22 @@ def load_moco_checkpoint(path, state: MoCoState) -> MoCoState:
     return state.replace(**fields)
 
 
-def train_moco(config, dataset, num_epochs=None, r=1024, log_fn=print):
-    """MoCo epoch loop (moco_main.py)."""
+def prepare_moco(config, r=1024, log_fn=print):
+    """Device-side setup from config alone (static shapes — see
+    train/explore.prepare_explore): model, state, checkpoint load, DP
+    placement, step compiled + warm-run once on a zeros batch (discarded;
+    the REAL state's queue is untouched). cmd_moco overlaps this with the
+    ExploreDataset build."""
     from cet_pick_tpu.models.simsiam import create_simsiam
-    from cet_pick_tpu.train.explore import simsiam_lr_at_epoch, simsiam_warmup_lr
+    from cet_pick_tpu.parallel.mesh import auto_dp_step
+    from cet_pick_tpu.train.explore import dummy_explore_batch
 
     model = create_simsiam(config)
-    rng = np.random.default_rng(config.seed)
     init_rng = jax.random.PRNGKey(config.seed)
-    sample = dataset.sample_batch(rng, [0])
+    dummy = dummy_explore_batch(config, model.mode)
     # queue size must divide evenly by batch (moco.py:46 assert)
     r = max(config.batch_size, r - r % config.batch_size)
-    state = create_moco_state(model, config, init_rng, sample, r=r)
+    state = create_moco_state(model, config, init_rng, dummy, r=r)
     if config.load_model:
         if config.load_model.endswith((".pth", ".pt")):
             # torch checkpoint: trained reference ckpt or torchvision
@@ -249,12 +253,32 @@ def train_moco(config, dataset, num_epochs=None, r=1024, log_fn=print):
     # queue + momentum encoder are replicated state, the key embeddings that
     # feed the queue update are the all-gathered global batch, so the queue
     # stays bit-identical to the single-device run
-    from cet_pick_tpu.parallel.mesh import auto_dp_step
-
     step, place_state, place_batch, _ = auto_dp_step(
         config, moco_step_fn(model, config, model.mode), log_fn=log_fn
     )
     state = place_state(state)
+    _s, _m = step(state, place_batch(dummy), jax.random.PRNGKey(0))
+    np.asarray(jax.tree_util.tree_leaves(_m)[0])
+    del _s, _m
+    return {"model": model, "state": state, "step": step,
+            "place_batch": place_batch}
+
+
+def train_moco(config, dataset, num_epochs=None, r=1024, log_fn=print,
+               prepared=None):
+    """MoCo epoch loop (moco_main.py).
+
+    ``prepared``: the result of :func:`prepare_moco`, when the caller
+    overlapped device setup with the dataset build (cmd_moco)."""
+    from cet_pick_tpu.train.explore import simsiam_lr_at_epoch, simsiam_warmup_lr
+
+    if prepared is None:
+        prepared = prepare_moco(config, r=r, log_fn=log_fn)
+    model = prepared["model"]
+    state = prepared["state"]
+    step = prepared["step"]
+    place_batch = prepared["place_batch"]
+    rng = np.random.default_rng(config.seed)
 
     norm_mean = (
         np.array([dataset.mean_2d, dataset.mean_3d], np.float32)
