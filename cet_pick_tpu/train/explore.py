@@ -198,9 +198,12 @@ def prepare_explore(config, log_fn=print):
         config, simsiam_step_fn(model, config, model.mode), log_fn=log_fn
     )
     state = place_state(state)
-    _s, _m = step(state, place_batch(dummy), jax.random.PRNGKey(0))
+    # warm on a COPY: the DP-mesh step donates its state buffers
+    # (make_dp_step donate=(0,)) — see train/refine.prepare_refine
+    warm_state = jax.tree_util.tree_map(jnp.copy, state)
+    _s, _m = step(warm_state, place_batch(dummy), jax.random.PRNGKey(0))
     np.asarray(jax.tree_util.tree_leaves(_m)[0])
-    del _s, _m
+    del _s, _m, warm_state
     return {"model": model, "state": state, "step": step,
             "place_batch": place_batch}
 

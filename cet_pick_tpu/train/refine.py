@@ -260,10 +260,13 @@ def prepare_refine(config, log_fn=print):
         config, make_train_step(model, config), log_fn=log_fn
     )
     state = place_state(state)
-    # compile + first-run the step now; everything is discarded
-    _s, _m = train_step(state, place_batch(dummy))
+    # compile + first-run the step now; everything is discarded. Warm on a
+    # COPY: the DP-mesh step donates its state buffers (make_dp_step
+    # donate=(0,)), so running it on `state` itself would delete them.
+    warm_state = jax.tree_util.tree_map(jnp.copy, state)
+    _s, _m = train_step(warm_state, place_batch(dummy))
     np.asarray(jax.tree_util.tree_leaves(_m)[0])
-    del _s, _m
+    del _s, _m, warm_state
     return {"model": model, "state": state, "train_step": train_step,
             "place_batch": place_batch}
 
