@@ -53,12 +53,35 @@ def cmd_train(argv):
     log = logger.log
     if cfg.task == "semiclass":
         # fill/unfill voxel-classification training (main.py --task semiclass)
-        from cet_pick_tpu.data.classify_dataset import SemiClassDataset
-        from cet_pick_tpu.train.semiclass import train_semiclass
+        import threading
 
-        train_ds = SemiClassDataset(cfg, "train")
-        val_ds = SemiClassDataset(cfg, "val") if cfg.val_intervals > 0 else None
-        train_semiclass(cfg, train_ds, val_dataset=val_ds, log_fn=log)
+        from cet_pick_tpu.data.classify_dataset import SemiClassDataset
+        from cet_pick_tpu.train.refine import prepare_refine
+        from cet_pick_tpu.train.semiclass import (
+            check_semiclass_config, train_semiclass,
+        )
+
+        check_semiclass_config(cfg)
+        # overlap the dataset build with the device-side setup (the step is
+        # shared with the semi task — train/refine.prepare_refine)
+        holder, errs = {}, []
+
+        def _build():
+            try:
+                holder["train"] = SemiClassDataset(cfg, "train")
+                if cfg.val_intervals > 0:
+                    holder["val"] = SemiClassDataset(cfg, "val")
+            except BaseException as e:  # surfaced after join
+                errs.append(e)
+
+        th = threading.Thread(target=_build, daemon=True)
+        th.start()
+        prepared = prepare_refine(cfg, log_fn=log, pairs=1, label=True)
+        th.join()
+        if errs:
+            raise errs[0]
+        train_semiclass(cfg, holder["train"], val_dataset=holder.get("val"),
+                        log_fn=log, prepared=prepared)
     elif cfg.task in ("tomo", "cr"):
         # dedicated supervised baselines (tomo_trainer.py / tomo_cr_trainer.py)
         from cet_pick_tpu.data.refine_dataset import RefineDataset

@@ -214,23 +214,30 @@ def lr_at_epoch(config, epoch):
     return lr
 
 
-def dummy_refine_batch(config):
+def dummy_refine_batch(config, pairs=2, label=False):
     """Zeros batch with RefineDataset's sample layout. Every shape is a
-    constant (CROP_D x 64 x 64 crops, pairs of 2, batch_size) — which is
-    what lets the whole device-side setup compile before any data exists."""
+    constant (CROP_D x 64 x 64 crops, anchor/partner pairs, batch_size) —
+    which is what lets the whole device-side setup compile before any data
+    exists. ``pairs=1, label=True`` is the semiclass layout (single
+    voxel-centric crop + center label per sample, data/classify_dataset.py);
+    the pytree structure must match the real batch exactly or the warm
+    compile is wasted."""
     from cet_pick_tpu.data.refine_dataset import CROP_D
 
     b = config.batch_size
-    return {
-        "input": np.zeros((b, 2, CROP_D, 64, 64), np.float32),
-        "input_aug": np.zeros((b, 2, CROP_D, 64, 64), np.float32),
-        "hm": np.zeros((b, 2, CROP_D, 32, 32), np.float32),
-        "hm_aug": np.zeros((b, 2, CROP_D, 32, 32), np.float32),
+    out = {
+        "input": np.zeros((b, pairs, CROP_D, 64, 64), np.float32),
+        "input_aug": np.zeros((b, pairs, CROP_D, 64, 64), np.float32),
+        "hm": np.zeros((b, pairs, CROP_D, 32, 32), np.float32),
+        "hm_aug": np.zeros((b, pairs, CROP_D, 32, 32), np.float32),
         "flip_prob": np.zeros((b,), np.float32),
     }
+    if label:
+        out["label"] = np.zeros((b,), np.float32)
+    return out
 
 
-def prepare_refine(config, log_fn=print):
+def prepare_refine(config, log_fn=print, pairs=2, label=False):
     """Device-side setup from config alone: model, train state (jitted
     init), checkpoint load, DP placement, and the train step compiled +
     warm-run once on a zeros batch (outputs discarded — params untouched).
@@ -245,7 +252,7 @@ def prepare_refine(config, log_fn=print):
 
     model = create_detector(config)
     init_rng = jax.random.PRNGKey(config.seed)
-    dummy = dummy_refine_batch(config)
+    dummy = dummy_refine_batch(config, pairs=pairs, label=label)
     b, p, d, h, w = dummy["input"].shape
     state = create_train_state(
         model, config, init_rng, dummy["input"].reshape(b * p, d, h, w))

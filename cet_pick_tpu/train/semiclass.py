@@ -29,19 +29,9 @@ import jax
 import numpy as np
 
 
-def train_semiclass(config, dataset, val_dataset=None, num_epochs=None,
-                    log_fn=print):
-    """Epoch loop for the semiclass task (main.py:99-128 with
-    task=semiclass; trainer wiring train_factory.py:22)."""
-    from cet_pick_tpu.models.detector import create_detector
-    from cet_pick_tpu.train.refine import (
-        lr_at_epoch, make_train_step, make_val_step,
-    )
-    from cet_pick_tpu.train.state import (
-        create_train_state, load_checkpoint, save_checkpoint,
-        set_learning_rate,
-    )
-
+def check_semiclass_config(config):
+    """Fail fast on an invalid loss selection — called by cmd_train BEFORE
+    the (minutes-long on remote TPUs) device setup, and again here."""
     if not (config.pn or config.ge):
         raise ValueError(
             "semiclass requires --pn (focal) or --ge (PU-GE); the plain PU "
@@ -49,26 +39,28 @@ def train_semiclass(config, dataset, val_dataset=None, num_epochs=None,
             "(tomo_cr_semi_class_trainer.py:25-36)"
         )
 
-    model = create_detector(config)
+
+def train_semiclass(config, dataset, val_dataset=None, num_epochs=None,
+                    log_fn=print, prepared=None):
+    """Epoch loop for the semiclass task (main.py:99-128 with
+    task=semiclass; trainer wiring train_factory.py:22).
+
+    ``prepared``: the result of ``prepare_refine(config, pairs=1,
+    label=True)`` (the step is shared with the semi task), when the caller
+    overlapped device setup with the dataset build (cmd_train)."""
+    from cet_pick_tpu.train.refine import (
+        lr_at_epoch, make_val_step, prepare_refine,
+    )
+    from cet_pick_tpu.train.state import save_checkpoint, set_learning_rate
+
+    check_semiclass_config(config)
+    if prepared is None:
+        prepared = prepare_refine(config, log_fn=log_fn, pairs=1, label=True)
+    model = prepared["model"]
+    state = prepared["state"]
+    train_step = prepared["train_step"]
+    place_batch = prepared["place_batch"]
     rng = np.random.default_rng(config.seed)
-    sample = dataset.sample_batch(rng, [0])
-    b, p, d, h, w = sample["input"].shape
-    state = create_train_state(
-        model, config, jax.random.PRNGKey(config.seed),
-        sample["input"].reshape(b * p, d, h, w),
-    )
-    if config.load_model:
-        state = load_checkpoint(config.load_model, state, resume=config.resume)
-        log_fn(f"loaded checkpoint from {config.load_model} "
-               f"(epoch {state.epoch})")
-
-    from cet_pick_tpu.parallel.mesh import auto_dp_step
-
-    # same DP policy as the semi task it shares its step with (refine.py)
-    train_step, place_state, place_batch, _ = auto_dp_step(
-        config, make_train_step(model, config), log_fn=log_fn
-    )
-    state = place_state(state)
     val_step = make_val_step(model) if val_dataset is not None else None
 
     num_epochs = num_epochs or config.num_epochs
