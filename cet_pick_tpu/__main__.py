@@ -42,6 +42,43 @@ from cet_pick_tpu.cli.common import add_config_arguments, config_from_args
 from cet_pick_tpu.config import Config
 
 
+def _check_inputs(cfg, *files):
+    """Fail fast on missing input files BEFORE the minutes-long device
+    setup the overlapped commands pay up front."""
+    for f in files:
+        p = os.path.join(cfg.data_dir, f)
+        if not os.path.exists(p):
+            raise FileNotFoundError(p)
+
+
+def _overlapped(build_fn):
+    """Run ``build_fn`` (a dataset build — pure host work) on a sibling
+    thread so the caller can run the device-side setup (backend handshake +
+    jitted init + step compile, minutes on a remote-attached TPU)
+    concurrently. Returns ``join()`` -> the built value (re-raises the
+    build's exception)."""
+    import threading
+
+    holder, errs = {}, []
+
+    def _run():
+        try:
+            holder["v"] = build_fn()
+        except BaseException as e:  # surfaced at join()
+            errs.append(e)
+
+    th = threading.Thread(target=_run, daemon=True)
+    th.start()
+
+    def join():
+        th.join()
+        if errs:
+            raise errs[0]
+        return holder["v"]
+
+    return join
+
+
 def cmd_train(argv):
     parser = argparse.ArgumentParser(prog="cet_pick_tpu train")
     add_config_arguments(parser, Config(task="semi", contrastive=True))
@@ -53,8 +90,6 @@ def cmd_train(argv):
     log = logger.log
     if cfg.task == "semiclass":
         # fill/unfill voxel-classification training (main.py --task semiclass)
-        import threading
-
         from cet_pick_tpu.data.classify_dataset import SemiClassDataset
         from cet_pick_tpu.train.refine import prepare_refine
         from cet_pick_tpu.train.semiclass import (
@@ -62,26 +97,17 @@ def cmd_train(argv):
         )
 
         check_semiclass_config(cfg)
+        _check_inputs(cfg, cfg.train_img_txt, cfg.train_coord_txt)
         # overlap the dataset build with the device-side setup (the step is
         # shared with the semi task — train/refine.prepare_refine)
-        holder, errs = {}, []
-
-        def _build():
-            try:
-                holder["train"] = SemiClassDataset(cfg, "train")
-                if cfg.val_intervals > 0:
-                    holder["val"] = SemiClassDataset(cfg, "val")
-            except BaseException as e:  # surfaced after join
-                errs.append(e)
-
-        th = threading.Thread(target=_build, daemon=True)
-        th.start()
+        join = _overlapped(lambda: (
+            SemiClassDataset(cfg, "train"),
+            SemiClassDataset(cfg, "val") if cfg.val_intervals > 0 else None,
+        ))
         prepared = prepare_refine(cfg, log_fn=log, pairs=1, label=True)
-        th.join()
-        if errs:
-            raise errs[0]
-        train_semiclass(cfg, holder["train"], val_dataset=holder.get("val"),
-                        log_fn=log, prepared=prepared)
+        train_ds, val_ds = join()
+        train_semiclass(cfg, train_ds, val_dataset=val_ds, log_fn=log,
+                        prepared=prepared)
     elif cfg.task in ("tomo", "cr"):
         # dedicated supervised baselines (tomo_trainer.py / tomo_cr_trainer.py)
         from cet_pick_tpu.data.refine_dataset import RefineDataset
@@ -90,39 +116,21 @@ def cmd_train(argv):
         train_ds = RefineDataset(cfg, "train")
         train_supervised(cfg, train_ds, log_fn=log)
     else:
-        import threading
-
         from cet_pick_tpu.data.refine_dataset import RefineDataset
         from cet_pick_tpu.train.refine import prepare_refine, train_refine
 
-        # fail fast on missing inputs BEFORE paying the device setup below
-        for f in (cfg.train_img_txt, cfg.train_coord_txt):
-            p = os.path.join(cfg.data_dir, f)
-            if not os.path.exists(p):
-                raise FileNotFoundError(p)
-
+        _check_inputs(cfg, cfg.train_img_txt, cfg.train_coord_txt)
         # the dataset build (disk read + preprocess + heatmap splat) is pure
         # host work and every train-step shape is static, so it overlaps the
-        # device-side setup (backend handshake + jitted init + step compile
-        # — minutes on a remote-attached TPU) on a sibling thread
-        holder, errs = {}, []
-
-        def _build():
-            try:
-                holder["train"] = RefineDataset(cfg, "train")
-                if cfg.val_intervals > 0:
-                    holder["val"] = RefineDataset(cfg, "val")
-            except BaseException as e:  # surfaced after join
-                errs.append(e)
-
-        th = threading.Thread(target=_build, daemon=True)
-        th.start()
+        # device-side setup on a sibling thread (prepare_refine)
+        join = _overlapped(lambda: (
+            RefineDataset(cfg, "train"),
+            RefineDataset(cfg, "val") if cfg.val_intervals > 0 else None,
+        ))
         prepared = prepare_refine(cfg, log_fn=log)
-        th.join()
-        if errs:
-            raise errs[0]
-        train_refine(cfg, holder["train"], val_dataset=holder.get("val"),
-                     log_fn=log, prepared=prepared)
+        train_ds, val_ds = join()
+        train_refine(cfg, train_ds, val_dataset=val_ds, log_fn=log,
+                     prepared=prepared)
     logger.close()
 
 
@@ -179,34 +187,19 @@ def cmd_explore(argv):
                batch_size=256, lr=1e-3, cosine=True, num_epochs=20),
     )
     cfg = config_from_args(parser.parse_args(argv))
-    import threading
-
     from cet_pick_tpu.data.explore_dataset import ExploreDataset
     from cet_pick_tpu.train.explore import prepare_explore, train_explore
     from cet_pick_tpu.utils.logger import Logger
 
-    if not os.path.exists(os.path.join(cfg.data_dir, cfg.train_img_txt)):
-        raise FileNotFoundError(os.path.join(cfg.data_dir, cfg.train_img_txt))
+    _check_inputs(cfg, cfg.train_img_txt)
     logger = Logger(cfg)
     log = logger.log
 
     # overlap the dataset build (DoG mining + tilt-sum extraction) with the
     # device-side setup — see train/explore.prepare_explore
-    holder, errs = {}, []
-
-    def _build():
-        try:
-            holder["ds"] = ExploreDataset(cfg, "train")
-        except BaseException as e:  # surfaced after join
-            errs.append(e)
-
-    th = threading.Thread(target=_build, daemon=True)
-    th.start()
+    join = _overlapped(lambda: ExploreDataset(cfg, "train"))
     prepared = prepare_explore(cfg, log_fn=log)
-    th.join()
-    if errs:
-        raise errs[0]
-    train_explore(cfg, holder["ds"], log_fn=log, prepared=prepared)
+    train_explore(cfg, join(), log_fn=log, prepared=prepared)
     logger.close()
 
 
@@ -219,33 +212,18 @@ def cmd_moco(argv):
                lr=1e-3, cosine=True, num_epochs=20, head_conv=256),
     )
     cfg = config_from_args(parser.parse_args(argv))
-    import threading
-
     from cet_pick_tpu.data.explore_dataset import ExploreDataset
     from cet_pick_tpu.train.moco import prepare_moco, train_moco
     from cet_pick_tpu.utils.logger import Logger
 
-    if not os.path.exists(os.path.join(cfg.data_dir, cfg.train_img_txt)):
-        raise FileNotFoundError(os.path.join(cfg.data_dir, cfg.train_img_txt))
+    _check_inputs(cfg, cfg.train_img_txt)
     logger = Logger(cfg)
     log = logger.log
 
     # overlap the dataset build with the device-side setup (train/moco)
-    holder, errs = {}, []
-
-    def _build():
-        try:
-            holder["ds"] = ExploreDataset(cfg, "train")
-        except BaseException as e:  # surfaced after join
-            errs.append(e)
-
-    th = threading.Thread(target=_build, daemon=True)
-    th.start()
+    join = _overlapped(lambda: ExploreDataset(cfg, "train"))
     prepared = prepare_moco(cfg, log_fn=log)
-    th.join()
-    if errs:
-        raise errs[0]
-    train_moco(cfg, holder["ds"], log_fn=log, prepared=prepared)
+    train_moco(cfg, join(), log_fn=log, prepared=prepared)
     logger.close()
 
 
@@ -257,8 +235,6 @@ def cmd_embed(argv):
     cfg = config_from_args(parser.parse_args(argv))
     if not cfg.load_model:
         cfg.load_model = os.path.join(cfg.save_dir, "model_last")
-    import threading
-
     import jax
     import numpy as np
 
@@ -270,20 +246,10 @@ def cmd_embed(argv):
     from cet_pick_tpu.train.explore import create_simsiam_state
     from cet_pick_tpu.train.state import load_checkpoint
 
-    if not os.path.exists(os.path.join(cfg.data_dir, cfg.test_img_txt)):
-        raise FileNotFoundError(os.path.join(cfg.data_dir, cfg.test_img_txt))
+    _check_inputs(cfg, cfg.test_img_txt)
     # overlap the dataset build (DoG mining + patch extraction) with the
     # checkpoint load + forward compile (infer/embed.prepare_embed)
-    holder, errs = {}, []
-
-    def _build():
-        try:
-            holder["ds"] = ExploreDataset(cfg, "test")
-        except BaseException as e:  # surfaced after join
-            errs.append(e)
-
-    th = threading.Thread(target=_build, daemon=True)
-    th.start()
+    join = _overlapped(lambda: ExploreDataset(cfg, "test"))
     model = create_simsiam(cfg)
     if cfg.load_model.endswith((".pth", ".pt")):
         # trained reference exploration checkpoint: convert in place
@@ -306,10 +272,7 @@ def cmd_embed(argv):
         state = load_checkpoint(cfg.load_model, state)
         params, batch_stats = state.params, state.batch_stats
     prepared = prepare_embed(cfg, params, batch_stats)
-    th.join()
-    if errs:
-        raise errs[0]
-    result = extract_embeddings(cfg, holder["ds"], params, batch_stats,
+    result = extract_embeddings(cfg, join(), params, batch_stats,
                                 prepared=prepared)
     path = save_embeddings(cfg, result)
     print(f"saved {path}")

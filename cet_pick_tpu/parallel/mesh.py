@@ -32,6 +32,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -125,6 +126,20 @@ def auto_dp_step(config, inner, log_fn=print, axis: str = "data"):
     step, place_state, place_batch = make_dp_step(inner, mesh, axis=axis)
     log_fn(f"data-parallel over {mesh.devices.size} devices")
     return step, place_state, place_batch, True
+
+
+def warm_step(step, state, *extra):
+    """Compile + first-run ``step`` and discard everything.
+
+    The DP-wrapped step DONATES its state argument (``make_dp_step``
+    ``donate=(0,)`` below), so running it on the caller's real state would
+    delete that state's buffers — warm on a ``tree_map(jnp.copy)`` instead.
+    A one-element fetch fences the run so the next dispatch starts clean.
+    Used by the train/*.prepare_* setup-overlap paths."""
+    warm_state = jax.tree_util.tree_map(jnp.copy, state)
+    out = step(warm_state, *extra)
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
+    del out, warm_state
 
 
 def make_dp_step(inner, mesh: Mesh, axis: str = "data", donate=(0,)):

@@ -161,7 +161,7 @@ def dummy_explore_batch(config, mode):
     }
 
 
-def prepare_explore(config, log_fn=print):
+def prepare_explore(config, log_fn=print, warm=True):
     """Device-side setup from config alone: model, train state (jitted
     init), checkpoint load, DP placement, and the step compiled + warm-run
     once on a zeros batch (outputs discarded).
@@ -198,12 +198,10 @@ def prepare_explore(config, log_fn=print):
         config, simsiam_step_fn(model, config, model.mode), log_fn=log_fn
     )
     state = place_state(state)
-    # warm on a COPY: the DP-mesh step donates its state buffers
-    # (make_dp_step donate=(0,)) — see train/refine.prepare_refine
-    warm_state = jax.tree_util.tree_map(jnp.copy, state)
-    _s, _m = step(warm_state, place_batch(dummy), jax.random.PRNGKey(0))
-    np.asarray(jax.tree_util.tree_leaves(_m)[0])
-    del _s, _m, warm_state
+    if warm:
+        from cet_pick_tpu.parallel.mesh import warm_step
+
+        warm_step(step, state, place_batch(dummy), jax.random.PRNGKey(0))
     return {"model": model, "state": state, "step": step,
             "place_batch": place_batch}
 
@@ -217,7 +215,7 @@ def train_explore(config, dataset, num_epochs=None, log_fn=print,
     from cet_pick_tpu.train.state import save_checkpoint, set_learning_rate
 
     if prepared is None:
-        prepared = prepare_explore(config, log_fn=log_fn)
+        prepared = prepare_explore(config, log_fn=log_fn, warm=False)
     model = prepared["model"]
     state = prepared["state"]
     step = prepared["step"]

@@ -215,7 +215,7 @@ def load_moco_checkpoint(path, state: MoCoState) -> MoCoState:
     return state.replace(**fields)
 
 
-def prepare_moco(config, r=1024, log_fn=print):
+def prepare_moco(config, r=1024, log_fn=print, warm=True):
     """Device-side setup from config alone (static shapes — see
     train/explore.prepare_explore): model, state, checkpoint load, DP
     placement, step compiled + warm-run once on a zeros batch (discarded;
@@ -257,12 +257,10 @@ def prepare_moco(config, r=1024, log_fn=print):
         config, moco_step_fn(model, config, model.mode), log_fn=log_fn
     )
     state = place_state(state)
-    # warm on a COPY: the DP-mesh step donates its state buffers
-    # (make_dp_step donate=(0,)) — see train/refine.prepare_refine
-    warm_state = jax.tree_util.tree_map(jnp.copy, state)
-    _s, _m = step(warm_state, place_batch(dummy), jax.random.PRNGKey(0))
-    np.asarray(jax.tree_util.tree_leaves(_m)[0])
-    del _s, _m, warm_state
+    if warm:
+        from cet_pick_tpu.parallel.mesh import warm_step
+
+        warm_step(step, state, place_batch(dummy), jax.random.PRNGKey(0))
     return {"model": model, "state": state, "step": step,
             "place_batch": place_batch}
 
@@ -276,7 +274,7 @@ def train_moco(config, dataset, num_epochs=None, r=1024, log_fn=print,
     from cet_pick_tpu.train.explore import simsiam_lr_at_epoch, simsiam_warmup_lr
 
     if prepared is None:
-        prepared = prepare_moco(config, r=r, log_fn=log_fn)
+        prepared = prepare_moco(config, r=r, log_fn=log_fn, warm=False)
     model = prepared["model"]
     state = prepared["state"]
     step = prepared["step"]

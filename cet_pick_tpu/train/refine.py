@@ -225,11 +225,14 @@ def dummy_refine_batch(config, pairs=2, label=False):
     from cet_pick_tpu.data.refine_dataset import CROP_D
 
     b = config.batch_size
+    from cet_pick_tpu.data.refine_dataset import CROP_HALF_XY, CROP_HM_HALF
+
+    s, hs = 2 * CROP_HALF_XY, 2 * CROP_HM_HALF
     out = {
-        "input": np.zeros((b, pairs, CROP_D, 64, 64), np.float32),
-        "input_aug": np.zeros((b, pairs, CROP_D, 64, 64), np.float32),
-        "hm": np.zeros((b, pairs, CROP_D, 32, 32), np.float32),
-        "hm_aug": np.zeros((b, pairs, CROP_D, 32, 32), np.float32),
+        "input": np.zeros((b, pairs, CROP_D, s, s), np.float32),
+        "input_aug": np.zeros((b, pairs, CROP_D, s, s), np.float32),
+        "hm": np.zeros((b, pairs, CROP_D, hs, hs), np.float32),
+        "hm_aug": np.zeros((b, pairs, CROP_D, hs, hs), np.float32),
         "flip_prob": np.zeros((b,), np.float32),
     }
     if label:
@@ -237,7 +240,7 @@ def dummy_refine_batch(config, pairs=2, label=False):
     return out
 
 
-def prepare_refine(config, log_fn=print, pairs=2, label=False):
+def prepare_refine(config, log_fn=print, pairs=2, label=False, warm=True):
     """Device-side setup from config alone: model, train state (jitted
     init), checkpoint load, DP placement, and the train step compiled +
     warm-run once on a zeros batch (outputs discarded — params untouched).
@@ -245,7 +248,12 @@ def prepare_refine(config, log_fn=print, pairs=2, label=False):
     None of this needs data, so ``cmd_train`` runs it concurrently with the
     host-side dataset build (disk read + preprocess + heatmap splat, tens
     of seconds): on a remote-attached TPU the backend handshake + XLA
-    compile are minutes that otherwise serialize in front of epoch 1."""
+    compile are minutes that otherwise serialize in front of epoch 1.
+
+    ``warm=False`` skips the warm-up execution — right for the
+    prepared-is-None fallback (direct library calls, tests): with nothing
+    to overlap, the compile happens at the same timeline point on the
+    first real batch anyway and the zeros step would be pure overhead."""
     from cet_pick_tpu.models.detector import create_detector
     from cet_pick_tpu.parallel.mesh import auto_dp_step
     from cet_pick_tpu.train.state import create_train_state, load_checkpoint
@@ -267,13 +275,10 @@ def prepare_refine(config, log_fn=print, pairs=2, label=False):
         config, make_train_step(model, config), log_fn=log_fn
     )
     state = place_state(state)
-    # compile + first-run the step now; everything is discarded. Warm on a
-    # COPY: the DP-mesh step donates its state buffers (make_dp_step
-    # donate=(0,)), so running it on `state` itself would delete them.
-    warm_state = jax.tree_util.tree_map(jnp.copy, state)
-    _s, _m = train_step(warm_state, place_batch(dummy))
-    np.asarray(jax.tree_util.tree_leaves(_m)[0])
-    del _s, _m, warm_state
+    if warm:
+        from cet_pick_tpu.parallel.mesh import warm_step
+
+        warm_step(train_step, state, place_batch(dummy))
     return {"model": model, "state": state, "train_step": train_step,
             "place_batch": place_batch}
 
@@ -289,7 +294,7 @@ def train_refine(config, dataset, val_dataset=None, num_epochs=None,
     from cet_pick_tpu.train.state import save_checkpoint, set_learning_rate
 
     if prepared is None:
-        prepared = prepare_refine(config, log_fn=log_fn)
+        prepared = prepare_refine(config, log_fn=log_fn, warm=False)
     model = prepared["model"]
     state = prepared["state"]
     train_step = prepared["train_step"]

@@ -174,9 +174,7 @@ def create_scan_state(model, config, rng, sample2d, sample3d, lr=1e-4):
     """TrainState over a ScanClusteringModel (both views' patch shapes)."""
     import optax as _optax
 
-    from cet_pick_tpu.train.state import TrainState
-
-    from cet_pick_tpu.train.state import jit_init
+    from cet_pick_tpu.train.state import TrainState, jit_init
 
     variables = jit_init(model, rng, jnp.asarray(sample2d),
                          None if sample3d is None else jnp.asarray(sample3d),

@@ -55,7 +55,8 @@ def train_semiclass(config, dataset, val_dataset=None, num_epochs=None,
 
     check_semiclass_config(config)
     if prepared is None:
-        prepared = prepare_refine(config, log_fn=log_fn, pairs=1, label=True)
+        prepared = prepare_refine(config, log_fn=log_fn, pairs=1, label=True,
+                                  warm=False)
     model = prepared["model"]
     state = prepared["state"]
     train_step = prepared["train_step"]
