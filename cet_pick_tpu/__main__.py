@@ -458,7 +458,7 @@ def cmd_scan_finetune(argv):
     import numpy as np
 
     from cet_pick_tpu.data.explore_dataset import ExploreDataset
-    from cet_pick_tpu.infer.embed import extract_embeddings
+    from cet_pick_tpu.infer.embed import extract_embeddings, prepare_embed
     from cet_pick_tpu.models.simsiam import create_simsiam
     from cet_pick_tpu.train.explore import create_simsiam_state
     from cet_pick_tpu.train.scan import (
@@ -466,7 +466,10 @@ def cmd_scan_finetune(argv):
     )
     from cet_pick_tpu.train.state import load_checkpoint, save_checkpoint
 
-    ds = ExploreDataset(cfg, "test")
+    _check_inputs(cfg, cfg.test_img_txt)
+    # overlap the dataset build with checkpoint load + embedding-forward
+    # compile (infer/embed.prepare_embed), like cmd_embed
+    join = _overlapped(lambda: ExploreDataset(cfg, "test"))
     encoder = create_simsiam(cfg)
     sample = {
         "anchor": np.zeros(
@@ -476,9 +479,11 @@ def cmd_scan_finetune(argv):
     }
     enc_state = create_simsiam_state(encoder, cfg, jax.random.PRNGKey(0), sample)
     enc_state = load_checkpoint(cfg.load_model, enc_state)
+    prepared = prepare_embed(cfg, enc_state.params, enc_state.batch_stats)
+    ds = join()
 
     result = extract_embeddings(cfg, ds, enc_state.params,
-                                enc_state.batch_stats)
+                                enc_state.batch_stats, prepared=prepared)
     nb = mine_neighbors(result["pred"].astype(np.float32), k=a.neighbors)
     # normalize the patch stacks exactly like the embedding pass did
     # (infer/embed.py:58-61)
