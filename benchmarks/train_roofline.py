@@ -36,9 +36,7 @@ def make_batch(rng, b=4, p=2, d=6, h=64, w=64):
                   ).astype(np.float32)
     return {
         "input": rng.standard_normal((b, p, d, h, w)).astype(np.float32),
-        "input_aug": rng.standard_normal((b, p, d, h, w)).astype(np.float32),
         "hm": hm,
-        "hm_aug": hm.copy(),
         "flip_prob": rng.random(b).astype(np.float32),
     }
 

@@ -191,18 +191,11 @@ class SemiClassDataset:
                 xc - CROP_HM_HALF : xc + CROP_HM_HALF]
 
         flip_prob = rng.random()
-        if flip_prob <= 0.5:
-            ct_aug = ct[:, :, ::-1].copy()  # lr: flip W
-            ch_aug = ch[:, :, ::-1].copy()
-        else:
-            ct_aug = ct[:, ::-1, :].copy()  # ud: flip H
-            ch_aug = ch[:, ::-1, :].copy()
-
+        # the flipped aug view is synthesized on device in the shared refine
+        # step (train/refine.py loss_fn) — see data/refine_dataset.sample
         return {
             "input": ct.astype(np.float32),
-            "input_aug": ct_aug.astype(np.float32),
             "hm": ch.astype(np.float32),
-            "hm_aug": ch_aug.astype(np.float32),
             "label": np.float32(hm[zc, yc, xc]),
             "flip_prob": np.float32(flip_prob),
         }
@@ -212,7 +205,7 @@ class SemiClassDataset:
         batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
         # pair axis of size 1: the shared refine train step expects
         # (B, P, D, H, W) pairs (train/refine.py make_train_step)
-        for k in ("input", "input_aug", "hm", "hm_aug"):
+        for k in ("input", "hm"):
             batch[k] = batch[k][:, None]
         return batch
 

@@ -165,21 +165,13 @@ class FewshotDataset:
                 xc - half_x : xc + half_x]
 
         flip_prob = rng.random()
-        if flip_prob <= 0.5:
-            ct_aug = ct[:, :, ::-1].copy()
-            ch_aug = ch[:, :, ::-1].copy()
-            cl_aug = cl[:, :, ::-1].copy()
-        else:
-            ct_aug = ct[:, ::-1, :].copy()
-            ch_aug = ch[:, ::-1, :].copy()
-            cl_aug = cl[:, ::-1, :].copy()
+        # the fewshot step consumes only input + lb_map (train/fewshot.py);
+        # flipped copies would be dead transfer weight — flip_prob is still
+        # drawn to keep the rng stream stable
         return {
             "input": ct.astype(np.float32),
-            "input_aug": ct_aug.astype(np.float32),
             "hm": ch.astype(np.float32),
-            "hm_aug": ch_aug.astype(np.float32),
             "lb_map": cl.astype(np.float32),
-            "lb_map_aug": cl_aug.astype(np.float32),
             "flip_prob": np.float32(flip_prob),
         }
 

@@ -166,18 +166,14 @@ class RefineDataset:
         pair_t = np.stack([ct_a, ct_p]).astype(np.float32)   # (2, 6, 64, 64)
         pair_h = np.stack([ch_a, ch_p]).astype(np.float32)   # (2, 6, 32, 32)
 
-        if flip_prob <= 0.5:
-            pair_t_aug = pair_t[:, :, :, ::-1].copy()  # lr: flip W (x)
-            pair_h_aug = pair_h[:, :, :, ::-1].copy()
-        else:
-            pair_t_aug = pair_t[:, :, ::-1, :].copy()  # ud: flip H (y)
-            pair_h_aug = pair_h[:, :, ::-1, :].copy()
-
+        # the aug view (lr flip if flip_prob <= 0.5 else ud,
+        # particle_moco.py:145-154) is synthesized ON DEVICE inside the
+        # train step from input + flip_prob (train/refine.py loss_fn) — a
+        # deterministic flip; shipping a flipped copy would double the
+        # batch's host->device bytes for no information
         return {
             "input": pair_t,
-            "input_aug": pair_t_aug,
             "hm": pair_h,
-            "hm_aug": pair_h_aug,
             "flip_prob": np.float32(flip_prob),
         }
 

@@ -88,7 +88,12 @@ def make_train_step(model, config):
 
     def loss_fn(params, batch_stats, batch):
         out, bs1 = _forward_pair(model, params, batch_stats, batch["input"], True)
-        out_cr, bs2 = _forward_pair(model, params, bs1, batch["input_aug"], True)
+        # the aug view is the per-sample flip of the anchor crops
+        # (particle_moco.py:145-154) — a flip is an involution, so the SAME
+        # helper both makes and undoes it. Synthesizing it on device halves
+        # the batch's host->device bytes vs shipping the flipped copy.
+        input_aug = unflip_aug(batch["input"], batch["flip_prob"])
+        out_cr, bs2 = _forward_pair(model, params, bs1, input_aug, True)
 
         hm = sigmoid_clamped(out["hm"][..., 0])        # (B, P, D, H', W')
         hm_cr = sigmoid_clamped(out_cr["hm"][..., 0])
@@ -230,9 +235,7 @@ def dummy_refine_batch(config, pairs=2, label=False):
     s, hs = 2 * CROP_HALF_XY, 2 * CROP_HM_HALF
     out = {
         "input": np.zeros((b, pairs, CROP_D, s, s), np.float32),
-        "input_aug": np.zeros((b, pairs, CROP_D, s, s), np.float32),
         "hm": np.zeros((b, pairs, CROP_D, hs, hs), np.float32),
-        "hm_aug": np.zeros((b, pairs, CROP_D, hs, hs), np.float32),
         "flip_prob": np.zeros((b,), np.float32),
     }
     if label:

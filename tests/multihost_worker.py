@@ -49,10 +49,8 @@ def main():
     b, p, d, h, w = n_global, 2, 6, 32, 32
     batch = {
         "input": rng.standard_normal((b, p, d, h, w)).astype(np.float32),
-        "input_aug": rng.standard_normal((b, p, d, h, w)).astype(np.float32),
         "hm": np.where(rng.random((b, p, d, h // 2, w // 2)) < 0.01,
                        1.0, -1.0).astype(np.float32),
-        "hm_aug": np.zeros((b, p, d, h // 2, w // 2), dtype=np.float32),
         "flip_prob": rng.random(b).astype(np.float32),
     }
     batch["hm"][:, 0, 3, 8, 8] = 1.0  # PU loss needs positives

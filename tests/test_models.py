@@ -145,10 +145,8 @@ def test_semi3d_trains(rng):
     b, p, d, h, w = 2, 2, 6, 32, 32
     batch = {
         "input": rng.standard_normal((b, p, d, h, w)).astype(np.float32),
-        "input_aug": rng.standard_normal((b, p, d, h, w)).astype(np.float32),
         "hm": np.where(rng.random((b, p, d, h // 2, w // 2)) < 0.02, 1.0, -1.0
                        ).astype(np.float32),
-        "hm_aug": np.zeros((b, p, d, h // 2, w // 2), np.float32),
         "flip_prob": rng.random(b).astype(np.float32),
     }
     batch["hm"][:, 0, 3, 8, 8] = 1.0
@@ -174,10 +172,8 @@ def test_freeze_head_finetune(rng):
     b, p, d, h, w = 2, 2, 6, 32, 32
     batch = {
         "input": rng.standard_normal((b, p, d, h, w)).astype(np.float32),
-        "input_aug": rng.standard_normal((b, p, d, h, w)).astype(np.float32),
         "hm": np.where(rng.random((b, p, d, h // 2, w // 2)) < 0.02, 1.0, -1.0
                        ).astype(np.float32),
-        "hm_aug": np.zeros((b, p, d, h // 2, w // 2), np.float32),
         "flip_prob": rng.random(b).astype(np.float32),
     }
     batch["hm"][:, 0, 3, 8, 8] = 1.0

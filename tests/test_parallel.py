@@ -33,10 +33,8 @@ def _tiny(contrastive=True):
 def _batch(rng, b=8, d=6, h=32, w=32, p=2):
     batch = {
         "input": rng.standard_normal((b, p, d, h, w)).astype(np.float32),
-        "input_aug": rng.standard_normal((b, p, d, h, w)).astype(np.float32),
         "hm": np.where(rng.random((b, p, d, h // 2, w // 2)) < 0.02, 1.0, -1.0
                        ).astype(np.float32),
-        "hm_aug": np.zeros((b, p, d, h // 2, w // 2), np.float32),
         "flip_prob": rng.random(b).astype(np.float32),
     }
     batch["hm"][:, 0, 3, h // 4, w // 4] = 1.0

@@ -67,14 +67,19 @@ def test_dataset_stratified_batches(tmp_path, rng):
     assert 0.2 <= pos_frac <= 0.8, f"stratified balance off: {pos_frac}"
     # every drawn batch carries positives (PU losses require them)
     assert (batch["hm"] == 1).any()
-    # flip consistency: aug view is the flip of the input view
+    # flip consistency: the aug view is synthesized ON DEVICE inside the
+    # shared refine step as the per-sample flip of the input
+    # (particle_moco.py:145-154; train/refine.py loss_fn)
+    from cet_pick_tpu.train.refine import unflip_aug
+
+    aug = np.asarray(unflip_aug(batch["input"], batch["flip_prob"]))
     for i in range(4):
         if batch["flip_prob"][i] <= 0.5:
             np.testing.assert_array_equal(
-                batch["input_aug"][i], batch["input"][i][:, :, :, ::-1])
+                aug[i], batch["input"][i][:, :, :, ::-1])
         else:
             np.testing.assert_array_equal(
-                batch["input_aug"][i], batch["input"][i][:, :, ::-1, :])
+                aug[i], batch["input"][i][:, :, ::-1, :])
 
 
 @pytest.mark.slow
