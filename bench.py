@@ -32,64 +32,15 @@ import numpy as np
 
 V5E_BF16_PEAK = 197e12  # TPU v5e per-chip bf16 peak FLOP/s
 
-# Known-healthy reference points for the axon tunnel (CLAUDE.md): a chained
-# 2048^3 bf16 matmul amortizes to ~2.3 ms/matmul, and the host->device link
-# moves ~40 MB/s. The tunnel has been observed independently degraded ~200x
-# for >1 h mid-session — a benchmark run in that state records garbage, so
-# probe first and wait (bounded) for recovery.
-HEALTHY_MATMUL_MS = 2.3
-HEALTHY_LINK_MBPS = 40.0
-
-
-def probe_tunnel():
-    """Measure (matmul_ms, link_mbps) against the known-healthy numbers."""
-    import jax
-    import jax.numpy as jnp
-
-    x = jnp.ones((2048, 2048), jnp.bfloat16)
-
-    @jax.jit
-    def chain(a):
-        return jax.lax.fori_loop(0, 20, lambda i, c: c @ a * 0.001, a)
-
-    np.asarray(chain(x).ravel()[:1])  # compile + warm
-    t0 = time.perf_counter()
-    np.asarray(chain(x).ravel()[:1])
-    matmul_ms = (time.perf_counter() - t0) / 20 * 1e3
-
-    buf = np.zeros((8 << 20,), np.uint8)  # 8 MB, the E2E path's dtype
-    t0 = time.perf_counter()
-    dev = jax.device_put(buf)
-    np.asarray(dev[:1])
-    link_mbps = 8.0 / (time.perf_counter() - t0)
-    return matmul_ms, link_mbps
-
-
-def wait_for_healthy_tunnel(max_tries=5, sleep_s=60):
-    """Return the final (matmul_ms, link_mbps, healthy); retries with sleeps
-    while the tunnel looks degraded (>3x off either reference point).
-
-    The reference points describe the TPU-behind-axon setup; on any other
-    backend (CPU-only checkout, where the emulated matmul would always read
-    as 'degraded' and burn 5 minutes of retries) the probe is skipped."""
-    import sys
-
-    import jax
-
-    if jax.default_backend() != "tpu":
-        return float("nan"), float("nan"), True
-    for attempt in range(max_tries):
-        matmul_ms, link_mbps = probe_tunnel()
-        healthy = (matmul_ms < 3 * HEALTHY_MATMUL_MS
-                   and link_mbps > HEALTHY_LINK_MBPS / 3)
-        if healthy or attempt == max_tries - 1:
-            return matmul_ms, link_mbps, healthy
-        print(f"tunnel degraded (matmul {matmul_ms:.1f} ms vs "
-              f"~{HEALTHY_MATMUL_MS}, link {link_mbps:.1f} MB/s vs "
-              f"~{HEALTHY_LINK_MBPS:.0f}); retry {attempt + 1}/{max_tries} "
-              f"in {sleep_s}s", file=sys.stderr)
-        time.sleep(sleep_s)
-    return matmul_ms, link_mbps, False  # pragma: no cover
+# Tunnel health probes live in the package so `cet_pick_tpu doctor` and this
+# benchmark report from the same measured reference points. The tunnel has
+# been observed independently degraded ~200x for >1 h mid-session — a
+# benchmark run in that state records garbage, so probe first and wait
+# (bounded) for recovery.
+from cet_pick_tpu.utils.health import (  # noqa: E402
+    probe_tunnel,
+    wait_for_healthy_tunnel,
+)
 
 
 def main():

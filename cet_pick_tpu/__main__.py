@@ -29,6 +29,7 @@ scripts in parentheses):
   export-torch      checkpoint -> reference .pth   (inverse of --load_model model.pth)
   watch             continuous picking service     (no reference analog)
   flags             full flag reference            (generates docs/flags.md)
+  doctor            runtime health check JSON      (no reference analog)
 """
 
 from __future__ import annotations
@@ -888,6 +889,24 @@ def cmd_backproject(argv):
     print(f"backprojected {n} images -> {a.o}")
 
 
+def cmd_doctor(argv):
+    """Runtime health check for production deployments: device enumeration,
+    compile/dispatch smoke, and — on TPU backends — the tunnel probe bench.py
+    gates on (matmul dispatch + host->device link vs the measured healthy
+    reference points). Prints ONE JSON line; exit code 1 when unhealthy, so
+    schedulers can gate a `watch` service or a training job on it."""
+    parser = argparse.ArgumentParser(prog="cet_pick_tpu doctor")
+    parser.add_argument("--no-probe", action="store_true",
+                        help="skip the TPU tunnel probe (device enumeration "
+                             "and compile smoke only)")
+    a = parser.parse_args(argv)
+    from cet_pick_tpu.utils.health import diagnostics
+
+    report = diagnostics(probe=not a.no_probe)
+    print(json.dumps(report))
+    return 0 if report["healthy"] else 1
+
+
 def cmd_flags(argv):
     """Print (or write) the full flag reference, generated from Config +
     cli/common.FLAG_GROUPS — the source behind docs/flags.md."""
@@ -933,6 +952,7 @@ COMMANDS = {
     "backproject": cmd_backproject,
     "export-torch": cmd_export_torch,
     "flags": cmd_flags,
+    "doctor": cmd_doctor,
 }
 
 

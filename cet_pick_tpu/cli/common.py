@@ -115,6 +115,10 @@ FLAG_GROUPS = (
                 "exceeds the HBM activation envelope",
         "halo": "z-tile overlap; floored at the 3D head's receptive field "
                 "so tiling stays bit-exact",
+        "tta": "flip test-time augmentation on test/watch: average the "
+               "heatmap over the 4 xy-flip views of every forward (4x "
+               "compute, needs even H/W; the refinement model trains with "
+               "a flip-consistency loss, so the views ensemble cleanly)",
     }),
     ("Fiber / spike post-processing", {
         "fiber": "fiber mode (e.g. microtubules): curve-fit grouping of "

@@ -134,6 +134,10 @@ class Config:
     tile: Tuple[int, int, int] = (64, 512, 512)  # inference z-tile depth (D used)
     halo: int = 3  # inference z-tile overlap; floored at the 3D head's
                    # receptive field (infer/tiled.Z_HALO) to keep exactness
+    tta: bool = False  # flip test-time augmentation on test/watch: average
+                       # the 4 xy-flip forward views (4x compute; the model
+                       # trains with a flip-consistency loss, so the views
+                       # are calibrated ensemble members)
 
     # -- derived (finalize())
     heads: dict = field(default_factory=dict)

@@ -100,7 +100,7 @@ class TomoDetector:
             mesh = make_mesh(shape, ("data", "space")[-len(shape):])
         self.infer = TiledHeatmapInference(
             self.model, params, batch_stats, tile_z=tile_z, halo=halo,
-            tile_xy=tile_xy, mesh=mesh,
+            tile_xy=tile_xy, mesh=mesh, tta=config.tta,
         )
 
     # -- pipeline stages -----------------------------------------------------

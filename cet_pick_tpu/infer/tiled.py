@@ -73,11 +73,22 @@ class TiledHeatmapInference:
     AUTO_XY_BUDGET = 12e9
 
     def __init__(self, model, params, batch_stats, tile_z: int = 64,
-                 halo: int = Z_HALO, tile_xy=None, mesh=None):
+                 halo: int = Z_HALO, tile_xy=None, mesh=None,
+                 tta: bool = False):
         self.model = model
         self.variables = {"params": params, "batch_stats": batch_stats}
         self.tile_z = int(tile_z)
         self.halo = int(halo)
+        # flip test-time augmentation (--tta, no reference analog): average
+        # the heatmap over the 4 xy-flip views of every window. Well-founded
+        # for this model family — refinement training carries an explicit
+        # flip-consistency loss (train/refine.py), so the flip views are
+        # calibrated ensemble members. 4x the forward compute; exactness
+        # tests run with it both off (default, bit-identical to the
+        # reference) and on (tiled == full still holds: window starts stay
+        # on the pooling grid under reflection because extents, tiles and
+        # halos are all align-multiples).
+        self.tta = bool(tta)
         # (tile_h, tile_w) in input pixels, 0/None = never tile that axis
         self.tile_xy = tuple(int(t) for t in tile_xy) if tile_xy else None
         self.auto_xy_budget = float(self.AUTO_XY_BUDGET)
@@ -116,15 +127,42 @@ class TiledHeatmapInference:
             # affine dequantization fuses into the stem conv's input read;
             # float inputs pass through unchanged via (lo, hi) = (0, 1)
             x = (tile.astype(jnp.float32) - lo) / jnp.maximum(hi - lo, 1e-12)
-            out = self.model.apply(
-                variables, x[None], train=False, active_heads=("hm",)
-            )
-            # (1, tz, H', W', 1) logits -> (tz, H', W') probabilities
-            from cet_pick_tpu.ops.nms import sigmoid_clamped
-
-            return sigmoid_clamped(out["hm"][0, ..., 0])
+            # (1, tz, H, W) -> (tz, H', W') probabilities
+            return self._hm_probs(variables, x[None])[0]
 
         self._tile_forward = _tile_forward
+
+    def _hm_probs(self, variables, x):
+        """(B, D, H, W) float input -> (B, D, H', W') heatmap probabilities.
+
+        With ``tta`` the 4 xy-flip views ride the conv batch together (one
+        compiled program, 4x batch) and the un-flipped probabilities are
+        averaged. Un-flipping is a pure reversal of the output axis for even
+        extents: output cell j of the flipped input covers original inputs
+        {W-1-2j, W-2-2j}, i.e. original cell W' - 1 - j."""
+        from cet_pick_tpu.ops.nms import sigmoid_clamped
+
+        if self.tta:
+            x = jnp.concatenate(
+                [x, x[..., ::-1], x[..., ::-1, :], x[..., ::-1, ::-1]],
+                axis=0,
+            )
+        out = self.model.apply(variables, x, train=False, active_heads=("hm",))
+        hm = sigmoid_clamped(out["hm"][..., 0])
+        if self.tta:
+            h0, hlr, hud, hb = jnp.split(hm, 4, axis=0)
+            hm = (h0 + hlr[..., ::-1] + hud[..., ::-1, :]
+                  + hb[..., ::-1, ::-1]) * 0.25
+        return hm
+
+    def _check_tta_shape(self, h, w):
+        """Flip-TTA's output un-flip mapping needs even xy extents (odd
+        extents put the two grids half a cell apart)."""
+        if self.tta and (h % 2 or w % 2):
+            raise ValueError(
+                f"--tta needs even H and W (got {h}x{w}); pad/crop the "
+                f"volume or drop --tta"
+            )
 
     def _put_volume(self, volume):
         """Host volume -> device, directly into the spatial sharding when a
@@ -188,12 +226,13 @@ class TiledHeatmapInference:
         bits, bounded memory."""
         import math
 
-        est = n_windows * win_d * h * w * self.BYTES_PER_VOXEL
+        views = 4 if self.tta else 1  # flip-TTA rides the conv batch
+        est = views * n_windows * win_d * h * w * self.BYTES_PER_VOXEL
         if est <= self.auto_xy_budget:
             return None
         a, halo = self.xy_align, self.xy_halo
         max_win_area = self.auto_xy_budget / (
-            n_windows * win_d * self.BYTES_PER_VOXEL
+            views * n_windows * win_d * self.BYTES_PER_VOXEL
         )
         side = int(math.floor(math.sqrt(max_win_area))) - 2 * halo
         tile = max(a, side - side % a)
@@ -267,6 +306,7 @@ class TiledHeatmapInference:
         Results are bit-identical to the streamed path.
         """
         d, h, w = volume.shape
+        self._check_tta_shape(h, w)
         tz, halo = self.tile_z, self.halo
         if d <= tz + 2 * halo:
             n_win, win_d = 1, d
@@ -304,8 +344,6 @@ class TiledHeatmapInference:
 
             @functools.partial(jax.jit, out_shardings=repl)
             def _fused(variables, vol, lo_, hi_):
-                from cet_pick_tpu.ops.nms import sigmoid_clamped
-
                 if vol_shard is not None:
                     vol = jax.lax.with_sharding_constraint(vol, vol_shard)
                 windows = jnp.stack([
@@ -319,10 +357,7 @@ class TiledHeatmapInference:
                 x = (windows.astype(jnp.float32) - lo_) / jnp.maximum(
                     hi_ - lo_, 1e-12
                 )
-                out = self.model.apply(
-                    variables, x, train=False, active_heads=("hm",)
-                )
-                hm = sigmoid_clamped(out["hm"][..., 0])  # (T, win, H', W')
+                hm = self._hm_probs(variables, x)  # (T, win, H', W')
                 cores = [hm[i, c0:c1] for i, (_, c0, c1) in enumerate(plan)]
                 return jnp.concatenate(cores, axis=0)
 
@@ -346,6 +381,7 @@ class TiledHeatmapInference:
         exceeds it, the same scheme tiles H/W with the full-network xy halo.
         """
         d, h, w = volume.shape
+        self._check_tta_shape(h, w)
         win_d = min(d, self.tile_z + 2 * self.halo)
         txy = self._effective_xy(1, win_d, h, w)  # streamed: 1 window live
         tiled = self._xy_tiled(

@@ -162,6 +162,17 @@ def test_cli_train_then_test_from_disk(tmp_path, rng):
     picks = np.loadtxt(out_txt, ndmin=2)
     assert len(picks) > 0 and picks.shape[1] in (3, 4)
 
+    # --tta through the same CLI: flip-averaged heatmap, trained with the
+    # flip-consistency loss the views ensemble over; the easy planted
+    # particles must still all be found
+    main(["test", *common, "--out_thresh", "0.0", "--cutoff_z", "2",
+          "--nms", "5", "--tta", "--out_id", "output_tta"])
+    cfg_tta = C(task="semi", root_dir=str(tmp_path),
+                out_id="output_tta").finalize()
+    picks_tta = np.loadtxt(os.path.join(cfg_tta.out_path, "syn0.txt"),
+                           ndmin=2)
+    assert len(picks_tta) > 0 and picks_tta.shape[1] in (3, 4)
+
 
 @pytest.mark.slow
 def test_cli_train_resume_from_disk(tmp_path, rng):
@@ -583,3 +594,15 @@ def test_cli_export_torch_scan(tmp_path):
     np.testing.assert_array_equal(
         sd["cluster_head.1.weight"].numpy(),
         np.asarray(variables["params"]["head1"]["kernel"]).T)
+
+
+def test_doctor_cli(capsys):
+    """`doctor` prints one JSON health line; on the CPU test backend the
+    tunnel probe is skipped and health == the compile smoke."""
+    import json
+
+    assert main(["doctor"]) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["backend"] == "cpu"
+    assert report["device_count"] == 8  # conftest's virtual mesh
+    assert report["compile_smoke_ok"] and report["healthy"]

@@ -523,3 +523,53 @@ def test_no_write_hm_identical_picks(small_setup, tmp_path, rng):
     assert ((tmp_path / "nohm" / "t1.txt").read_text()
             == (tmp_path / "full" / "t1.txt").read_text())
     np.testing.assert_array_equal(r["dets"], r_full["dets"])
+
+
+def test_tta_averages_flip_views(small_setup, rng):
+    """--tta heatmap == mean of the 4 manually flipped forwards (the
+    mechanism: views ride the conv batch, outputs un-flip by reversal)."""
+    config, model, state = small_setup
+    vol = rng.standard_normal((8, 64, 64)).astype(np.float32)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    def fwd(v):
+        out = model.apply(variables, v[None], train=False,
+                          active_heads=("hm",))
+        return np.asarray(sigmoid_clamped(out["hm"][0, ..., 0]))
+
+    h0 = fwd(vol)
+    hlr = fwd(vol[:, :, ::-1])[:, :, ::-1]
+    hud = fwd(vol[:, ::-1, :])[:, ::-1, :]
+    hb = fwd(vol[:, ::-1, ::-1])[:, ::-1, ::-1]
+    want = (h0 + hlr + hud + hb) / 4
+
+    tta = TiledHeatmapInference(model, state.params, state.batch_stats,
+                                tile_z=64, tta=True)
+    np.testing.assert_allclose(np.asarray(tta(vol)), want, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(tta.fused(vol)), want,
+                               rtol=0, atol=1e-6)
+
+
+def test_tta_tiled_matches_full(small_setup, rng):
+    """z + xy tiling stays exact with TTA on: tiles/halos/extents are all
+    align-multiples, so the pooling grids still coincide under reflection."""
+    config, model, state = small_setup
+    vol = rng.standard_normal((20, 192, 64)).astype(np.float32)
+    full = TiledHeatmapInference(model, state.params, state.batch_stats,
+                                 tile_z=64, tta=True)
+    hm_full = np.asarray(full(vol))
+    tiled = TiledHeatmapInference(model, state.params, state.batch_stats,
+                                  tile_z=6, tile_xy=(64, 0), tta=True)
+    assert tiled._xy_plan(192, 64) is not None, "fixture must actually tile"
+    np.testing.assert_allclose(np.asarray(tiled(vol)), hm_full,
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(tiled.fused(vol)), hm_full,
+                               rtol=0, atol=1e-6)
+
+
+def test_tta_rejects_odd_xy(small_setup, rng):
+    config, model, state = small_setup
+    tta = TiledHeatmapInference(model, state.params, state.batch_stats,
+                                tta=True)
+    with pytest.raises(ValueError, match="even H and W"):
+        tta(rng.standard_normal((6, 63, 64)).astype(np.float32))
