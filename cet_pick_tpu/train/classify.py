@@ -78,7 +78,8 @@ def train_classify(config, dataset, num_epochs=None, log_fn=print):
 
     from cet_pick_tpu.models.detector import create_detector
     from cet_pick_tpu.train.state import (
-        create_train_state, load_checkpoint, save_checkpoint,
+        AsyncCheckpointer, checkpoint_payload, create_train_state,
+        load_checkpoint,
     )
 
     model = create_detector(config)
@@ -107,44 +108,45 @@ def train_classify(config, dataset, num_epochs=None, log_fn=print):
     history = []
     # resume continues from the restored epoch (model.py:234-247 semantics,
     # matching every other loop) instead of retraining the full schedule
-    for epoch in range(state.epoch + 1, num_epochs + 1):
-        metrics_epoch = []
-        # NO base_trainer-style num_iters cap here: for tcla the flag is
-        # consumed by SemiClassDataset as the per-tomogram stratified draw
-        # count (classify_dataset.py) — the dataset's epoch length IS the
-        # intended iteration budget, and capping again would silently
-        # discard half the draws whenever n_tomos > batch_size (the
-        # reference's main_class sampler length is likewise its own knob)
-        # lagged single-transfer metric fetch (train/metrics.py)
-        from cet_pick_tpu.train.metrics import LaggedMetrics
+    with AsyncCheckpointer() as ckpt:
+        for epoch in range(state.epoch + 1, num_epochs + 1):
+            metrics_epoch = []
+            # NO base_trainer-style num_iters cap here: for tcla the flag is
+            # consumed by SemiClassDataset as the per-tomogram stratified draw
+            # count (classify_dataset.py) — the dataset's epoch length IS the
+            # intended iteration budget, and capping again would silently
+            # discard half the draws whenever n_tomos > batch_size (the
+            # reference's main_class sampler length is likewise its own knob)
+            # lagged single-transfer metric fetch (train/metrics.py)
+            from cet_pick_tpu.train.metrics import LaggedMetrics
 
-        drain = LaggedMetrics()
-        for batch in dataset.epoch_batches(rng, config.batch_size):
-            state, metrics = step(state, place_batch(batch))
-            m = drain.push(metrics)
+            drain = LaggedMetrics()
+            for batch in dataset.epoch_batches(rng, config.batch_size):
+                state, metrics = step(state, place_batch(batch))
+                m = drain.push(metrics)
+                if m is not None:
+                    metrics_epoch.append(m)
+            m = drain.pop()
             if m is not None:
                 metrics_epoch.append(m)
-        m = drain.pop()
-        if m is not None:
-            metrics_epoch.append(m)
-        if not metrics_epoch:
-            raise ValueError(
-                f"no training batches: {len(dataset)} samples < batch_size "
-                f"{config.batch_size}"
-                + (" (--num_iters 0 caps every epoch at zero batches)"
-                   if config.num_iters == 0 else "")
-            )
-        state = state.replace(epoch=epoch)
-        means = {k: float(np.mean([m[k] for m in metrics_epoch]))
-                 for k in metrics_epoch[0]}
-        history.append(means)
-        log_fn(f"epoch {epoch}: " + " ".join(
-            f"{k}={v:.5f}" for k, v in means.items()))
-        if config.save_dir:
-            save_checkpoint(os.path.join(config.save_dir, "model_last"),
-                            state, config)
-            if config.save_all and (config.val_intervals <= 0
-                                    or epoch % config.val_intervals == 0):
-                save_checkpoint(os.path.join(config.save_dir,
-                                             f"model_{epoch}"), state, config)
+            if not metrics_epoch:
+                raise ValueError(
+                    f"no training batches: {len(dataset)} samples < batch_size "
+                    f"{config.batch_size}"
+                    + (" (--num_iters 0 caps every epoch at zero batches)"
+                       if config.num_iters == 0 else "")
+                )
+            state = state.replace(epoch=epoch)
+            means = {k: float(np.mean([m[k] for m in metrics_epoch]))
+                     for k in metrics_epoch[0]}
+            history.append(means)
+            log_fn(f"epoch {epoch}: " + " ".join(
+                f"{k}={v:.5f}" for k, v in means.items()))
+            if config.save_dir:
+                ckpt.save(os.path.join(config.save_dir, "model_last"),
+                          checkpoint_payload(state), config)
+                if config.save_all and (config.val_intervals <= 0
+                                        or epoch % config.val_intervals == 0):
+                    ckpt.save(os.path.join(config.save_dir, f"model_{epoch}"),
+                              checkpoint_payload(state), config)
     return state, history

@@ -183,7 +183,9 @@ def train_denoise(config, dataset, num_iters=200, crop=128,
     )
     state = place_state(state)
     history = []
-    from cet_pick_tpu.train.state import set_learning_rate
+    from cet_pick_tpu.train.state import (
+        AsyncCheckpointer, set_learning_rate,
+    )
 
     from cet_pick_tpu.data.prefetch import PrefetchIterator
 
@@ -206,8 +208,9 @@ def train_denoise(config, dataset, num_iters=200, crop=128,
             log_fn(f"iter {n}: " + " ".join(
                 f"{k}={v:.5f}" for k, v in m.items()))
 
-    with PrefetchIterator(batches, depth=2,
-                          device_put=place_batch) as prefetched:
+    with AsyncCheckpointer(filename="denoise.msgpack") as ckpt, \
+            PrefetchIterator(batches, depth=2,
+                             device_put=place_batch) as prefetched:
         for it, batch in enumerate(prefetched):
             lr = compute_ramped_lrate(it, num_iters, ramp_up, ramp_down,
                                       config.lr)
@@ -221,33 +224,36 @@ def train_denoise(config, dataset, num_iters=200, crop=128,
                 # than per epoch (reference main.py:100 semantics); saved
                 # here (not in _collect) so model_{n} is exactly the state
                 # after n steps despite the lagged log line
-                save_denoise_checkpoint(
+                ckpt.save(
                     os.path.join(config.save_dir, f"model_{it + 1}"),
-                    state, config,
+                    denoise_payload(state), config,
                 )
     _collect(drain.pop())
     return state, models, history
+
+
+def denoise_payload(state: DenoiseState) -> dict:
+    """The serialized denoiser checkpoint pytree (shared by the sync and
+    write-behind savers)."""
+    return {
+        "step": state.step,
+        "params_dn": state.params_dn,
+        "params_sigma": state.params_sigma,
+        "opt_state": state.opt_state,
+    }
 
 
 def save_denoise_checkpoint(path, state: DenoiseState, config=None):
     """Persist the trained denoiser (DenoiseState is not a TrainState, so
     train/state.save_checkpoint cannot serve — without this, a denoise run
     without --write_denoised produced nothing but logs)."""
-    import os
+    from cet_pick_tpu.train.state import (
+        prefetch_payload, write_checkpoint_file,
+    )
 
-    from flax import serialization
-
-    os.makedirs(path, exist_ok=True)
-    payload = {
-        "step": state.step,
-        "params_dn": state.params_dn,
-        "params_sigma": state.params_sigma,
-        "opt_state": state.opt_state,
-    }
-    with open(os.path.join(path, "denoise.msgpack"), "wb") as f:
-        f.write(serialization.to_bytes(payload))
-    if config is not None:
-        config.save(os.path.join(path, "opt.json"))
+    payload = denoise_payload(state)
+    prefetch_payload(payload)
+    write_checkpoint_file(path, "denoise.msgpack", payload, config)
 
 
 def load_denoise_checkpoint(path, state: DenoiseState) -> DenoiseState:

@@ -212,7 +212,9 @@ def train_explore(config, dataset, num_epochs=None, log_fn=print,
 
     ``prepared``: the result of :func:`prepare_explore`, when the caller
     overlapped device setup with the dataset build (cmd_explore)."""
-    from cet_pick_tpu.train.state import save_checkpoint, set_learning_rate
+    from cet_pick_tpu.train.state import (
+        AsyncCheckpointer, checkpoint_payload, set_learning_rate,
+    )
 
     if prepared is None:
         prepared = prepare_explore(config, log_fn=log_fn, warm=False)
@@ -239,56 +241,61 @@ def train_explore(config, dataset, num_epochs=None, log_fn=print,
     start_epoch = state.epoch + 1
     history = []
     key = jax.random.PRNGKey(config.seed + 1)
-    for epoch in range(start_epoch, num_epochs + 1):
-        state = set_learning_rate(state, simsiam_lr_at_epoch(sched_cfg, epoch))
-        epoch_metrics = []
-        from cet_pick_tpu.data.prefetch import PrefetchIterator
+    # write-behind checkpointing (train/state.AsyncCheckpointer): the
+    # model_last fetch+write runs behind the next epoch's compute
+    with AsyncCheckpointer() as ckpt:
+        for epoch in range(start_epoch, num_epochs + 1):
+            state = set_learning_rate(state, simsiam_lr_at_epoch(sched_cfg, epoch))
+            epoch_metrics = []
+            from cet_pick_tpu.data.prefetch import PrefetchIterator
 
-        def with_norm(it):
-            for b in it:
-                b["norm_mean"] = norm_mean
-                b["norm_std"] = norm_std
-                yield b
+            def with_norm(it):
+                for b in it:
+                    b["norm_mean"] = norm_mean
+                    b["norm_std"] = norm_std
+                    yield b
 
-        batches = PrefetchIterator(
-            with_norm(dataset.epoch_batches(rng, config.batch_size)),
-            device_put=place_batch,
-        )
-        total_batches = max(len(dataset) // config.batch_size, 1)
-        cap = config.num_iters if config.num_iters >= 0 else None
-        # lagged single-transfer metric fetch (train/metrics.py)
-        from cet_pick_tpu.train.metrics import LaggedMetrics
-
-        drain = LaggedMetrics()
-        with batches:  # releases the producer thread on a num_iters break
-            # per-epoch cap (base_trainer.py:263-268); islice doesn't pull
-            # the first discarded batch
-            for it, batch in enumerate(itertools.islice(batches, cap)):
-                wlr = simsiam_warmup_lr(sched_cfg, epoch, it, total_batches)
-                if wlr is not None:
-                    state = set_learning_rate(state, wlr)
-                key, sub = jax.random.split(key)
-                state, metrics = step(state, batch, sub)
-                m = drain.push(metrics)
-                if m is not None:
-                    epoch_metrics.append(m)
-        m = drain.pop()
-        if m is not None:
-            epoch_metrics.append(m)
-        if not epoch_metrics:
-            raise ValueError(
-                f"no training batches: {len(dataset)} samples < batch_size "
-                f"{config.batch_size} with drop_last — lower batch_size"
+            batches = PrefetchIterator(
+                with_norm(dataset.epoch_batches(rng, config.batch_size)),
+                device_put=place_batch,
             )
-        state = state.replace(epoch=epoch)
-        means = {
-            k: float(np.mean([m[k] for m in epoch_metrics]))
-            for k in epoch_metrics[0]
-        }
-        history.append(means)
-        log_fn(f"epoch {epoch}: " + " ".join(f"{k}={v:.5f}" for k, v in means.items()))
-        save_checkpoint(os.path.join(config.save_dir, "model_last"), state, config)
-        if (config.save_all and config.val_intervals > 0
-                and epoch % config.val_intervals == 0):
-            save_checkpoint(os.path.join(config.save_dir, f"model_{epoch}"), state, config)
+            total_batches = max(len(dataset) // config.batch_size, 1)
+            cap = config.num_iters if config.num_iters >= 0 else None
+            # lagged single-transfer metric fetch (train/metrics.py)
+            from cet_pick_tpu.train.metrics import LaggedMetrics
+
+            drain = LaggedMetrics()
+            with batches:  # releases the producer thread on a num_iters break
+                # per-epoch cap (base_trainer.py:263-268); islice doesn't pull
+                # the first discarded batch
+                for it, batch in enumerate(itertools.islice(batches, cap)):
+                    wlr = simsiam_warmup_lr(sched_cfg, epoch, it, total_batches)
+                    if wlr is not None:
+                        state = set_learning_rate(state, wlr)
+                    key, sub = jax.random.split(key)
+                    state, metrics = step(state, batch, sub)
+                    m = drain.push(metrics)
+                    if m is not None:
+                        epoch_metrics.append(m)
+            m = drain.pop()
+            if m is not None:
+                epoch_metrics.append(m)
+            if not epoch_metrics:
+                raise ValueError(
+                    f"no training batches: {len(dataset)} samples < batch_size "
+                    f"{config.batch_size} with drop_last — lower batch_size"
+                )
+            state = state.replace(epoch=epoch)
+            means = {
+                k: float(np.mean([m[k] for m in epoch_metrics]))
+                for k in epoch_metrics[0]
+            }
+            history.append(means)
+            log_fn(f"epoch {epoch}: " + " ".join(f"{k}={v:.5f}" for k, v in means.items()))
+            snap = ckpt.save(os.path.join(config.save_dir, "model_last"),
+                             checkpoint_payload(state), config)
+            if (config.save_all and config.val_intervals > 0
+                    and epoch % config.val_intervals == 0):
+                ckpt.save(os.path.join(config.save_dir, f"model_{epoch}"),
+                          snap, config, snapshotted=True)
     return state, history

@@ -218,7 +218,8 @@ def train_fewshot(config, dataset, num_epochs=None, log_fn=print):
 
     from cet_pick_tpu.models.detector import create_detector
     from cet_pick_tpu.train.state import (
-        create_train_state, load_checkpoint, save_checkpoint,
+        AsyncCheckpointer, checkpoint_payload, create_train_state,
+        load_checkpoint,
     )
 
     n_clusters = max(int(config.nclusters), 3)  # bg=0, target=1, other=2
@@ -242,46 +243,50 @@ def train_fewshot(config, dataset, num_epochs=None, log_fn=print):
     history = []
     # resume continues from the restored epoch (model.py:234-247 semantics,
     # matching every other loop) instead of retraining the full schedule
-    for epoch in range(state.epoch + 1, num_epochs + 1):
-        epoch_metrics = []
-        # per-epoch iteration cap (base_trainer.py:263-268); islice avoids
-        # building the first discarded batch
-        cap = config.num_iters if config.num_iters >= 0 else None
-        # lagged single-transfer metric fetch (train/metrics.py)
-        from cet_pick_tpu.train.metrics import LaggedMetrics
+    with AsyncCheckpointer() as ckpt:
+        for epoch in range(state.epoch + 1, num_epochs + 1):
+            epoch_metrics = []
+            # per-epoch iteration cap (base_trainer.py:263-268); islice avoids
+            # building the first discarded batch
+            cap = config.num_iters if config.num_iters >= 0 else None
+            # lagged single-transfer metric fetch (train/metrics.py)
+            from cet_pick_tpu.train.metrics import LaggedMetrics
 
-        drain = LaggedMetrics()
-        for batch in itertools.islice(
-                dataset.epoch_batches(rng, config.batch_size), cap):
-            state, centers, metrics = step(state, jax.device_put(batch), centers)
-            m = drain.push(metrics)
+            drain = LaggedMetrics()
+            for batch in itertools.islice(
+                    dataset.epoch_batches(rng, config.batch_size), cap):
+                state, centers, metrics = step(state, jax.device_put(batch), centers)
+                m = drain.push(metrics)
+                if m is not None:
+                    epoch_metrics.append(m)
+            m = drain.pop()
             if m is not None:
                 epoch_metrics.append(m)
-        m = drain.pop()
-        if m is not None:
-            epoch_metrics.append(m)
-        if not epoch_metrics:
-            raise ValueError(
-                f"no training batches: {len(dataset)} samples < batch_size "
-                f"{config.batch_size}"
-                + (" (--num_iters 0 caps every epoch at zero batches)"
-                   if config.num_iters == 0 else "")
-            )
-        state = state.replace(epoch=epoch)
-        means = {k: float(np.mean([m[k] for m in epoch_metrics]))
-                 for k in epoch_metrics[0]}
-        history.append(means)
-        log_fn(f"epoch {epoch}: " + " ".join(
-            f"{k}={v:.5f}" for k, v in means.items()))
-        if config.save_dir:
-            save_checkpoint(os.path.join(config.save_dir, "model_last"),
-                            state, config)
-            np.save(os.path.join(config.save_dir, "cluster_centers.npy"),
-                    np.asarray(centers))
-            if config.save_all and (config.val_intervals <= 0
-                                    or epoch % config.val_intervals == 0):
-                save_checkpoint(os.path.join(config.save_dir,
-                                             f"model_{epoch}"), state, config)
+            if not epoch_metrics:
+                raise ValueError(
+                    f"no training batches: {len(dataset)} samples < batch_size "
+                    f"{config.batch_size}"
+                    + (" (--num_iters 0 caps every epoch at zero batches)"
+                       if config.num_iters == 0 else "")
+                )
+            state = state.replace(epoch=epoch)
+            means = {k: float(np.mean([m[k] for m in epoch_metrics]))
+                     for k in epoch_metrics[0]}
+            history.append(means)
+            log_fn(f"epoch {epoch}: " + " ".join(
+                f"{k}={v:.5f}" for k, v in means.items()))
+            if config.save_dir:
+                ckpt.save(os.path.join(config.save_dir, "model_last"),
+                          checkpoint_payload(state), config)
+                # the write-behind save no longer creates save_dir before
+                # this synchronous companion write runs
+                os.makedirs(config.save_dir, exist_ok=True)
+                np.save(os.path.join(config.save_dir, "cluster_centers.npy"),
+                        np.asarray(centers))
+                if config.save_all and (config.val_intervals <= 0
+                                        or epoch % config.val_intervals == 0):
+                    ckpt.save(os.path.join(config.save_dir, f"model_{epoch}"),
+                              checkpoint_payload(state), config)
     return state, np.asarray(centers), history
 
 

@@ -172,14 +172,10 @@ def moco_step_fn(model, config, mode: str, m=0.999, temperature=0.1):
     return train_step
 
 
-def save_moco_checkpoint(path, state: MoCoState, config=None):
-    """Serialize the full MoCo state (query+key encoders, queue, optimizer)."""
-    import os
-
-    from flax import serialization
-
-    os.makedirs(path, exist_ok=True)
-    payload = {
+def moco_payload(state: MoCoState) -> dict:
+    """The serialized MoCo checkpoint pytree (query+key encoders, queue,
+    optimizer) — shared by the sync and write-behind savers."""
+    return {
         "step": state.step, "epoch": state.epoch,
         "params": state.params, "batch_stats": state.batch_stats,
         "key_params": state.key_params,
@@ -187,10 +183,17 @@ def save_moco_checkpoint(path, state: MoCoState, config=None):
         "queue": state.queue, "queue_ptr": state.queue_ptr,
         "opt_state": state.opt_state,
     }
-    with open(os.path.join(path, "moco_state.msgpack"), "wb") as f:
-        f.write(serialization.to_bytes(payload))
-    if config is not None:
-        config.save(os.path.join(path, "opt.json"))
+
+
+def save_moco_checkpoint(path, state: MoCoState, config=None):
+    """Serialize the full MoCo state (query+key encoders, queue, optimizer)."""
+    from cet_pick_tpu.train.state import (
+        prefetch_payload, write_checkpoint_file,
+    )
+
+    payload = moco_payload(state)
+    prefetch_payload(payload)
+    write_checkpoint_file(path, "moco_state.msgpack", payload, config)
 
 
 def load_moco_checkpoint(path, state: MoCoState) -> MoCoState:
@@ -298,54 +301,54 @@ def train_moco(config, dataset, num_epochs=None, r=1024, log_fn=print,
                  else dataclasses.replace(config, num_epochs=num_epochs))
     history = []
     key = jax.random.PRNGKey(config.seed + 1)
-    from cet_pick_tpu.train.state import set_learning_rate
+    from cet_pick_tpu.train.state import (
+        AsyncCheckpointer, set_learning_rate,
+    )
 
-    for epoch in range(state.epoch + 1, num_epochs + 1):
-        state = set_learning_rate(state, simsiam_lr_at_epoch(sched_cfg, epoch))
-        epoch_metrics = []
-        total_batches = max(len(dataset) // config.batch_size, 1)
-        cap = config.num_iters if config.num_iters >= 0 else None
-        # lagged single-transfer metric fetch (train/metrics.py)
-        from cet_pick_tpu.train.metrics import LaggedMetrics
+    with AsyncCheckpointer(filename="moco_state.msgpack") as ckpt:
+        for epoch in range(state.epoch + 1, num_epochs + 1):
+            state = set_learning_rate(state, simsiam_lr_at_epoch(sched_cfg, epoch))
+            epoch_metrics = []
+            total_batches = max(len(dataset) // config.batch_size, 1)
+            cap = config.num_iters if config.num_iters >= 0 else None
+            # lagged single-transfer metric fetch (train/metrics.py)
+            from cet_pick_tpu.train.metrics import LaggedMetrics
 
-        drain = LaggedMetrics()
-        # per-epoch cap (base_trainer.py:263-268); islice doesn't build the
-        # first discarded batch
-        for it, batch in enumerate(itertools.islice(
-                dataset.epoch_batches(rng, config.batch_size), cap)):
-            wlr = simsiam_warmup_lr(sched_cfg, epoch, it, total_batches)
-            if wlr is not None:
-                state = set_learning_rate(state, wlr)
-            batch["norm_mean"] = norm_mean
-            batch["norm_std"] = norm_std
-            key, sub = jax.random.split(key)
-            state, metrics = step(state, place_batch(batch), sub)
-            m = drain.push(metrics)
+            drain = LaggedMetrics()
+            # per-epoch cap (base_trainer.py:263-268); islice doesn't build the
+            # first discarded batch
+            for it, batch in enumerate(itertools.islice(
+                    dataset.epoch_batches(rng, config.batch_size), cap)):
+                wlr = simsiam_warmup_lr(sched_cfg, epoch, it, total_batches)
+                if wlr is not None:
+                    state = set_learning_rate(state, wlr)
+                batch["norm_mean"] = norm_mean
+                batch["norm_std"] = norm_std
+                key, sub = jax.random.split(key)
+                state, metrics = step(state, place_batch(batch), sub)
+                m = drain.push(metrics)
+                if m is not None:
+                    epoch_metrics.append(m)
+            m = drain.pop()
             if m is not None:
                 epoch_metrics.append(m)
-        m = drain.pop()
-        if m is not None:
-            epoch_metrics.append(m)
-        if not epoch_metrics:
-            raise ValueError(
-                f"no training batches: {len(dataset)} samples < batch_size "
-                f"{config.batch_size}"
-                + (" (--num_iters 0 caps every epoch at zero batches)"
-                   if config.num_iters == 0 else "")
-            )
-        state = state.replace(epoch=epoch)
-        means = {k: float(np.mean([mm[k] for mm in epoch_metrics]))
-                 for k in epoch_metrics[0]}
-        history.append(means)
-        log_fn(f"epoch {epoch}: " + " ".join(f"{k}={v:.5f}" for k, v in means.items()))
-        if config.save_dir:
-            save_moco_checkpoint(
-                os.path.join(config.save_dir, "model_last"), state, config
-            )
-            if config.save_all and (config.val_intervals <= 0
-                                    or epoch % config.val_intervals == 0):
-                save_moco_checkpoint(
-                    os.path.join(config.save_dir, f"model_{epoch}"), state,
-                    config,
+            if not epoch_metrics:
+                raise ValueError(
+                    f"no training batches: {len(dataset)} samples < batch_size "
+                    f"{config.batch_size}"
+                    + (" (--num_iters 0 caps every epoch at zero batches)"
+                       if config.num_iters == 0 else "")
                 )
+            state = state.replace(epoch=epoch)
+            means = {k: float(np.mean([mm[k] for mm in epoch_metrics]))
+                     for k in epoch_metrics[0]}
+            history.append(means)
+            log_fn(f"epoch {epoch}: " + " ".join(f"{k}={v:.5f}" for k, v in means.items()))
+            if config.save_dir:
+                ckpt.save(os.path.join(config.save_dir, "model_last"),
+                          moco_payload(state), config)
+                if config.save_all and (config.val_intervals <= 0
+                                        or epoch % config.val_intervals == 0):
+                    ckpt.save(os.path.join(config.save_dir, f"model_{epoch}"),
+                              moco_payload(state), config)
     return state, history

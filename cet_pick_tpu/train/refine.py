@@ -294,7 +294,9 @@ def train_refine(config, dataset, val_dataset=None, num_epochs=None,
     overlapped device setup with the dataset build (cmd_train)."""
     import os
 
-    from cet_pick_tpu.train.state import save_checkpoint, set_learning_rate
+    from cet_pick_tpu.train.state import (
+        AsyncCheckpointer, checkpoint_payload, set_learning_rate,
+    )
 
     if prepared is None:
         prepared = prepare_refine(config, log_fn=log_fn, warm=False)
@@ -312,88 +314,90 @@ def train_refine(config, dataset, val_dataset=None, num_epochs=None,
     # invocation (main.py:105) so a resumed run's first val always overwrites
     # model_best; we persist it beside the checkpoints instead (ADVICE r2)
     best_val = _load_best_val(config.save_dir) if config.resume else float("inf")
-    for epoch in range(start_epoch, num_epochs + 1):
-        state = set_learning_rate(state, lr_at_epoch(config, epoch))
-        epoch_metrics = []
-        from cet_pick_tpu.data.prefetch import PrefetchIterator
+    # write-behind checkpointing: the per-epoch model_last save's fetch +
+    # serialize + disk write runs behind the next epoch's compute
+    # (train/state.AsyncCheckpointer; 2.5-9.9 s/epoch through the tunnel)
+    with AsyncCheckpointer() as ckpt:
+        for epoch in range(start_epoch, num_epochs + 1):
+            state = set_learning_rate(state, lr_at_epoch(config, epoch))
+            epoch_metrics = []
+            from cet_pick_tpu.data.prefetch import PrefetchIterator
 
-        batches = PrefetchIterator(
-            dataset.epoch_batches(rng, config.batch_size),
-            device_put=place_batch,
-        )
-        # --profile_dir: capture the first post-resume epoch as an XLA
-        # profiler trace (utils/profiling.py; view in TensorBoard's profile tab)
-        from cet_pick_tpu.utils.profiling import maybe_trace
-
-        # the context manager releases the producer thread + its in-flight
-        # device batches when the --num_iters cap breaks out mid-epoch
-        cap = config.num_iters if config.num_iters >= 0 else None
-        # lagged single-transfer metric fetch (train/metrics.py): the PU
-        # zero-positive guard below therefore fires one step late — fine,
-        # it aborts the whole run either way
-        drain = LaggedMetrics()
-
-        def _collect(m):
-            if m is None:
-                return
-            # only the plain PU risk estimator is undefined without
-            # positives (reference loss.py:275-276); pn (focal) and ge
-            # tolerate it
-            if not config.pn and not config.ge and m.get("num_pos", 1) == 0:
-                # the reference's PU loss raises here (loss.py:275-276):
-                # zero labeled positives make the PU risk estimate undefined
-                raise ValueError(
-                    "batch contains no positive heatmap voxels — "
-                    "annotations missing or dropped (check --order and "
-                    "coordinate files)"
-                )
-            epoch_metrics.append(m)
-
-        with maybe_trace(config.profile_dir if epoch == start_epoch else None), \
-                batches:
-            # per-epoch iteration cap (base_trainer.py:263-268; -1 = all);
-            # islice never pulls the first discarded batch off the prefetcher
-            for batch in itertools.islice(batches, cap):
-                state, metrics = train_step(state, batch)
-                _collect(drain.push(metrics))
-        _collect(drain.pop())
-        if not epoch_metrics:
-            raise ValueError(
-                f"no training batches: {len(dataset)} samples < batch_size "
-                f"{config.batch_size} with drop_last — lower batch_size"
+            batches = PrefetchIterator(
+                dataset.epoch_batches(rng, config.batch_size),
+                device_put=place_batch,
             )
-        state = state.replace(epoch=epoch)
-        means = {
-            k: float(np.mean([m[k] for m in epoch_metrics]))
-            for k in epoch_metrics[0]
-        }
-        history.append(means)
-        log_fn(f"epoch {epoch}: " + " ".join(f"{k}={v:.5f}" for k, v in means.items()))
+            # --profile_dir: capture the first post-resume epoch as an XLA
+            # profiler trace (utils/profiling.py; view in TensorBoard's profile tab)
+            from cet_pick_tpu.utils.profiling import maybe_trace
 
-        save_checkpoint(os.path.join(config.save_dir, "model_last"), state, config)
-        if config.val_intervals > 0 and epoch % config.val_intervals == 0:
-            if val_step is not None:
-                vals = []
-                for i in range(len(val_dataset.names)):
-                    item = val_dataset.val_item(i)
-                    vals.append(float(val_step(state, item["input"], item["hm"])))
-                    if config.debug > 0:
-                        _debug_val_volume(config, model, state, item, epoch, i)
-                val_mean = float(np.mean(vals))
-                log_fn(f"epoch {epoch}: val_focal={val_mean:.5f}")
-                # best-val checkpoint, the reference's
-                # model_best_contrastive.pth (main.py:106-128)
-                if val_mean < best_val:
-                    best_val = val_mean
-                    save_checkpoint(
-                        os.path.join(config.save_dir, "model_best"), state, config
+            # the context manager releases the producer thread + its in-flight
+            # device batches when the --num_iters cap breaks out mid-epoch
+            cap = config.num_iters if config.num_iters >= 0 else None
+            # lagged single-transfer metric fetch (train/metrics.py): the PU
+            # zero-positive guard below therefore fires one step late — fine,
+            # it aborts the whole run either way
+            drain = LaggedMetrics()
+
+            def _collect(m):
+                if m is None:
+                    return
+                # only the plain PU risk estimator is undefined without
+                # positives (reference loss.py:275-276); pn (focal) and ge
+                # tolerate it
+                if not config.pn and not config.ge and m.get("num_pos", 1) == 0:
+                    # the reference's PU loss raises here (loss.py:275-276):
+                    # zero labeled positives make the PU risk estimate undefined
+                    raise ValueError(
+                        "batch contains no positive heatmap voxels — "
+                        "annotations missing or dropped (check --order and "
+                        "coordinate files)"
                     )
-                    _save_best_val(config.save_dir, best_val, epoch)
-            if config.save_all:
-                save_checkpoint(
-                    os.path.join(config.save_dir, f"model_{epoch}"), state,
-                    config,
+                epoch_metrics.append(m)
+
+            with maybe_trace(config.profile_dir if epoch == start_epoch else None), \
+                    batches:
+                # per-epoch iteration cap (base_trainer.py:263-268; -1 = all);
+                # islice never pulls the first discarded batch off the prefetcher
+                for batch in itertools.islice(batches, cap):
+                    state, metrics = train_step(state, batch)
+                    _collect(drain.push(metrics))
+            _collect(drain.pop())
+            if not epoch_metrics:
+                raise ValueError(
+                    f"no training batches: {len(dataset)} samples < batch_size "
+                    f"{config.batch_size} with drop_last — lower batch_size"
                 )
+            state = state.replace(epoch=epoch)
+            means = {
+                k: float(np.mean([m[k] for m in epoch_metrics]))
+                for k in epoch_metrics[0]
+            }
+            history.append(means)
+            log_fn(f"epoch {epoch}: " + " ".join(f"{k}={v:.5f}" for k, v in means.items()))
+
+            snap = ckpt.save(os.path.join(config.save_dir, "model_last"),
+                             checkpoint_payload(state), config)
+            if config.val_intervals > 0 and epoch % config.val_intervals == 0:
+                if val_step is not None:
+                    vals = []
+                    for i in range(len(val_dataset.names)):
+                        item = val_dataset.val_item(i)
+                        vals.append(float(val_step(state, item["input"], item["hm"])))
+                        if config.debug > 0:
+                            _debug_val_volume(config, model, state, item, epoch, i)
+                    val_mean = float(np.mean(vals))
+                    log_fn(f"epoch {epoch}: val_focal={val_mean:.5f}")
+                    # best-val checkpoint, the reference's
+                    # model_best_contrastive.pth (main.py:106-128)
+                    if val_mean < best_val:
+                        best_val = val_mean
+                        ckpt.save(os.path.join(config.save_dir, "model_best"),
+                                  snap, config, snapshotted=True)
+                        _save_best_val(config.save_dir, best_val, epoch)
+                if config.save_all:
+                    ckpt.save(os.path.join(config.save_dir, f"model_{epoch}"),
+                              snap, config, snapshotted=True)
     return state, history
 
 
@@ -416,7 +420,11 @@ def _load_best_val(save_dir):
 
 def _save_best_val(save_dir, val, epoch):
     import json
+    import os
 
+    # the model_best write that precedes this is write-behind now, so it no
+    # longer guarantees save_dir exists yet
+    os.makedirs(save_dir, exist_ok=True)
     with open(_best_val_path(save_dir), "w") as f:
         json.dump({"val": float(val), "epoch": int(epoch)}, f)
 

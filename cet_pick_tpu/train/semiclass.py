@@ -51,7 +51,9 @@ def train_semiclass(config, dataset, val_dataset=None, num_epochs=None,
     from cet_pick_tpu.train.refine import (
         lr_at_epoch, make_val_step, prepare_refine,
     )
-    from cet_pick_tpu.train.state import save_checkpoint, set_learning_rate
+    from cet_pick_tpu.train.state import (
+        AsyncCheckpointer, checkpoint_payload, set_learning_rate,
+    )
 
     check_semiclass_config(config)
     if prepared is None:
@@ -66,53 +68,52 @@ def train_semiclass(config, dataset, val_dataset=None, num_epochs=None,
 
     num_epochs = num_epochs or config.num_epochs
     history = []
-    for epoch in range(state.epoch + 1, num_epochs + 1):
-        state = set_learning_rate(state, lr_at_epoch(config, epoch))
-        epoch_metrics = []
-        # per-epoch iteration cap (base_trainer.py:263-268); islice avoids
-        # building the first discarded batch
-        cap = config.num_iters if config.num_iters >= 0 else None
-        # lagged single-transfer metric fetch (train/metrics.py)
-        from cet_pick_tpu.train.metrics import LaggedMetrics
+    with AsyncCheckpointer() as ckpt:
+        for epoch in range(state.epoch + 1, num_epochs + 1):
+            state = set_learning_rate(state, lr_at_epoch(config, epoch))
+            epoch_metrics = []
+            # per-epoch iteration cap (base_trainer.py:263-268); islice avoids
+            # building the first discarded batch
+            cap = config.num_iters if config.num_iters >= 0 else None
+            # lagged single-transfer metric fetch (train/metrics.py)
+            from cet_pick_tpu.train.metrics import LaggedMetrics
 
-        drain = LaggedMetrics()
-        for batch in itertools.islice(
-                dataset.epoch_batches(rng, config.batch_size), cap):
-            state, metrics = train_step(state, place_batch(batch))
-            m = drain.push(metrics)
+            drain = LaggedMetrics()
+            for batch in itertools.islice(
+                    dataset.epoch_batches(rng, config.batch_size), cap):
+                state, metrics = train_step(state, place_batch(batch))
+                m = drain.push(metrics)
+                if m is not None:
+                    epoch_metrics.append(m)
+            m = drain.pop()
             if m is not None:
                 epoch_metrics.append(m)
-        m = drain.pop()
-        if m is not None:
-            epoch_metrics.append(m)
-        if not epoch_metrics:
-            raise ValueError(
-                f"no training batches: {len(dataset)} samples < batch_size "
-                f"{config.batch_size}"
-                + (" (--num_iters 0 caps every epoch at zero batches)"
-                   if config.num_iters == 0 else "")
-            )
-        state = state.replace(epoch=epoch)
-        means = {k: float(np.mean([m[k] for m in epoch_metrics]))
-                 for k in epoch_metrics[0]}
-        history.append(means)
-        log_fn(f"epoch {epoch}: " + " ".join(
-            f"{k}={v:.5f}" for k, v in means.items()))
-        if config.save_dir:
-            save_checkpoint(os.path.join(config.save_dir, "model_last"),
-                            state, config)
-        if (val_step is not None and config.val_intervals > 0
-                and epoch % config.val_intervals == 0):
-            vals = []
-            for i in range(len(val_dataset.names)):
-                item = val_dataset.val_item(i)
-                # validation scores with plain focal on the 0/1 label volume
-                gt = np.where(item["hm"] < 0, 0.0, item["hm"])
-                vals.append(float(val_step(state, item["input"], gt)))
-            log_fn(f"epoch {epoch}: val_focal={np.mean(vals):.5f}")
-            if config.save_all:
-                save_checkpoint(
-                    os.path.join(config.save_dir, f"model_{epoch}"), state,
-                    config,
+            if not epoch_metrics:
+                raise ValueError(
+                    f"no training batches: {len(dataset)} samples < batch_size "
+                    f"{config.batch_size}"
+                    + (" (--num_iters 0 caps every epoch at zero batches)"
+                       if config.num_iters == 0 else "")
                 )
+            state = state.replace(epoch=epoch)
+            means = {k: float(np.mean([m[k] for m in epoch_metrics]))
+                     for k in epoch_metrics[0]}
+            history.append(means)
+            log_fn(f"epoch {epoch}: " + " ".join(
+                f"{k}={v:.5f}" for k, v in means.items()))
+            if config.save_dir:
+                ckpt.save(os.path.join(config.save_dir, "model_last"),
+                          checkpoint_payload(state), config)
+            if (val_step is not None and config.val_intervals > 0
+                    and epoch % config.val_intervals == 0):
+                vals = []
+                for i in range(len(val_dataset.names)):
+                    item = val_dataset.val_item(i)
+                    # validation scores with plain focal on the 0/1 label volume
+                    gt = np.where(item["hm"] < 0, 0.0, item["hm"])
+                    vals.append(float(val_step(state, item["input"], gt)))
+                log_fn(f"epoch {epoch}: val_focal={np.mean(vals):.5f}")
+                if config.save_all:
+                    ckpt.save(os.path.join(config.save_dir, f"model_{epoch}"),
+                              checkpoint_payload(state), config)
     return state, history

@@ -105,20 +105,158 @@ def set_learning_rate(state: TrainState, lr: float) -> TrainState:
 # checkpoint I/O
 # ---------------------------------------------------------------------------
 
-def save_checkpoint(path: str, state: TrainState, config=None):
-    """Serialize {epoch, params, batch_stats, opt_state} (+config JSON)."""
-    os.makedirs(path, exist_ok=True)
-    payload = {
+def checkpoint_payload(state: TrainState) -> dict:
+    """The serialized checkpoint's pytree (shared by the sync and
+    write-behind savers)."""
+    return {
         "step": state.step,
         "epoch": state.epoch,
         "params": state.params,
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
     }
-    with open(os.path.join(path, "state.msgpack"), "wb") as f:
-        f.write(serialization.to_bytes(payload))
+
+
+def prefetch_payload(payload):
+    """Start the device->host copy of every array leaf, so the serializer's
+    per-leaf ``np.asarray`` finds the bytes already in flight.
+
+    flax's ``to_bytes`` fetches leaves one BLOCKING transfer at a time; on a
+    remote-attached TPU that is leaves x round-trip-latency, serial —
+    measured 9.9 s for the 232-leaf flagship refine state through a
+    degraded axon window, 2.5 s with this prefetch (the remaining cost is
+    the 24 MB of payload bytes on the link; benchmarks/ckpt_bench.py)."""
+    for leaf in jax.tree_util.tree_leaves(payload):
+        if isinstance(leaf, jax.Array):
+            try:
+                leaf.copy_to_host_async()
+            except Exception:
+                # optional fast path only — an exotic sharding falls back to
+                # the serializer's own synchronous fetch
+                pass
+
+
+def write_checkpoint_file(path: str, filename: str, payload: dict,
+                          config=None, _bytes=None):
+    os.makedirs(path, exist_ok=True)
+    # atomic replace: a write aborted mid-flight (write-behind thread killed
+    # at process exit, disk full) leaves the previous checkpoint intact
+    final = os.path.join(path, filename)
+    tmp = final + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(serialization.to_bytes(payload) if _bytes is None else _bytes)
+    os.replace(tmp, final)
     if config is not None:
         config.save(os.path.join(path, "opt.json"))
+
+
+def save_checkpoint(path: str, state: TrainState, config=None):
+    """Serialize {epoch, params, batch_stats, opt_state} (+config JSON)."""
+    payload = checkpoint_payload(state)
+    prefetch_payload(payload)
+    write_checkpoint_file(path, "state.msgpack", payload, config)
+
+
+class AsyncCheckpointer:
+    """Write-behind checkpoint saves for epoch loops.
+
+    Every epoch of every train loop ends in a ``model_last`` write whose
+    device->host fetch + msgpack + disk write the loop otherwise sits idle
+    through (2.5-9.9 s per epoch through the axon tunnel, ckpt_bench.py).
+    ``save()`` instead snapshots the payload ON DEVICE (``jnp.copy``, so the
+    worker never races a later DP train step's buffer DONATION — donated
+    inputs are marked deleted at the next step's dispatch, see
+    parallel/mesh.warm_step), starts the host copies, and enqueues; one
+    worker thread finishes the fetch, serializes, and writes behind the next
+    epoch's compute.
+
+    Saves land in submission order (``model_last`` is always the newest
+    write) and repeated saves of one snapshot (model_last + model_best +
+    model_N in the same epoch) serialize the bytes once. The bounded queue
+    back-pressures a loop that outruns the disk. ``close()`` flushes and
+    re-raises any worker failure; use as a context manager around the epoch
+    loop so an aborted run still flushes what it saved.
+
+    No reference analog (torch.save blocks the loop; reference
+    base_trainer.py saves synchronously every epoch)."""
+
+    def __init__(self, filename: str = "state.msgpack"):
+        import queue
+        import threading
+
+        self._filename = filename
+        self._q = queue.Queue(maxsize=2)
+        self._error = None
+        self._cache = (None, None)  # (payload snapshot, serialized bytes)
+        self._thread = threading.Thread(
+            target=self._drain, name="ckpt-writer", daemon=True)
+        self._thread.start()
+
+    def snapshot(self, payload):
+        """Device-side copy + host-prefetch of ``payload``; the returned
+        tree is safe to enqueue multiple times and immune to later buffer
+        donation."""
+        snap = jax.tree_util.tree_map(
+            lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x,
+            payload,
+        )
+        prefetch_payload(snap)
+        return snap
+
+    def save(self, path: str, payload, config=None, snapshotted=False):
+        """Queue one checkpoint write. ``payload`` is snapshotted here
+        unless the caller already passed a :meth:`snapshot` result."""
+        self._check()
+        if not snapshotted:
+            payload = self.snapshot(payload)
+        self._q.put((path, payload, config))
+        return payload
+
+    def _drain(self):
+        while True:
+            job = self._q.get()
+            try:
+                if job is None:
+                    return
+                path, payload, config = job
+                if self._cache[0] is payload:
+                    data = self._cache[1]
+                else:
+                    data = serialization.to_bytes(payload)
+                    self._cache = (payload, data)
+                write_checkpoint_file(path, self._filename, payload, config,
+                                  _bytes=data)
+            except Exception as e:  # pragma: no cover - surfaced by _check
+                self._error = e
+            finally:
+                self._q.task_done()
+
+    def _check(self):
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise RuntimeError(
+                "background checkpoint write failed") from err
+
+    def close(self):
+        """Drain the queue, stop the worker, re-raise any write failure."""
+        self._q.put(None)
+        self._thread.join()
+        self._check()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        try:
+            self.close()
+        except Exception as flush_err:
+            if exc_type is None:
+                raise
+            # the loop's own exception stays primary; don't mask it
+            import sys
+
+            print(f"[ckpt] flush after abort also failed: {flush_err}",
+                  file=sys.stderr)
 
 
 def _merge_tolerant(target, loaded, path=""):

@@ -196,7 +196,8 @@ def train_supervised(config, dataset, num_epochs=None, log_fn=print):
     from cet_pick_tpu.models.detector import create_detector
     from cet_pick_tpu.train.refine import lr_at_epoch
     from cet_pick_tpu.train.state import (
-        create_train_state, load_checkpoint, save_checkpoint,
+        AsyncCheckpointer, checkpoint_payload, create_train_state,
+        load_checkpoint,
         set_learning_rate,
     )
 
@@ -233,44 +234,45 @@ def train_supervised(config, dataset, num_epochs=None, log_fn=print):
     num_epochs = num_epochs or config.num_epochs
     history = []
     key = jax.random.PRNGKey(config.seed + 1)
-    for epoch in range(state.epoch + 1, num_epochs + 1):
-        state = set_learning_rate(state, lr_at_epoch(config, epoch))
-        epoch_metrics = []
-        # per-epoch iteration cap (base_trainer.py:263-268); islice so the
-        # capped epoch never *builds* the first discarded batch
-        cap = config.num_iters if config.num_iters >= 0 else None
-        # lagged single-transfer metric fetch (train/metrics.py)
-        from cet_pick_tpu.train.metrics import LaggedMetrics
+    with AsyncCheckpointer() as ckpt:
+        for epoch in range(state.epoch + 1, num_epochs + 1):
+            state = set_learning_rate(state, lr_at_epoch(config, epoch))
+            epoch_metrics = []
+            # per-epoch iteration cap (base_trainer.py:263-268); islice so the
+            # capped epoch never *builds* the first discarded batch
+            cap = config.num_iters if config.num_iters >= 0 else None
+            # lagged single-transfer metric fetch (train/metrics.py)
+            from cet_pick_tpu.train.metrics import LaggedMetrics
 
-        drain = LaggedMetrics()
-        for batch in itertools.islice(
-                dataset.epoch_batches(rng, config.batch_size), cap):
-            key, sub = jax.random.split(key)
-            state, metrics = step(state, place_batch(batch), sub)
-            m = drain.push(metrics)
+            drain = LaggedMetrics()
+            for batch in itertools.islice(
+                    dataset.epoch_batches(rng, config.batch_size), cap):
+                key, sub = jax.random.split(key)
+                state, metrics = step(state, place_batch(batch), sub)
+                m = drain.push(metrics)
+                if m is not None:
+                    epoch_metrics.append(m)
+            m = drain.pop()
             if m is not None:
                 epoch_metrics.append(m)
-        m = drain.pop()
-        if m is not None:
-            epoch_metrics.append(m)
-        if not epoch_metrics:
-            raise ValueError(
-                f"no training batches: {len(dataset)} samples < batch_size "
-                f"{config.batch_size}"
-                + (" (--num_iters 0 caps every epoch at zero batches)"
-                   if config.num_iters == 0 else "")
-            )
-        state = state.replace(epoch=epoch)
-        means = {k: float(np.mean([m[k] for m in epoch_metrics]))
-                 for k in epoch_metrics[0]}
-        history.append(means)
-        log_fn(f"epoch {epoch}: " + " ".join(
-            f"{k}={v:.5f}" for k, v in means.items()))
-        if config.save_dir:
-            save_checkpoint(os.path.join(config.save_dir, "model_last"),
-                            state, config)
-            if config.save_all and (config.val_intervals <= 0
-                                    or epoch % config.val_intervals == 0):
-                save_checkpoint(os.path.join(config.save_dir,
-                                             f"model_{epoch}"), state, config)
+            if not epoch_metrics:
+                raise ValueError(
+                    f"no training batches: {len(dataset)} samples < batch_size "
+                    f"{config.batch_size}"
+                    + (" (--num_iters 0 caps every epoch at zero batches)"
+                       if config.num_iters == 0 else "")
+                )
+            state = state.replace(epoch=epoch)
+            means = {k: float(np.mean([m[k] for m in epoch_metrics]))
+                     for k in epoch_metrics[0]}
+            history.append(means)
+            log_fn(f"epoch {epoch}: " + " ".join(
+                f"{k}={v:.5f}" for k, v in means.items()))
+            if config.save_dir:
+                ckpt.save(os.path.join(config.save_dir, "model_last"),
+                          checkpoint_payload(state), config)
+                if config.save_all and (config.val_intervals <= 0
+                                        or epoch % config.val_intervals == 0):
+                    ckpt.save(os.path.join(config.save_dir, f"model_{epoch}"),
+                              checkpoint_payload(state), config)
     return state, history
