@@ -253,6 +253,11 @@ def cmd_embed(argv):
     join = _overlapped(lambda: ExploreDataset(cfg, "test"))
     model = create_simsiam(cfg)
     if cfg.load_model.endswith((".pth", ".pt")):
+        if model.mode == "vol":
+            raise SystemExit(
+                "3D-subvolume encoders (arch simsiam_N/moco3d_N) have no "
+                "torch conversion; load a framework checkpoint directory"
+            )
         # trained reference exploration checkpoint: convert in place
         import torch
 
@@ -263,15 +268,26 @@ def cmd_embed(argv):
               if hasattr(v, "numpy")}
         params, batch_stats = simsiam_state_dict_to_flax(sd)
     else:
-        sample = {
-            "anchor": np.zeros(
-                (1, 2 if model.mode == "2d3d" else 1, cfg.bbox, cfg.bbox),
-                np.float32,
-            )
-        }
+        from cet_pick_tpu.train.explore import dummy_explore_batch
+
+        sample = dummy_explore_batch(cfg, model.mode)
         state = create_simsiam_state(model, cfg, jax.random.PRNGKey(0), sample)
-        state = load_checkpoint(cfg.load_model, state)
-        params, batch_stats = state.params, state.batch_stats
+        moco_path = os.path.join(cfg.load_model, "moco_state.msgpack")
+        if (not os.path.exists(os.path.join(cfg.load_model, "state.msgpack"))
+                and os.path.exists(moco_path)):
+            # MoCo checkpoint: embed with the QUERY encoder (the reference's
+            # moco_test* loads model_q the same way)
+            from flax import serialization
+
+            with open(moco_path, "rb") as f:
+                loaded = serialization.msgpack_restore(f.read())
+            params = serialization.from_state_dict(state.params,
+                                                   loaded["params"])
+            batch_stats = serialization.from_state_dict(
+                state.batch_stats, loaded["batch_stats"])
+        else:
+            state = load_checkpoint(cfg.load_model, state)
+            params, batch_stats = state.params, state.batch_stats
     prepared = prepare_embed(cfg, params, batch_stats)
     result = extract_embeddings(cfg, join(), params, batch_stats,
                                 prepared=prepared)
@@ -749,10 +765,12 @@ def cmd_export_torch(argv):
               "only checkpoints written by this package can be exported")
         return 2
     cfg = Config.load(opt_json)
-    if not cfg.arch.startswith(("unet", "simsiam")):
+    if (not cfg.arch.startswith(("unet", "simsiam"))
+            or cfg.arch.split("_")[0] in ("simsiam", "moco3d")):
         print(f"export-torch supports the reference TomoConvUNet (unet_N) "
-              f"and exploration (simsiam*) families; checkpoint has arch "
-              f"{cfg.arch!r}")
+              f"and patch-exploration (simsiam2d*/simsiam2d3d*) families; "
+              f"checkpoint has arch {cfg.arch!r} (3D-subvolume VolTrunk "
+              f"encoders have no reference structural counterpart)")
         return 2
     state_path = os.path.join(a.load_model, "state.msgpack")
     moco_path = os.path.join(a.load_model, "moco_state.msgpack")

@@ -46,7 +46,9 @@ FLAG_GROUPS = (
     ("Model", {
         "arch": "architecture: `unet_N` (detection UNet, N blocks), "
                 "`res3d_N` / `p3d_N` (3D trunks), `simsiam2d3d_18` / "
-                "`simsiam2d_18` / `simsiam3d_18` (exploration encoders)",
+                "`simsiam2d_18` / `simsiam3d_18` (patch exploration "
+                "encoders), `simsiam_18` / `moco3d_18` (3D-subvolume "
+                "exploration encoders)",
         "last_k": "accepted for reference parity; dead there too "
                   "(unet_small.py comments out its consumer)",
         "head_conv": "projection-head width; -1 = per-task default "
@@ -151,6 +153,9 @@ FLAG_GROUPS = (
     }),
     ("Exploration / clustering", {
         "dog": "difference-of-gaussian sigmas for candidate mining",
+        "vol_size": "subvolume crop size (z y x) for the 3D-subvolume "
+                    "exploration mode (--task simsiam with `simsiam_18` / "
+                    "`moco3d_18` arches)",
         "nclusters": "number of SCAN clusters",
         "nheads": "independent SCAN cluster heads; the lowest-loss head is "
                   "kept (written as best_loss_head)",
@@ -224,7 +229,7 @@ def flags_markdown() -> str:
 def config_from_args(args: argparse.Namespace) -> Config:
     known = {f.name for f in dataclasses.fields(Config)}
     kwargs = {k: v for k, v in vars(args).items() if k in known}
-    for k in ("lr_step", "mesh_shape", "tile", "dog"):
+    for k in ("lr_step", "mesh_shape", "tile", "dog", "vol_size"):
         if k in kwargs and isinstance(kwargs[k], list):
             kwargs[k] = tuple(kwargs[k])
     return Config(**kwargs).finalize()

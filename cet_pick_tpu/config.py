@@ -121,6 +121,9 @@ class Config:
 
     # -- exploration (simsiam) specific
     dog: Tuple[float, ...] = (2.5, 5.0)  # DoG sigmas (reference opts.py:189)
+    # subvolume crop size (z, y, x) for the 3D-subvolume exploration mode
+    # (task simsiam; the reference hard-codes (8, 64, 64) at moco_main.py:121)
+    vol_size: Tuple[int, int, int] = (8, 64, 64)
     nclusters: int = 3
     # independent SCAN cluster heads; the lowest-loss one is kept
     # (reference --nheads, tomo_scan_trainer.py:66-76 + model.py:79-89)
@@ -186,7 +189,7 @@ class Config:
         d = json.loads(s)
         known = {f.name for f in dataclasses.fields(cls)}
         kwargs = {k: v for k, v in d.items() if k in known}
-        for k in ("lr_step", "mesh_shape", "tile", "dog"):
+        for k in ("lr_step", "mesh_shape", "tile", "dog", "vol_size"):
             if k in kwargs and isinstance(kwargs[k], list):
                 kwargs[k] = tuple(kwargs[k])
         return cls(**kwargs)

@@ -65,10 +65,16 @@ class ExploreDataset:
 
     def __init__(self, config, split="train", low=-20.0, up=20.0,
                  images=None, tilts=None, angles=None):
+        from cet_pick_tpu.models.simsiam import explore_mode
+
         self.config = config
         self.split = split
-        self.mode = "2d3d" if "2d3d" in config.task or "2d3d" in config.arch else "3d"
+        # dataset-internal mode names predate the model helper: its '2d'
+        # (single z-slice patches) is this class's historical '3d'
+        m = explore_mode(config)
+        self.mode = "3d" if m == "2d" else m
         self.bbox = int(config.bbox)
+        self.vol_size = tuple(int(s) for s in config.vol_size)
         self.low, self.up = low, up
 
         if images is None:
@@ -81,15 +87,26 @@ class ExploreDataset:
         self.patches_3d: List[np.ndarray] = []   # anchor slice patches
         self.aug_sets_2d: List[List[np.ndarray]] = []
         self.aug_sets_3d: List[List[np.ndarray]] = []
+        self.subvols: List[np.ndarray] = []      # vol mode: (vz, vy, vx) crops
         self.coords: List[np.ndarray] = []
         self.names: List[str] = []
         for name in images:
-            self._mine_tomogram(
-                name, images[name],
-                tilts.get(name) if tilts else None,
-                angles.get(name) if angles else None,
-            )
+            if self.mode == "vol":
+                self._mine_tomogram_vol(name, images[name])
+            else:
+                self._mine_tomogram(
+                    name, images[name],
+                    tilts.get(name) if tilts else None,
+                    angles.get(name) if angles else None,
+                )
 
+        if self.mode == "vol":
+            # subvolumes are z-normalized per sample on device
+            # (ops/augment.simsiam_augment_vol) — no population statistics
+            self.mean_3d, self.std_3d = 0.0, 1.0
+            self.mean_2d, self.std_2d = 0.0, 1.0
+            self.num_samples = len(self.subvols)
+            return
         if self.patches_3d:
             stack3d = np.stack(self.patches_3d)
             self.mean_3d, self.std_3d = float(stack3d.mean()), float(stack3d.std())
@@ -274,6 +291,44 @@ class ExploreDataset:
         denom = np.where(hi > lo, hi - lo, 1.0)
         return (p - lo[:, None, None]) / denom[:, None, None], valid
 
+    def _mine_tomogram_vol(self, name, rec):
+        """3D-subvolume extraction (mode 'vol', reference task ``simsiam``).
+
+        The reference cuts a dense overlapping grid from a fixed z-slab
+        (tomo_pre.py:104-114: v[40:80] cut with cutup(v, size, (2,4,4)) —
+        hundreds of thousands of near-duplicate blocks); here subvolumes are
+        cropped around DoG candidates (the same miner the other exploration
+        modes use), which covers the particle-bearing content with ~1000x
+        fewer samples. Crops are taken in reconstruction space: with
+        --compress the reference likewise crops the z-compressed volume
+        directly (loader call at tomo_pre.py:94). One strided fancy-index
+        gathers every window (no per-candidate python loop)."""
+        d, h, w = rec.shape
+        vz, vy, vx = self.vol_size
+        if d < vz or h < vy or w < vx:
+            return
+        scores, positions = dog_candidates_pyramid(rec, sigmas=self.sigmas)
+        if positions.shape[0] == 0:
+            return
+        pos = np.asarray(positions)
+        x = pos[:, 0].astype(np.int64)
+        y = pos[:, 1].astype(np.int64)
+        z = pos[:, 2].astype(np.int64)
+        keep = (
+            (z - vz // 2 >= 0) & (z - vz // 2 + vz <= d)
+            & (y - vy // 2 >= 0) & (y - vy // 2 + vy <= h)
+            & (x - vx // 2 >= 0) & (x - vx // 2 + vx <= w)
+        )
+        kx, ky, kz = x[keep], y[keep], z[keep]
+        if kx.shape[0] == 0:
+            return
+        win = np.lib.stride_tricks.sliding_window_view(rec, (vz, vy, vx))
+        vols = win[kz - vz // 2, ky - vy // 2, kx - vx // 2].astype(np.float32)
+        for i in range(kx.shape[0]):
+            self.subvols.append(vols[i])
+            self.coords.append(np.array([kx[i], ky[i], kz[i]], np.float32))
+            self.names.append(name)
+
     def _mine_tomogram(self, name, rec, tilt, angle):
         cfg = self.config
         d, h, w = rec.shape
@@ -354,6 +409,13 @@ class ExploreDataset:
         2-channel Compose) or C=1 for 3d. On-device augmentation
         (ops/augment.py) consumes these.
         """
+        if self.mode == "vol":
+            # both views come from the SAME subvolume; the device pipeline's
+            # independent randomness differentiates them (particle_pre.py
+            # transforms(sub_vol) twice)
+            v = np.stack([self.subvols[int(i)] for i in indices])
+            return {"anchor": v.astype(np.float32),
+                    "aug": v.astype(np.float32)}
         anchors, augs = [], []
         for i in indices:
             i = int(i)
@@ -381,7 +443,11 @@ class ExploreDataset:
 
     def test_items(self):
         """Per-candidate (patch2d, patch3d, name, coord) for embedding
-        extraction (simsiam_test_hm_2d3d.py:33-71)."""
+        extraction (simsiam_test_hm_2d3d.py:33-71). In vol mode the last
+        element is the raw subvolume."""
         for i in range(self.num_samples):
+            if self.mode == "vol":
+                yield self.names[i], self.coords[i], None, self.subvols[i]
+                continue
             p2 = self.patches_2d[i] if self.mode == "2d3d" else None
             yield self.names[i], self.coords[i], p2, self.patches_3d[i]

@@ -46,13 +46,20 @@ def _fwd_fns(config, params, batch_stats):
 
 def prepare_embed(config, params, batch_stats, batch_size=256):
     """Compile + warm-run forward_test on its static (batch_size, bbox,
-    bbox, 1) patch shape. cmd_embed runs this concurrently with the
-    ExploreDataset build (DoG mining + patch extraction) so the remote
-    backend handshake + XLA compile stop serializing behind it — the same
-    schedule as train/refine.prepare_refine."""
+    bbox, 1) patch shape ((batch_size, *vol_out_size, 1) in vol mode).
+    cmd_embed runs this concurrently with the ExploreDataset build (DoG
+    mining + patch extraction) so the remote backend handshake + XLA
+    compile stop serializing behind it — the same schedule as
+    train/refine.prepare_refine."""
     mode, fwd, fwd_2donly = prepared = _fwd_fns(config, params, batch_stats)
-    z = np.zeros((batch_size, int(config.bbox), int(config.bbox), 1),
-                 np.float32)
+    if mode == "vol":
+        from cet_pick_tpu.ops.augment import vol_out_size
+
+        z = np.zeros((batch_size,) + vol_out_size(config.vol_size) + (1,),
+                     np.float32)
+    else:
+        z = np.zeros((batch_size, int(config.bbox), int(config.bbox), 1),
+                     np.float32)
     out = fwd(z, z) if mode == "2d3d" else fwd_2donly(z)
     np.asarray(jax.tree_util.tree_leaves(out)[0])
     del out
@@ -85,7 +92,14 @@ def extract_embeddings(config, dataset, params, batch_stats, batch_size=256,
         )
     projs, preds = [], []
     sub3 = np.stack(p3s).astype(np.float32)
-    x3_all = (sub3 - dataset.mean_3d) / dataset.std_3d
+    if mode == "vol":
+        # deterministic test view: center crop + znorm/rescale/znorm (the
+        # tio pipeline minus randomness); the npz keeps the RAW subvols
+        from cet_pick_tpu.ops.augment import vol_test_view
+
+        x3_all = vol_test_view(sub3)
+    else:
+        x3_all = (sub3 - dataset.mean_3d) / dataset.std_3d
     if mode == "2d3d":
         sub2 = np.stack(p2s).astype(np.float32)
         x2_all = (sub2 - dataset.mean_2d) / dataset.std_2d

@@ -89,6 +89,92 @@ class ResNetTrunk(nn.Module):
         return jnp.mean(x, axis=(1, 2))  # global average pool -> (B, 256)
 
 
+def explore_mode(config) -> str:
+    """Resolve the exploration modality from task/arch strings.
+
+    '2d3d'  — paired tilt-projection + z-slice patches
+              (reference task simsiam2d3d, datasets/tomo_pre_proj_angle_
+              select_new2d3d.py);
+    'vol'   — true 3D subvolume crops (reference task ``simsiam`` =
+              datasets/tomo_pre.py + particle_pre.py subvols, arches
+              ``simsiam_N`` models/networks/simsiam_model.py:517 and
+              ``moco3d_N`` moco_encoder_3d.py:470);
+    '2d'    — single z-slice patches (reference task simsiam3d /
+              arch simsiam2d).
+    """
+    if "2d3d" in config.arch or "2d3d" in config.task:
+        return "2d3d"
+    stem = config.arch.split("_")[0]
+    if stem in ("simsiam", "moco3d") or config.task == "simsiam":
+        return "vol"
+    return "2d"
+
+
+class BasicBlock3D(nn.Module):
+    """3D residual block, NDHWC (counterpart of the reference's 3D
+    BasicBlock, moco_encoder_3d.py:55-84 — which drops BatchNorm; kept here
+    for training stability and SyncBN-for-free parity with the 2D trunk)."""
+
+    features: int
+    strides: tuple = (1, 1, 1)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        bn = lambda name: nn.BatchNorm(
+            momentum=0.9, epsilon=1e-5, dtype=self.dtype, name=name
+        )
+        residual = x
+        y = nn.Conv(self.features, (3, 3, 3), strides=self.strides,
+                    padding="SAME", use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        y = bn("bn1")(y, use_running_average=not train)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype, name="conv2")(y)
+        y = bn("bn2")(y, use_running_average=not train)
+        if residual.shape[-1] != self.features or self.strides != (1, 1, 1):
+            residual = nn.Conv(self.features, (1, 1, 1), strides=self.strides,
+                               use_bias=False, dtype=self.dtype,
+                               name="downsample_conv")(x)
+            residual = bn("downsample_bn")(residual,
+                                           use_running_average=not train)
+        return nn.relu(y + residual)
+
+
+class VolTrunk(nn.Module):
+    """Conv3D encoder trunk for subvolume crops, NDHWC.
+
+    TPU-first redesign of the reference's subvolume encoders (slice-wise-2D
+    TomoResClassifier simsiam_model.py:159 and Conv3D TomoResClassifier3D
+    moco_encoder_3d.py:156): an early stride-(1,2,2) stem keeps the FLOPs on
+    the MXU-friendly downsampled grid (the reference stems also downsample
+    4x immediately), then residual 3D stages [2,2,2] @ 64/128/256 with
+    strides (2,2,2)/(1,2,2), then a global average pool.
+    """
+
+    stage_sizes: Sequence[int] = (2, 2, 2)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        # x: (B, D, H, W, 1)
+        x = nn.Conv(64, (3, 7, 7), strides=(1, 2, 2), padding="SAME",
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                         name="bn1")(x, use_running_average=not train)
+        x = nn.relu(x)
+        stage_strides = ((1, 1, 1), (2, 2, 2), (1, 2, 2))
+        for stage, (blocks, feats) in enumerate(
+            zip(self.stage_sizes, (64, 128, 256))
+        ):
+            for b in range(blocks):
+                strides = stage_strides[stage] if b == 0 else (1, 1, 1)
+                x = BasicBlock3D(feats, strides, dtype=self.dtype,
+                                 name=f"layer{stage + 1}_{b}")(x, train)
+        return jnp.mean(x, axis=(1, 2, 3))  # global average pool -> (B, 256)
+
+
 class ProjMLP(nn.Module):
     """3-layer projection MLP, final BN affine-free (simsiam_model_2d3d.py:590-598)."""
 
@@ -138,14 +224,16 @@ class SimSiamEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.trunk = ResNetTrunk(dtype=self.dtype)
+        self.trunk = (VolTrunk(dtype=self.dtype) if self.mode == "vol"
+                      else ResNetTrunk(dtype=self.dtype))
         self.fc = nn.Dense(self.head_conv, dtype=self.dtype)
         self.proj = ProjMLP(self.head_conv, dtype=self.dtype)
         self.pred = PredMLP(self.head_conv, dtype=self.dtype)
 
     def encode(self, x2d, x3d, train: bool):
         """Pooled feature for one view. x2d/x3d: (B, H, W, 1); x3d may be None
-        in 2d mode."""
+        in 2d mode. In 'vol' mode x2d carries the subvolume (B, D, H, W, 1)
+        and x3d is None."""
         if self.mode == "2d3d":
             b = x2d.shape[0]
             both = jnp.concatenate([x2d, x3d], axis=0)  # batch-concat, shared BN
@@ -174,9 +262,10 @@ class SimSiamEncoder(nn.Module):
 
 
 def create_simsiam(config, dtype=None):
-    """arch 'simsiam2d3d_18' / 'simsiam2d_18' -> SimSiamEncoder
-    (reference models/model.py:32-70 arch parsing)."""
-    mode = "2d3d" if "2d3d" in config.arch else "2d"
+    """arch 'simsiam2d3d_18' / 'simsiam2d_18' / 'simsiam_18' / 'moco3d_18'
+    -> SimSiamEncoder (reference models/model.py:32-70 arch parsing; the
+    last two select the 3D-subvolume VolTrunk)."""
+    mode = explore_mode(config)
     dtype = dtype or {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[config.dtype]
     return SimSiamEncoder(head_conv=config.head_conv, mode=mode, dtype=dtype)
 

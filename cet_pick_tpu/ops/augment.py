@@ -307,3 +307,183 @@ def simsiam_augment_3d(imgs, keys, mean, std, out_size, strong=True):
         return normalize(x, mean, std)
 
     return jax.vmap(one)(imgs, keys)
+
+
+# -- 3D subvolume pipeline (task ``simsiam``) ---------------------------------
+#
+# Behavioral rebuild of the reference's subvolume augmentations: the tio
+# Compose at datasets/tomo_pre.py:53-62 (RandomBlur(0-1, p=.15) ->
+# RandomNoise(p=.5) -> RandomAffine(z-rotation 0-60deg, p=.75) ->
+# Crop(size//8 per side) -> ZNorm -> Rescale(-3,3) -> ZNorm) followed by the
+# per-view flips and block corruptions of datasets/particle_pre.py:48-87
+# (flip_ud/flip_lr at p=1/3 each, then one of drop_out / center_out /
+# swap_out at p=.25 each — utils/image.py:481-524). Both views draw from the
+# SAME distribution (no strong/weak split in this mode). Differences by
+# design: rotation fills with zeros instead of tio's minimum-pad (the border
+# is cropped away right after), and the blur is a 3x3 xy binomial blend
+# rather than a variable-sigma gaussian (sigma ~ U(0,1) blurs sub-pixel).
+
+
+def _znorm(x):
+    return (x - jnp.mean(x)) / jnp.maximum(jnp.std(x), 1e-6)
+
+
+def _rescale(x, lo=-3.0, hi=3.0):
+    mn, mx = jnp.min(x), jnp.max(x)
+    return lo + (x - mn) / jnp.maximum(mx - mn, 1e-12) * (hi - lo)
+
+
+def _blur_xy(vol, t):
+    """3x3 binomial xy blur blended by strength t in [0, 1] (per z-slice)."""
+    p = jnp.pad(vol, ((0, 0), (1, 1), (0, 0)), mode="edge")
+    b = p[:, :-2] * 0.25 + p[:, 1:-1] * 0.5 + p[:, 2:] * 0.25
+    p = jnp.pad(b, ((0, 0), (0, 0), (1, 1)), mode="edge")
+    b = p[..., :-2] * 0.25 + p[..., 1:-1] * 0.5 + p[..., 2:] * 0.25
+    return vol * (1.0 - t) + b * t
+
+
+def _rotate_vol_xy(vol, theta):
+    """Rotate every z-slice by the same angle about the xy center (the
+    z-axis rotation of the reference's RandomAffine). The (D, H, W) volume
+    rides through _bilinear_sample as D channels — one fused gather."""
+    d, h, w = vol.shape
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    yy, xx = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+    yr, xr = yy - cy, xx - cx
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    ys = cos * yr - sin * xr + cy
+    xs = sin * yr + cos * xr + cx
+    return _bilinear_sample(vol, ys, xs)
+
+
+def _offcenter_start(key, dim, diam):
+    """Random block start avoiding the central band, matching the sampling
+    ranges of utils/image.py:481-517: U([0, mid-2*diam) + [mid+diam,
+    dim-diam))."""
+    mid = dim // 2
+    n1 = max(mid - 2 * diam, 0)
+    lo2 = mid + diam
+    n2 = max(dim - diam - lo2, 0)
+    u = jax.random.randint(key, (), 0, max(n1 + n2, 1))
+    start = jnp.where(u < n1, u, lo2 + (u - n1))
+    return jnp.clip(start, 0, max(dim - diam, 0))
+
+
+def _block_mask(starts, diams, shape):
+    """(D, H, W) bool mask of the block at dynamic ``starts``."""
+    masks = []
+    for ax, (s, dd, n) in enumerate(zip(starts, diams, shape)):
+        i = jnp.arange(n)
+        masks.append((i >= s) & (i < s + dd))
+    return (masks[0][:, None, None] & masks[1][None, :, None]
+            & masks[2][None, None, :])
+
+
+def _drop_out(vol, key, diams):
+    """Zero one random off-center block (utils/image.py:502-517)."""
+    d, h, w = vol.shape
+    ks = jax.random.split(key, 3)
+    starts = [_offcenter_start(ks[i], (d, h, w)[i], diams[i]) for i in range(3)]
+    return jnp.where(_block_mask(starts, diams, (d, h, w)), 0.0, vol)
+
+
+def _center_out(vol, diams):
+    """Keep only the central xy band, all z (utils/image.py:519-524)."""
+    d, h, w = vol.shape
+    hh, ww = h // 2, w // 2
+    ih = jnp.arange(h)
+    iw = jnp.arange(w)
+    keep = ((ih >= hh - diams[1]) & (ih < hh + diams[1]))[:, None] & (
+        (iw >= ww - diams[2]) & (iw < ww + diams[2])
+    )[None, :]
+    return jnp.where(keep[None], vol, 0.0)
+
+
+def _swap_out(vol, key, diams):
+    """Swap two random off-center blocks (utils/image.py:481-500)."""
+    d, h, w = vol.shape
+    ks = jax.random.split(key, 6)
+    s0 = [_offcenter_start(ks[i], (d, h, w)[i], diams[i]) for i in range(3)]
+    s1 = [_offcenter_start(ks[3 + i], (d, h, w)[i], diams[i]) for i in range(3)]
+    a = jax.lax.dynamic_slice(vol, s0, diams)
+    b = jax.lax.dynamic_slice(vol, s1, diams)
+    out = jax.lax.dynamic_update_slice(vol, b, s0)
+    return jax.lax.dynamic_update_slice(out, a, s1)
+
+
+@partial(jax.jit, static_argnames=("out_size", "strong"))
+def simsiam_augment_vol(vols, keys, mean, std, out_size, strong=True):
+    """Batched subvolume pipeline: vols (B, D, H, W), keys (B, 2) uint32 ->
+    (B, *out_size). ``out_size`` = input size minus 2*(size//8) per axis
+    (the tio Crop). ``mean``/``std`` are accepted for signature parity with
+    the patch pipelines but unused — this mode z-normalizes per sample.
+    ``strong`` is likewise accepted and ignored (both views full-strength,
+    particle_pre.py:55-87)."""
+    del mean, std, strong
+    b, d, h, w = vols.shape
+    od, oh, ow = out_size
+    # block-corruption diameters derive from the PRE-CROP size like the
+    # reference's drop1/drop2/center1/center2 (particle_pre.py:53-54)
+    drop_diams = (max(d // 8, 1), max(h // 8, 1), max(w // 8, 1))
+    center_diams = (max(d // 4, 1), max(h // 4, 1), max(w // 4, 1))
+
+    def one(vol, key):
+        ks = jax.random.split(key, 9)
+        # tio Compose --------------------------------------------------
+        t_blur = jax.random.uniform(ks[0])
+        x = jnp.where(jax.random.uniform(ks[1]) < 0.15,
+                      _blur_xy(vol, t_blur), vol)
+        noise = jax.random.normal(ks[2], x.shape) * jax.random.uniform(
+            ks[3], (), minval=0.0, maxval=0.25
+        )
+        x = jnp.where(jax.random.uniform(ks[4]) < 0.5, x + noise, x)
+        theta = jax.random.uniform(ks[5], (), minval=0.0, maxval=60.0)
+        x = jnp.where(jax.random.uniform(ks[6]) < 0.75,
+                      _rotate_vol_xy(x, theta * jnp.pi / 180.0), x)
+        x = x[(d - od) // 2 : (d - od) // 2 + od,
+              (h - oh) // 2 : (h - oh) // 2 + oh,
+              (w - ow) // 2 : (w - ow) // 2 + ow]
+        x = _znorm(_rescale(_znorm(x)))
+        # per-view flips + block corruption (particle_pre.py:55-87) ----
+        fp = jax.random.uniform(ks[7])
+        x = jnp.where(fp < 0.33, x[:, ::-1, :],
+                      jnp.where(fp > 0.66, x[:, :, ::-1], x))
+        bp = jax.random.uniform(ks[8])
+        kd, ksw = jax.random.split(jax.random.fold_in(key, 77))
+        x = jnp.where(
+            bp < 0.25, _drop_out(x, kd, drop_diams),
+            jnp.where(
+                bp < 0.5, _center_out(x, center_diams),
+                jnp.where(bp < 0.75, _swap_out(x, ksw, drop_diams), x),
+            ),
+        )
+        return x
+
+    return jax.vmap(one)(vols, keys)
+
+
+def vol_out_size(vol_size):
+    """Post-crop subvolume shape: size - 2*(size//8) per axis (the tio
+    Crop(size//8) at tomo_pre.py:57)."""
+    return tuple(int(s) - 2 * (int(s) // 8) for s in vol_size)
+
+
+def vol_test_view(vols):
+    """Deterministic test-time transform for subvolume embedding extraction:
+    center crop + the znorm/rescale/znorm chain, no randomness (the tio
+    pipeline minus its random members). vols: (N, D, H, W) numpy."""
+    import numpy as np
+
+    d, h, w = vols.shape[1:]
+    od, oh, ow = vol_out_size((d, h, w))
+    x = vols[:, (d - od) // 2 : (d - od) // 2 + od,
+             (h - oh) // 2 : (h - oh) // 2 + oh,
+             (w - ow) // 2 : (w - ow) // 2 + ow].astype(np.float32)
+    out = np.empty_like(x)
+    for i in range(x.shape[0]):
+        v = x[i]
+        v = (v - v.mean()) / max(v.std(), 1e-6)
+        mn, mx = v.min(), v.max()
+        v = -3.0 + (v - mn) / max(mx - mn, 1e-12) * 6.0
+        out[i] = (v - v.mean()) / max(v.std(), 1e-6)
+    return out

@@ -30,7 +30,9 @@ import numpy as np
 import optax
 from flax import core
 
-from cet_pick_tpu.ops.augment import simsiam_augment, simsiam_augment_3d
+from cet_pick_tpu.ops.augment import (
+    simsiam_augment, simsiam_augment_3d, simsiam_augment_vol, vol_out_size,
+)
 from cet_pick_tpu.train.losses import simsiam_loss
 from cet_pick_tpu.train.state import TrainState, jit_init
 
@@ -38,9 +40,15 @@ from cet_pick_tpu.train.state import TrainState, jit_init
 def create_simsiam_state(model, config, rng, sample_batch, lr=None):
     """Init SimSiam variables + SGD optimizer."""
     anchor = jnp.asarray(sample_batch["anchor"])
-    b, c = anchor.shape[:2]
-    x2d = anchor[:, 0, :, :, None]
-    x3d = anchor[:, 1, :, :, None] if c == 2 else None
+    if model.mode == "vol":
+        # the step sees POST-crop subvolumes (ops/augment.vol_out_size)
+        od, oh, ow = vol_out_size(anchor.shape[1:])
+        x2d = jnp.zeros((anchor.shape[0], od, oh, ow, 1), jnp.float32)
+        x3d = None
+    else:
+        b, c = anchor.shape[:2]
+        x2d = anchor[:, 0, :, :, None]
+        x3d = anchor[:, 1, :, :, None] if c == 2 else None
     variables = jit_init(model, rng, x2d, x3d, x2d, x3d, train=False)
     tx = optax.inject_hyperparams(optax.sgd)(
         learning_rate=lr if lr is not None else config.lr
@@ -102,14 +110,22 @@ def simsiam_step_fn(model, config, mode: str):
     Exposed separately so parallel.mesh.make_dp_step can jit it with pinned
     data-parallel shardings (the DDP analog of reference simsiam_main.py:28-45).
     """
-    out_size = config.bbox
     two_channel = mode == "2d3d"
-    # rec-only (3d) exploration uses the reference's distinct pipeline:
-    # ColorJitter + RandomResizedCrop, no rotation/corner-erase
-    # (tomo_pre_proj_angle_select_new3d_vol.py:49-89)
-    augment = simsiam_augment if two_channel else simsiam_augment_3d
+    if mode == "vol":
+        # 3D-subvolume pipeline: tio-style blur/noise/z-rotation/crop/znorm
+        # + block corruptions (ops/augment.simsiam_augment_vol)
+        out_size = vol_out_size(config.vol_size)
+        augment = simsiam_augment_vol
+    else:
+        out_size = config.bbox
+        # rec-only (3d) exploration uses the reference's distinct pipeline:
+        # ColorJitter + RandomResizedCrop, no rotation/corner-erase
+        # (tomo_pre_proj_angle_select_new3d_vol.py:49-89)
+        augment = simsiam_augment if two_channel else simsiam_augment_3d
 
     def split_views(x):
+        if mode == "vol":
+            return x[..., None], None  # (B, D, H, W) -> NDHWC
         # (B, C, H, W) -> NHWC single-channel 2d / 3d inputs
         x2d = x[:, 0, :, :, None]
         x3d = x[:, 1, :, :, None] if two_channel else None
@@ -149,13 +165,19 @@ def simsiam_step_fn(model, config, mode: str):
 
 def dummy_explore_batch(config, mode):
     """Zeros batch with ExploreDataset's sample layout — (B, C, bbox, bbox)
-    anchor/aug plus per-channel norm constants, all static from config."""
-    c = 2 if mode == "2d3d" else 1
+    anchor/aug ((B, *vol_size) in vol mode) plus per-channel norm constants,
+    all static from config."""
     b = config.batch_size
-    s = int(config.bbox)
+    if mode == "vol":
+        shape = (b,) + tuple(int(s) for s in config.vol_size)
+        c = 1
+    else:
+        c = 2 if mode == "2d3d" else 1
+        s = int(config.bbox)
+        shape = (b, c, s, s)
     return {
-        "anchor": np.zeros((b, c, s, s), np.float32),
-        "aug": np.zeros((b, c, s, s), np.float32),
+        "anchor": np.zeros(shape, np.float32),
+        "aug": np.zeros(shape, np.float32),
         "norm_mean": np.zeros((c,), np.float32),
         "norm_std": np.ones((c,), np.float32),
     }
@@ -181,6 +203,14 @@ def prepare_explore(config, log_fn=print, warm=True):
     state = create_simsiam_state(model, config, init_rng, dummy)
     if config.load_model:
         if config.load_model.endswith((".pth", ".pt")):
+            if model.mode == "vol":
+                raise ValueError(
+                    "3D-subvolume encoders (arch simsiam_N/moco3d_N) have no "
+                    "torch conversion: the reference's subvolume arches "
+                    "(simsiam_model.py slice-wise trunk, moco_encoder_3d.py) "
+                    "are structurally different from the Conv3D VolTrunk. "
+                    "Train from scratch or load a framework checkpoint."
+                )
             # torch checkpoint: trained reference exploration ckpt converts
             # fully; a standard torchvision resnet18 becomes the reference's
             # ImageNet trunk init (simsiam_model_2d3d.py:809-838)

@@ -33,7 +33,9 @@ import numpy as np
 import optax
 from flax import core, struct
 
-from cet_pick_tpu.ops.augment import simsiam_augment, simsiam_augment_3d
+from cet_pick_tpu.ops.augment import (
+    simsiam_augment, simsiam_augment_3d, simsiam_augment_vol, vol_out_size,
+)
 
 
 class MoCoState(struct.PyTreeNode):
@@ -53,9 +55,14 @@ def create_moco_state(model, config, rng, sample_batch, r=1024, lr=None):
     from cet_pick_tpu.train.state import jit_init
 
     anchor = jnp.asarray(sample_batch["anchor"])
-    b, c = anchor.shape[:2]
-    x2d = anchor[:, 0, :, :, None]
-    x3d = anchor[:, 1, :, :, None] if c == 2 else None
+    if model.mode == "vol":
+        od, oh, ow = vol_out_size(anchor.shape[1:])
+        x2d = jnp.zeros((anchor.shape[0], od, oh, ow, 1), jnp.float32)
+        x3d = None
+    else:
+        b, c = anchor.shape[:2]
+        x2d = anchor[:, 0, :, :, None]
+        x3d = anchor[:, 1, :, :, None] if c == 2 else None
     variables = jit_init(model, rng, x2d, x3d, x2d, x3d, train=False)
     tx = optax.inject_hyperparams(optax.sgd)(
         learning_rate=lr if lr is not None else config.lr
@@ -83,13 +90,20 @@ def make_moco_train_step(model, config, mode: str, m=0.999, temperature=0.1):
 def moco_step_fn(model, config, mode: str, m=0.999, temperature=0.1):
     """Un-jitted MoCo step body — jit directly or hand to
     parallel.mesh.make_dp_step for the data-parallel (DDP-analog) path."""
-    out_size = config.bbox
     two_channel = mode == "2d3d"
-    # rec-only mode: ColorJitter+RandomResizedCrop pipeline, as in explore
-    # (tomo_pre_proj_angle_select_new3d_vol.py:49-89)
-    augment = simsiam_augment if two_channel else simsiam_augment_3d
+    if mode == "vol":
+        # 3D-subvolume pipeline (ops/augment.simsiam_augment_vol)
+        out_size = vol_out_size(config.vol_size)
+        augment = simsiam_augment_vol
+    else:
+        out_size = config.bbox
+        # rec-only mode: ColorJitter+RandomResizedCrop pipeline, as in
+        # explore (tomo_pre_proj_angle_select_new3d_vol.py:49-89)
+        augment = simsiam_augment if two_channel else simsiam_augment_3d
 
     def split_views(x):
+        if mode == "vol":
+            return x[..., None], None  # (B, D, H, W) -> NDHWC
         x2d = x[:, 0, :, :, None]
         x3d = x[:, 1, :, :, None] if two_channel else None
         return x2d, x3d
@@ -236,6 +250,11 @@ def prepare_moco(config, r=1024, log_fn=print, warm=True):
     state = create_moco_state(model, config, init_rng, dummy, r=r)
     if config.load_model:
         if config.load_model.endswith((".pth", ".pt")):
+            if model.mode == "vol":
+                raise ValueError(
+                    "3D-subvolume encoders (arch simsiam_N/moco3d_N) have no "
+                    "torch conversion (see train/explore.prepare_explore)"
+                )
             # torch checkpoint: trained reference ckpt or torchvision
             # imagenet resnet18 (simsiam_model_2d3d.py:809-838). The key
             # encoder restarts as a copy of the query encoder, as at init.

@@ -155,7 +155,8 @@ def plot_2d(npz_path, out_path, n_cluster, num_neighbor=40, mode="umap",
         all_paths.append(os.path.join(rela, fname))
         if save_imgs:
             img = patches[i]
-            img = img[0] if img.ndim == 3 else img
+            # vol-mode subvols are (D, H, W): thumbnail the central z-slice
+            img = img[img.shape[0] // 2] if img.ndim == 3 else img
             plt.imsave(os.path.join(img_dir, fname), img, cmap="gray")
     df = pd.DataFrame({
         "name": list(names),
@@ -172,7 +173,8 @@ def plot_2d(npz_path, out_path, n_cluster, num_neighbor=40, mode="umap",
                       min_dist=min_dist_umap, seed=seed)
     colors = cmap.sample_many(emb2d)
     np.save(os.path.join(out_path, "all_colors.npy"), colors)
-    patches2d = patches[:, 0] if patches.ndim == 4 else patches
+    patches2d = (patches[:, patches.shape[1] // 2]
+                 if patches.ndim == 4 else patches)
     _thumbnail_plot(os.path.join(out_path, "2d_visualization_out.webp"),
                     emb2d, patches2d, min_dist_vis, cmap=cmap)
 
