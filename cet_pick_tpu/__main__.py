@@ -27,6 +27,7 @@ scripts in parentheses):
   match-spectrum    equalize volume spectra        (cryoDRGN long tail)
   backproject       Fourier-voxel reconstruction   (cryoDRGN long tail)
   export-torch      checkpoint -> reference .pth   (inverse of --load_model model.pth)
+  import-torch      reference .pth -> checkpoint   (one-shot migration into the framework)
   watch             continuous picking service     (no reference analog)
   flags             full flag reference            (generates docs/flags.md)
   doctor            runtime health check JSON      (no reference analog)
@@ -726,6 +727,66 @@ def cmd_gen_files(argv):
     print(coord_file)
 
 
+def cmd_import_torch(argv):
+    """Reference ``.pth`` -> framework checkpoint directory, one shot
+    (inverse of export-torch; the same conversions every --load_model
+    model.pth path runs in place, persisted so later commands skip torch).
+
+    Families: TomoConvUNet (unet_N), TomoRes3DNet (res3dref_N —
+    resnet_3d_small.py semi3d migration), exploration encoders
+    (simsiam2d*/simsiam2d3d*, incl. reference MoCo wrappers and torchvision
+    ImageNet trunks)."""
+    parser = argparse.ArgumentParser(prog="cet_pick_tpu import-torch")
+    add_config_arguments(parser, Config(task="semi"))
+    parser.add_argument("--out", required=True,
+                        help="output checkpoint directory")
+    a = parser.parse_args(argv)
+    cfg = config_from_args(a)
+    if not cfg.load_model.endswith((".pth", ".pt")):
+        print("--load_model must be a reference .pth/.pt file")
+        return 2
+    import jax
+    import numpy as np
+
+    from cet_pick_tpu.train.state import save_checkpoint
+
+    stem = cfg.arch.split("_")[0]
+    if stem in ("simsiam", "moco3d"):
+        print("3D-subvolume encoders (simsiam_N/moco3d_N) have no torch "
+              "conversion (no reference structural counterpart)")
+        return 2
+    if cfg.arch.startswith("simsiam"):
+        from cet_pick_tpu.models.convert import load_simsiam_torch
+        from cet_pick_tpu.models.simsiam import create_simsiam
+        from cet_pick_tpu.train.explore import (
+            create_simsiam_state, dummy_explore_batch,
+        )
+
+        model = create_simsiam(cfg)
+        sample = dummy_explore_batch(cfg, model.mode)
+        state = create_simsiam_state(model, cfg, jax.random.PRNGKey(cfg.seed),
+                                     sample)
+        state = load_simsiam_torch(cfg.load_model, state)
+    else:
+        from flax import serialization
+
+        from cet_pick_tpu.models.convert import load_reference_checkpoint
+        from cet_pick_tpu.models.detector import create_detector
+        from cet_pick_tpu.train.state import create_train_state
+
+        model = create_detector(cfg)
+        state = create_train_state(model, cfg, jax.random.PRNGKey(cfg.seed),
+                                   np.zeros((1, 8, 64, 64), np.float32))
+        params, batch_stats = load_reference_checkpoint(cfg.load_model, cfg)
+        state = state.replace(
+            params=serialization.from_state_dict(state.params, params),
+            batch_stats=serialization.from_state_dict(state.batch_stats,
+                                                      batch_stats),
+        )
+    save_checkpoint(a.out, state, cfg)
+    print(f"imported {cfg.load_model} -> {a.out} (arch {cfg.arch})")
+
+
 def cmd_export_torch(argv):
     """Export a trained checkpoint to the reference's ``.pth`` state_dict
     format (the exact inverse of loading a reference ``model_N.pth`` via
@@ -765,12 +826,13 @@ def cmd_export_torch(argv):
               "only checkpoints written by this package can be exported")
         return 2
     cfg = Config.load(opt_json)
-    if (not cfg.arch.startswith(("unet", "simsiam"))
+    if (not cfg.arch.startswith(("unet", "simsiam", "res3dref"))
             or cfg.arch.split("_")[0] in ("simsiam", "moco3d")):
-        print(f"export-torch supports the reference TomoConvUNet (unet_N) "
-              f"and patch-exploration (simsiam2d*/simsiam2d3d*) families; "
-              f"checkpoint has arch {cfg.arch!r} (3D-subvolume VolTrunk "
-              f"encoders have no reference structural counterpart)")
+        print(f"export-torch supports the reference TomoConvUNet (unet_N), "
+              f"patch-exploration (simsiam2d*/simsiam2d3d*), and res3dref "
+              f"(TomoRes3DNet) families; checkpoint has arch {cfg.arch!r} "
+              f"(3D-subvolume VolTrunk encoders have no reference "
+              f"structural counterpart)")
         return 2
     state_path = os.path.join(a.load_model, "state.msgpack")
     moco_path = os.path.join(a.load_model, "moco_state.msgpack")
@@ -789,6 +851,10 @@ def cmd_export_torch(argv):
     if cfg.arch.startswith("unet"):
         n_blocks = int(cfg.arch.split("_")[1]) if "_" in cfg.arch else 4
         sd = flax_to_torch_state_dict(params, stats, n_blocks, cfg.heads)
+    elif cfg.arch.startswith("res3dref"):
+        from cet_pick_tpu.models.convert import res3d_flax_to_torch_state_dict
+
+        sd = res3d_flax_to_torch_state_dict(params, cfg.heads)
     elif cfg.arch.startswith("simsiam") and "backbone" in params:
         # SCAN ClusteringModel: backbone.* + cluster_head.{i}.{weight,bias}
         sd = {
@@ -969,6 +1035,7 @@ COMMANDS = {
     "match-spectrum": cmd_match_spectrum,
     "backproject": cmd_backproject,
     "export-torch": cmd_export_torch,
+    "import-torch": cmd_import_torch,
     "flags": cmd_flags,
     "doctor": cmd_doctor,
 }

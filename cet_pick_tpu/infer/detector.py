@@ -58,6 +58,10 @@ class TomoDetector:
         halo = max(int(config.halo), Z_HALO)  # smaller would break exactness
 
         self.config = config
+        # reference-structural res3dref downsamples z 2x (resnet_3d_small.py
+        # conv1 s2 + maxpool vs 2 deconvs); its decoded z indices are
+        # rescaled like xy so written coordinates stay in input resolution
+        self.z_ratio = 2 if config.arch.startswith("res3dref") else 1
         self.model = create_detector(config)
         if params is None:
             if config.load_model.endswith((".pth", ".pt")):
@@ -138,6 +142,8 @@ class TomoDetector:
         (tomo_det.py:42-51)."""
         dets = np.asarray(dets, dtype=np.float32).copy()
         dets[:, :2] *= self.config.down_ratio
+        if self.z_ratio != 1:
+            dets[:, 2] *= self.z_ratio
         return group_dets_by_z(dets, z_dim_tot)
 
     def run(self, volume: np.ndarray, name: str = "tomo",
@@ -174,7 +180,7 @@ class TomoDetector:
             if np.isnan(dets).any():  # keep the reference's NaN fail-fast
                 raise ValueError("Output contains NaN values")
         t_fetch = time.time()
-        z_groups = self.post_process(dets, z_dim_tot=hm_shape[0])
+        z_groups = self.post_process(dets, z_dim_tot=hm_shape[0] * self.z_ratio)
         t_post = time.time()
         ret = {
             "name": name,

@@ -401,6 +401,87 @@ def simsiam_flax_to_torch_state_dict(params, batch_stats,
     return sd
 
 
+def _deconv3d(w):
+    """torch ConvTranspose3d (in, out, kd, kh, kw) -> flax ConvTranspose
+    (kd, kh, kw, in, out) with all three spatial axes flipped (same
+    convention as _deconv2d, verified numerically)."""
+    return np.transpose(w, (2, 3, 4, 0, 1))[::-1, ::-1, ::-1].copy()
+
+
+def res3d_state_dict_to_flax(state_dict: Dict, heads: Dict):
+    """Reference ``TomoRes3DNet`` (arch res3d_N, resnet_3d_small.py:140-297)
+    state_dict -> (params, batch_stats) for models/detector3d_ref.
+    TomoRes3DRefNet. The arch is norm-free, so batch_stats is empty."""
+    sd = {
+        (k[7:] if k.startswith("module.") else k): np.asarray(v)
+        for k, v in state_dict.items()
+    }
+    params: Dict = {}
+
+    def conv(src, dst, fn=_conv3d, bias=False):
+        _set(params, dst + ("kernel",), fn(sd[src + ".weight"]))
+        if bias and src + ".bias" in sd:
+            _set(params, dst + ("bias",), sd[src + ".bias"])
+
+    conv("conv1", ("conv1",))
+    for stage, blocks in ((1, 2), (2, 2)):
+        for b in range(blocks):
+            src = f"layer{stage}.{b}"
+            dst = (f"layer{stage}_{b}",)
+            conv(src + ".conv1", dst + ("conv1",))
+            conv(src + ".conv2", dst + ("conv2",))
+            if src + ".downsample.0.weight" in sd:
+                conv(src + ".downsample.0", dst + ("downsample",))
+    # deconv Sequential indices: 0 conv / 2 up / 4 conv / 6 up
+    # (resnet_3d_small.py:231-268: [fc, relu, up, relu] per stage)
+    conv("deconv_layers.0", ("deconv0_conv",))
+    conv("deconv_layers.2", ("deconv0_up",), fn=_deconv3d)
+    conv("deconv_layers.4", ("deconv1_conv",))
+    conv("deconv_layers.6", ("deconv1_up",), fn=_deconv3d)
+    conv("feature_head.0", ("feature_head",), bias=True)
+    for head in heads:
+        conv(head, (head,), bias=True)
+    return params, {}
+
+
+def res3d_flax_to_torch_state_dict(params, heads):
+    """Inverse of ``res3d_state_dict_to_flax``: export a TomoRes3DRefNet to
+    the reference ``TomoRes3DNet`` state_dict (semi3d checkpoints migrate
+    back into the torch pipeline)."""
+    sd: Dict = {}
+
+    def conv(dst, src, bias=False):
+        sd[dst + ".weight"] = np.transpose(_get(params, src + ("kernel",)),
+                                           (4, 3, 0, 1, 2))
+        node = params
+        for k in src:
+            node = node[k]
+        if bias and "bias" in node:
+            sd[dst + ".bias"] = np.asarray(node["bias"])
+
+    def deconv(dst, src):
+        w = _get(params, src + ("kernel",))[::-1, ::-1, ::-1]
+        sd[dst + ".weight"] = np.transpose(w, (3, 4, 0, 1, 2))
+
+    conv("conv1", ("conv1",))
+    for stage, blocks in ((1, 2), (2, 2)):
+        for b in range(blocks):
+            dst = f"layer{stage}.{b}"
+            src = (f"layer{stage}_{b}",)
+            conv(dst + ".conv1", src + ("conv1",))
+            conv(dst + ".conv2", src + ("conv2",))
+            if "downsample" in params[f"layer{stage}_{b}"]:
+                conv(dst + ".downsample.0", src + ("downsample",))
+    conv("deconv_layers.0", ("deconv0_conv",))
+    deconv("deconv_layers.2", ("deconv0_up",))
+    conv("deconv_layers.4", ("deconv1_conv",))
+    deconv("deconv_layers.6", ("deconv1_up",))
+    conv("feature_head.0", ("feature_head",), bias=True)
+    for head in heads:
+        conv(head, (head,), bias=True)
+    return sd
+
+
 def load_reference_checkpoint(path: str, config):
     """Load a reference ``model_N.pth`` into (params, batch_stats) for
     ``create_detector(config)``. Requires torch (CPU is fine)."""
@@ -410,5 +491,23 @@ def load_reference_checkpoint(path: str, config):
     state_dict = ckpt.get("state_dict", ckpt)
     state_dict = {k: v.numpy() for k, v in state_dict.items()
                   if hasattr(v, "numpy")}
+    is_res3d_format = any(
+        k.endswith("deconv_layers.0.weight") and np.ndim(v) == 5
+        for k, v in state_dict.items()
+    )
+    if config.arch.startswith("res3dref"):
+        if not is_res3d_format:
+            raise ValueError(
+                f"{path} is not a reference res3d (TomoRes3DNet) checkpoint "
+                "— arch res3dref_N expects one (resnet_3d_small.py)"
+            )
+        return res3d_state_dict_to_flax(state_dict, config.heads)
+    if is_res3d_format:
+        raise ValueError(
+            f"{path} is a reference res3d (semi3d) checkpoint; load it with "
+            "--arch res3dref_18 (the structural migration target — arch "
+            f"{config.arch!r} is the TPU-native redesign and is not "
+            "weight-compatible)"
+        )
     n_blocks = int(config.arch.split("_")[1]) if "_" in config.arch else 4
     return torch_state_dict_to_flax(state_dict, n_blocks, config.heads)

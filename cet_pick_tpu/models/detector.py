@@ -227,6 +227,13 @@ def create_detector(config, dtype=None):
     arch = config.arch
     n_blocks = int(arch.split("_")[1]) if "_" in arch else 4
     dtype = dtype or {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[config.dtype]
+    if arch.startswith("res3dref"):
+        # reference-structural TomoRes3DNet mirror: the lossless two-way
+        # migration target for reference semi3d checkpoints (z downsampled
+        # 2x like the reference, unlike TomoPickNet3D's full-z redesign)
+        from cet_pick_tpu.models.detector3d_ref import TomoRes3DRefNet
+
+        return TomoRes3DRefNet(heads=dict(config.heads))
     if arch.startswith(("res3d", "p3d")):
         from cet_pick_tpu.models.detector3d import TomoPickNet3D
 

@@ -99,8 +99,7 @@ class TomoRes3DRefNet(nn.Module):
             # torch crops `padding` from both ends of the full correlation)
             x = nn.ConvTranspose(
                 planes, (4, 4, 4), strides=(2, 2, 2), padding="VALID",
-                use_bias=False, transpose_kernel=True,
-                name=f"deconv{i}_up",
+                use_bias=False, name=f"deconv{i}_up",
             )(x)
             x = x[:, 1:-1, 1:-1, 1:-1, :]
             x = nn.relu(x)

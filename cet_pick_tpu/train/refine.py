@@ -268,8 +268,27 @@ def prepare_refine(config, log_fn=print, pairs=2, label=False, warm=True):
     state = create_train_state(
         model, config, init_rng, dummy["input"].reshape(b * p, d, h, w))
     if config.load_model:
-        state = load_checkpoint(config.load_model, state, resume=config.resume)
-        log_fn(f"loaded checkpoint from {config.load_model} (epoch {state.epoch})")
+        if config.load_model.endswith((".pth", ".pt")):
+            # reference torch checkpoint (TomoConvUNet / TomoRes3DNet):
+            # warm-start parameters via models/convert (main.py --load_model)
+            from flax import serialization
+
+            from cet_pick_tpu.models.convert import load_reference_checkpoint
+
+            params, batch_stats = load_reference_checkpoint(
+                config.load_model, config
+            )
+            state = state.replace(
+                params=serialization.from_state_dict(state.params, params),
+                batch_stats=serialization.from_state_dict(
+                    state.batch_stats, batch_stats),
+            )
+            log_fn(f"converted reference checkpoint {config.load_model}")
+        else:
+            state = load_checkpoint(config.load_model, state,
+                                    resume=config.resume)
+            log_fn(f"loaded checkpoint from {config.load_model} "
+                   f"(epoch {state.epoch})")
 
     # data-parallel mesh when requested (--mesh_shape N) or when several
     # devices are visible and the batch shards evenly: state replicated,

@@ -410,3 +410,141 @@ def test_simsiam_export_import_roundtrip():
             assert pa == pb
             np.testing.assert_array_equal(np.asarray(la), np.asarray(lb),
                                           err_msg=str(pa))
+
+
+# -- res3d (semi3d) family ---------------------------------------------------
+# Reference arch res3d_N (resnet_3d_small.py TomoRes3DNet) <-> TomoRes3DRefNet
+# (VERDICT r3 item 2: semi3d checkpoint migration both ways).
+
+
+@pytest.fixture(scope="module")
+def torch_res3d_and_outputs():
+    sys.path.insert(0, REFERENCE)
+    import torch
+
+    from cet_pick.models.networks.resnet_3d_small import get_tomo_net_3d
+
+    torch.manual_seed(1)
+    heads = {"hm": 1, "proj": 16}
+    model = get_tomo_net_3d(18, heads, 16)
+    # full-scale re-randomization (keep goldens sensitive — the simsiam
+    # near-zero-head lesson)
+    with torch.no_grad():
+        for p in model.parameters():
+            p.normal_(0, 0.05)
+    model.eval()
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, 8, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        out = model(torch.from_numpy(x))[0]
+    state_dict = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    return state_dict, x, {k: v.numpy() for k, v in out.items()}
+
+
+def test_res3d_import_outputs_match(torch_res3d_and_outputs):
+    from cet_pick_tpu.models.convert import res3d_state_dict_to_flax
+    from cet_pick_tpu.models.detector3d_ref import TomoRes3DRefNet
+
+    state_dict, x, torch_out = torch_res3d_and_outputs
+    heads = {"hm": 1, "proj": 16}
+    params, stats = res3d_state_dict_to_flax(state_dict, heads)
+    model = TomoRes3DRefNet(heads=heads)
+    out = model.apply({"params": params}, x, train=False)
+    for head in heads:
+        # torch NCDHW -> NDHWC
+        expect = np.transpose(torch_out[head], (0, 2, 3, 4, 1))
+        got = np.asarray(out[head])
+        assert got.shape == expect.shape
+        np.testing.assert_allclose(got, expect, atol=2e-5, rtol=1e-4)
+
+
+def test_res3d_export_roundtrip(torch_res3d_and_outputs):
+    """flax -> torch export: a freshly initialized (full-scale random)
+    TomoRes3DRefNet exported to the reference state_dict produces identical
+    outputs in the actual reference model."""
+    sys.path.insert(0, REFERENCE)
+    import jax
+    import torch
+
+    from cet_pick.models.networks.resnet_3d_small import get_tomo_net_3d
+
+    from cet_pick_tpu.models.convert import res3d_flax_to_torch_state_dict
+    from cet_pick_tpu.models.detector3d_ref import TomoRes3DRefNet
+
+    heads = {"hm": 1, "proj": 16}
+    model = TomoRes3DRefNet(heads=heads)
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((1, 8, 16, 16)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(3), x, train=False)
+    # full-scale re-randomization of every leaf
+    leaves, treedef = jax.tree_util.tree_flatten(variables["params"])
+    keys = jax.random.split(jax.random.PRNGKey(4), len(leaves))
+    leaves = [0.05 * jax.random.normal(k, l.shape, l.dtype)
+              for k, l in zip(keys, leaves)]
+    params = jax.tree_util.tree_unflatten(treedef, leaves)
+    flax_out = model.apply({"params": params}, x, train=False)
+
+    sd = res3d_flax_to_torch_state_dict(
+        jax.tree_util.tree_map(np.asarray, params), heads
+    )
+    tmodel = get_tomo_net_3d(18, heads, 16)
+    missing, unexpected = tmodel.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=True,
+    )
+    assert not missing and not unexpected
+    tmodel.eval()
+    with torch.no_grad():
+        torch_out = tmodel(torch.from_numpy(x))[0]
+    for head in heads:
+        expect = np.asarray(flax_out[head])
+        got = np.transpose(torch_out[head].numpy(), (0, 2, 3, 4, 1))
+        np.testing.assert_allclose(got, expect, atol=2e-5, rtol=1e-4)
+
+
+def test_res3d_import_export_cli_roundtrip(torch_res3d_and_outputs, tmp_path):
+    """import-torch (reference res3d .pth -> framework ckpt dir) then
+    export-torch back to .pth: every tensor survives bit-exactly."""
+    import torch
+
+    from cet_pick_tpu.__main__ import main
+
+    state_dict, _, _ = torch_res3d_and_outputs
+    pth = tmp_path / "ref_res3d.pth"
+    torch.save({"epoch": 7, "state_dict": {
+        k: torch.from_numpy(np.ascontiguousarray(v))
+        for k, v in state_dict.items()
+    }}, pth)
+    ckpt_dir = tmp_path / "imported"
+    main(["import-torch", "--task", "semi3d", "--arch", "res3dref_18",
+          "--head_conv", "16", "--load_model", str(pth),
+          "--out", str(ckpt_dir), "--root_dir", str(tmp_path)])
+    assert (ckpt_dir / "state.msgpack").exists()
+    out_pth = tmp_path / "back.pth"
+    main(["export-torch", "--load_model", str(ckpt_dir), "--out",
+          str(out_pth)])
+    back = torch.load(out_pth, map_location="cpu")["state_dict"]
+    assert set(back) == set(state_dict)
+    for k in state_dict:
+        np.testing.assert_array_equal(back[k].numpy(), state_dict[k])
+
+
+def test_res3dref_detector_infers(torch_res3d_and_outputs, tmp_path):
+    """A migrated res3dref checkpoint picks through TomoDetector: whole
+    volume, z decoded at D/2 and rescaled back to input resolution."""
+    from cet_pick_tpu.config import Config
+    from cet_pick_tpu.infer.detector import TomoDetector
+    from cet_pick_tpu.models.convert import res3d_state_dict_to_flax
+
+    state_dict, _, _ = torch_res3d_and_outputs
+    cfg = Config(task="semi3d", arch="res3dref_18", head_conv=16, K=10,
+                 out_thresh=0.0, root_dir=str(tmp_path)).finalize()
+    params, stats = res3d_state_dict_to_flax(state_dict, cfg.heads)
+    det = TomoDetector(cfg, params=params, batch_stats=stats)
+    vol = np.random.default_rng(5).standard_normal((16, 32, 32)).astype(np.float32)
+    res = det.run(vol, name="syn", out_dir=str(tmp_path / "out"))
+    assert res["hm"].shape == (8, 16, 16)  # z at D/2 like the reference
+    zs = np.array([r[2] for rows in res["z_groups"].values() for r in rows])
+    assert zs.size and zs.max() < 16 and np.all(zs == np.round(zs))
+    # written coordinate file exists in the frozen x\tz\ty format
+    assert (tmp_path / "out" / "syn.txt").exists()
