@@ -50,12 +50,30 @@ def make_volume(rng, name, d=256, h=512, w=512, n_part=100, margin=40):
 
 
 def main():
+    import argparse
+
     import pandas as pd
 
     from cet_pick_tpu.__main__ import main as cli
     from cet_pick_tpu.config import Config
     from cet_pick_tpu.eval.metrics import evaluate_detections
     from cet_pick_tpu.io.mrc import write_mrc
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--task", default="semi", choices=("semi", "semi3d"))
+    ap.add_argument("--arch", default="unet_4",
+                    help="unet_4 (2D flagship) or res3d_2 (3D family; "
+                    "pair with --task semi3d and a smaller --size — the "
+                    "reference's semi3d path is whole-volume)")
+    ap.add_argument("--size", type=int, nargs=3, default=None,
+                    metavar=("D", "H", "W"),
+                    help="volume size (default 256 512 512; semi3d default "
+                    "128 256 256)")
+    ap.add_argument("--epochs", type=int, default=10)
+    a = ap.parse_args()
+    three_d = a.task == "semi3d"
+    d, h, w = a.size or ((128, 256, 256) if three_d else (256, 512, 512))
+    n_part = max(12, 100 * d * h * w // (256 * 512 * 512))
 
     tmp = tempfile.mkdtemp(prefix="flagship_")
     data = os.path.join(tmp, "data")
@@ -64,7 +82,7 @@ def main():
     dfs, listing = [], "image_name\trec_path\n"
     for i in range(2):
         name = f"syn{i}"
-        vol, df = make_volume(rng, name)
+        vol, df = make_volume(rng, name, d=d, h=h, w=w, n_part=n_part)
         write_mrc(os.path.join(data, f"{name}.rec"), vol)
         del vol
         dfs.append(df)
@@ -75,12 +93,13 @@ def main():
     targets.to_csv(os.path.join(data, "train_coords.txt"), sep="\t",
                    index=False)
 
-    common = ["--task", "semi", "--arch", "unet_4", "--order", "zxy",
+    common = ["--task", a.task, "--arch", a.arch, "--order", "zxy",
               "--data_dir", data, "--root_dir", tmp, "--dtype", "bfloat16",
               "--bbox", "24"]
     t0 = time.perf_counter()
     cli(["train", *common, "--contrastive", "--batch_size", "4",
-         "--num_epochs", "10", "--val_intervals", "-1", "--lr", "1e-3"])
+         "--num_epochs", str(a.epochs), "--val_intervals", "-1",
+         "--lr", "1e-3"])
     t_train = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -88,7 +107,7 @@ def main():
          "--cutoff_z", "2", "--with_score", "--tile", "64", "0", "0"])
     t_test = time.perf_counter() - t0
 
-    cfg = Config(task="semi", root_dir=tmp).finalize()
+    cfg = Config(task=a.task, root_dir=tmp).finalize()
     rows = []
     for i in range(2):
         arr = np.loadtxt(os.path.join(cfg.out_path, f"syn{i}.txt"), ndmin=2)
@@ -97,7 +116,8 @@ def main():
     preds = pd.DataFrame(
         rows, columns=["image_name", "x_coord", "y_coord", "z_coord", "score"])
     res = evaluate_detections(targets, preds, radius=10.0)
-    print(f"train {t_train:.1f} s (10 epochs, 2x 256x512x512, 200 ann)  "
+    print(f"[{a.task}/{a.arch}] train {t_train:.1f} s ({a.epochs} epochs, "
+          f"2x {d}x{h}x{w}, {2 * n_part} ann)  "
           f"test {t_test:.1f} s  best_f1 {res['best_f1']:.4f}  "
           f"auprc {res['auprc']:.4f}", flush=True)
     shutil.rmtree(tmp, ignore_errors=True)
