@@ -983,7 +983,30 @@ def cmd_doctor(argv):
     parser.add_argument("--no-probe", action="store_true",
                         help="skip the TPU tunnel probe (device enumeration "
                              "and compile smoke only)")
+    parser.add_argument("--empiar", default=None, metavar="DIR",
+                        help="run the full EMPIAR tutorial validation "
+                             "(train -> test -> pr-curve) against a dataset "
+                             "directory in the tutorial layout "
+                             "(docs/empiar_validation.md)")
+    parser.add_argument("--recipe", default="globular",
+                        choices=("globular", "tubular"),
+                        help="EMPIAR tutorial recipe (with --empiar)")
+    parser.add_argument("--num_epochs", type=int, default=None,
+                        help="override the recipe's training epochs "
+                             "(with --empiar)")
+    parser.add_argument("--f1_target", type=float, default=None,
+                        help="gate: exit 1 if best F1 falls below this "
+                             "(with --empiar)")
     a = parser.parse_args(argv)
+    if a.empiar:
+        from cet_pick_tpu.utils.empiar import run_empiar_validation
+
+        report = run_empiar_validation(
+            a.empiar, recipe=a.recipe, num_epochs=a.num_epochs,
+            f1_target=a.f1_target,
+        )
+        print(json.dumps(report))
+        return 0 if report.get("pass", True) else 1
     from cet_pick_tpu.utils.health import diagnostics
 
     report = diagnostics(probe=not a.no_probe)

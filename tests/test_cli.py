@@ -606,3 +606,45 @@ def test_doctor_cli(capsys):
     assert report["backend"] == "cpu"
     assert report["device_count"] == 8  # conftest's virtual mesh
     assert report["compile_smoke_ok"] and report["healthy"]
+
+
+@pytest.mark.slow
+def test_doctor_empiar_dry_run(tmp_path):
+    """`doctor --empiar <dir>`: the one-shot EMPIAR validation pipeline
+    (train -> test -> pr-curve) dry-runs green against a synthetic fixture
+    laid out in the EMPIAR tutorial directory format (VERDICT r3 item 9)."""
+    from test_e2e import make_synthetic
+
+    from cet_pick_tpu.io.mrc import write_mrc
+    from cet_pick_tpu.utils.empiar import run_empiar_validation
+
+    vol, df = make_synthetic(np.random.default_rng(11))
+    data = tmp_path / "empiar"
+    data.mkdir()
+    write_mrc(str(data / "syn0.rec"), vol)
+    listing = f"image_name\trec_path\nsyn0\t{data / 'syn0.rec'}\n"
+    # the tutorial archives' own file names
+    (data / "sample_train_explore_img.txt").write_text(listing)
+    df.to_csv(data / "training_coordinates.txt", sep="\t", index=False)
+    (data / "sample_val_img.txt").write_text(listing)
+    df.to_csv(data / "val_coordinates.txt", sep="\t", index=False)
+
+    # synthetic-fixture overrides (argparse keeps the LAST occurrence, so
+    # these override the frozen tutorial recipe flags): identity axis
+    # order, no z-compress, tiny arch, easy thresholds
+    over_train = ["--order", "zxy", "--no-compress", "--gauss", "0",
+                  "--arch", "unet_2", "--bbox", "8", "--batch_size", "4",
+                  "--no-contrastive", "--lr", "1e-3", "--K", "60",
+                  "--thresh", "0.5"]
+    over_test = ["--order", "zxy", "--no-compress", "--gauss", "0",
+                 "--arch", "unet_2", "--K", "60", "--out_thresh", "0.0",
+                 "--cutoff_z", "2", "--nms", "5", "--no-fiber"]
+    report = run_empiar_validation(
+        str(data), recipe="globular", root_dir=str(tmp_path / "run"),
+        num_epochs=2, extra_train=over_train, extra_test=over_test,
+        f1_target=0.5, log_fn=lambda *_: None,
+    )
+    assert report["pass"], report
+    assert report["best_f1"] > 0.5
+    assert os.path.exists(report["pr_table"])
+    assert os.path.exists(report["predictions"])

@@ -146,3 +146,41 @@ def test_pu_recovers_unlabeled_particles(tmp_path, rng):
     assert res["best_f1"] > 0.9, (
         f"PU failed to recover unlabeled particles: F1 {res['best_f1']:.3f}"
     )
+
+
+@pytest.mark.slow
+def test_train_pick_f1_semi3d(tmp_path, rng):
+    """End-to-end train -> pick -> F1 for the 3D detector family (task
+    semi3d, arch res3d_N = TomoPickNet3D): the same treatment as the 2D
+    flagship (VERDICT r3 item 5 — a redesign without a quality yardstick is
+    a claim, not a result). The v5e wall-clock variant is
+    benchmarks/flagship_e2e.py --task semi3d --arch res3d_2."""
+    vol, df = make_synthetic(rng)
+    cfg = Config(
+        task="semi3d", arch="res3d_2", contrastive=False, batch_size=4,
+        lr=1e-3, num_epochs=4, val_intervals=-1, bbox=8, K=60,
+        out_thresh=0.3, cutoff_z=2, nms=5, root_dir=str(tmp_path),
+    ).finalize()
+    ds = RefineDataset(cfg, "train", images={"syn0": vol}, coords_df=df)
+    assert len(ds) == len(df)
+
+    state, hist = train_refine(cfg, ds, num_epochs=cfg.num_epochs,
+                               log_fn=lambda *_: None)
+    assert hist[-1]["hm_loss"] < hist[0]["hm_loss"]
+
+    det = TomoDetector(cfg, params=state.params,
+                       batch_stats=state.batch_stats)
+    r = det.run(vol, name="syn0", out_dir=str(tmp_path / "out"))
+    assert (tmp_path / "out" / "syn0.txt").exists()
+
+    dets = r["dets"].copy()
+    dets[:, :2] *= cfg.down_ratio
+    pred = pd.DataFrame({
+        "image_name": "syn0",
+        "x_coord": dets[:, 0], "y_coord": dets[:, 1], "z_coord": dets[:, 2],
+        "score": dets[:, 3],
+    })
+    res = evaluate_detections(df, pred, radius=5)
+    assert res["best_f1"] > 0.7, (
+        f"semi3d F1 too low: {res['best_f1']:.3f} (auprc {res['auprc']:.3f})"
+    )
