@@ -132,6 +132,45 @@ def main():
               mstate, mbatch, key)
     print(f"{'moco':<10} step {t*1e3:8.2f} ms  ({256/t:.0f} samples/s)")
 
+    # ---- vol (3D-subvolume) exploration: simsiam + moco over Conv3D crops,
+    # bs 128, vol_size (8, 64, 64) — the reference moco_main.py geometry
+    from cet_pick_tpu.train.explore import (
+        create_simsiam_state, make_simsiam_train_step,
+    )
+
+    for dt in ("float32", "bfloat16"):
+        cfg = Config(task="simsiam", arch="simsiam_18", batch_size=128,
+                     vol_size=(8, 64, 64), head_conv=128,
+                     dtype=dt).finalize()
+        model = create_simsiam(cfg)
+        vbatch = {
+            "anchor": jnp.asarray(
+                rng.standard_normal((128, 8, 64, 64)), jnp.float32),
+            "aug": jnp.asarray(
+                rng.standard_normal((128, 8, 64, 64)), jnp.float32),
+            "norm_mean": jnp.asarray([0.0], jnp.float32),
+            "norm_std": jnp.asarray([1.0], jnp.float32),
+        }
+        vstate = create_simsiam_state(model, cfg, jax.random.PRNGKey(0),
+                                      vbatch)
+        vstep = make_simsiam_train_step(model, cfg, "vol")
+        t = timed(lambda s, bt, k: vstep(s, bt, k)[1]["loss"],
+                  vstate, vbatch, key)
+        print(f"{'vol-' + dt[:4]:<10} step {t*1e3:8.2f} ms  "
+              f"({128/t:.0f} subvols/s)")
+
+        cfg_m = Config(task="simsiam", arch="moco3d_18", batch_size=128,
+                       vol_size=(8, 64, 64), head_conv=128,
+                       dtype=dt).finalize()
+        model_m = create_simsiam(cfg_m)
+        mvstate = create_moco_state(model_m, cfg_m, jax.random.PRNGKey(0),
+                                    vbatch)
+        mvstep = make_moco_train_step(model_m, cfg_m, "vol")
+        t = timed(lambda s, bt, k: mvstep(s, bt, k)[1]["loss"],
+                  mvstate, vbatch, key)
+        print(f"{'mocovol-' + dt[:4]:<10} step {t*1e3:6.2f} ms  "
+              f"({128/t:.0f} subvols/s)")
+
 
 if __name__ == "__main__":
     main()

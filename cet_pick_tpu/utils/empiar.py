@@ -114,10 +114,12 @@ def run_empiar_validation(data_dir: str, recipe: str = "globular",
 
     save_dir = os.path.join(root_dir, "exp", "semi", exp_id)
     log_fn("[empiar] stage 2/3: test (picking the validation volumes)")
+    # --with_score always: the pr-curve stage sweeps thresholds over the
+    # score column (a score-less txt would merge to NaN scores)
     rc = main(["test", *r["test"], *common,
                "--load_model", os.path.join(save_dir, "model_last"),
                "--test_img_txt", val_img, "--out_id", "empiar_val",
-               "--no-write_hm", *extra_test])
+               "--no-write_hm", "--with_score", *extra_test])
     if rc not in (None, 0):
         raise RuntimeError(f"test stage failed (rc={rc})")
 

@@ -641,7 +641,7 @@ def test_doctor_empiar_dry_run(tmp_path):
                  "--cutoff_z", "2", "--nms", "5", "--no-fiber"]
     report = run_empiar_validation(
         str(data), recipe="globular", root_dir=str(tmp_path / "run"),
-        num_epochs=2, extra_train=over_train, extra_test=over_test,
+        num_epochs=4, extra_train=over_train, extra_test=over_test,
         f1_target=0.5, log_fn=lambda *_: None,
     )
     assert report["pass"], report
