@@ -40,6 +40,15 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# Similarity/prototype matmuls are pinned to true-f32 MXU passes: the
+# TPU default runs f32 matmuls at bf16 precision, which measurably
+# degrades the 16-dim cosine geometry this task lives on (device gate
+# benchmarks/quality_tpu.py: prototype margin 0.057 default vs 0.208
+# pinned, CPU 0.343). The trunk convs stay at the default — these
+# gram-sized matmuls are microseconds.
+_HIGH = jax.lax.Precision.HIGHEST
+
+
 def _normalize(x, axis=-1):
     return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), 1e-12)
 
@@ -49,7 +58,7 @@ def kmeans_vmf_loss(embeddings, labels, prototypes, temp=0.07):
     (loss.py:871-905). embeddings (N, C), labels (N,) int, prototypes (K, C)."""
     u = _normalize(embeddings)
     v = _normalize(prototypes)
-    sim = (u @ v.T) / temp
+    sim = jnp.matmul(u, v.T, precision=_HIGH) / temp
     sim = sim - jax.lax.stop_gradient(jnp.max(sim, axis=1, keepdims=True))
     e = jnp.exp(sim)
     k = prototypes.shape[0]
@@ -68,7 +77,8 @@ def partial_sup_loss(embeddings, gt_labels, temp=0.07):
     """
     lbl = gt_labels.reshape(-1)
     valid = (lbl > 0).astype(embeddings.dtype)
-    sims = (embeddings @ embeddings.T) / temp
+    sims = jnp.matmul(embeddings, embeddings.T,
+                      precision=_HIGH) / temp
     n = sims.shape[0]
     eye = jnp.eye(n, dtype=embeddings.dtype)
     offdiag = (1 - eye) * valid[:, None] * valid[None, :]
@@ -90,7 +100,8 @@ def _lloyd_constrained(x, seed_labels, cents, n_clusters, max_iter):
     seeded = seed_labels > 0
 
     def body(_, cents):
-        sim = x @ _normalize(cents).T  # cosine affinity
+        sim = jnp.matmul(x, _normalize(cents).T,
+                         precision=_HIGH)  # cosine affinity
         free = jnp.argmax(sim, axis=1)
         assign = jnp.where(seeded, seed_labels, free)
         oh = jax.nn.one_hot(assign, n_clusters, dtype=x.dtype)
@@ -100,7 +111,7 @@ def _lloyd_constrained(x, seed_labels, cents, n_clusters, max_iter):
         return new
 
     cents = jax.lax.fori_loop(0, max_iter, body, cents)
-    sim = x @ _normalize(cents).T
+    sim = jnp.matmul(x, _normalize(cents).T, precision=_HIGH)
     assign = jnp.where(seeded, seed_labels, jnp.argmax(sim, axis=1))
     return cents, assign
 
@@ -300,4 +311,5 @@ def fewshot_similarity(model, state, centers, volume, target_cluster=1):
     )
     proj = _normalize(out["proj"][0])           # (D, H', W', C)
     proto = _normalize(jnp.asarray(centers)[target_cluster])
-    return jnp.einsum("dhwc,c->dhw", proj, proto)
+    return jnp.einsum("dhwc,c->dhw", proj, proto,
+                      precision=_HIGH)
