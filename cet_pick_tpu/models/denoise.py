@@ -37,13 +37,20 @@ class ShiftConv(nn.Module):
     kernel: int = 3
     blindspot: bool = True
     zero_init: bool = False
+    bias_init: tuple = ()   # per-channel bias init values ((), = zeros)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         init = nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal()
+        if self.bias_init:
+            b0 = jnp.asarray(self.bias_init, jnp.float32)
+            bias_init = lambda key, shape, dtype=jnp.float32: b0.astype(dtype)
+        else:
+            bias_init = nn.initializers.zeros
         conv = nn.Conv(self.features, (self.kernel, self.kernel),
-                       padding="SAME", kernel_init=init, dtype=self.dtype)
+                       padding="SAME", kernel_init=init, bias_init=bias_init,
+                       dtype=self.dtype)
         s = self.kernel // 2
         if self.blindspot and s > 0:
             x = jnp.pad(x, ((0, 0), (s, 0), (0, 0), (0, 0)))
@@ -117,7 +124,20 @@ class NoiseNetwork(nn.Module):
         nin = y.shape[-1]
         y = _lrelu(conv(nin, k=1)(y))
         y = _lrelu(conv(96, k=1)(y))
-        y = conv(self.out_channels, k=1, zero=self.zero_output_weights)(y)
+        # SSDN head (out_channels == 2: mu, A with sigma_x = A^2): bias-init
+        # the A channel to 1 so sigma_y starts O(1). With both channels near
+        # zero at init, sigma_y ~= noise_std^2 ~= 4e-4 and the
+        # (noisy - mu)^2 / sigma_y term amplifies early gradients ~1000x —
+        # measured to make gate-budget trajectories chaotic to bf16 rounding
+        # (CPU converged, TPU runs diverged into the ns-cap / mu-blowup
+        # basins from a 2e-3 step-1 perturbation). A pure init change: the
+        # loss and converged semantics are untouched (the reference zeroes
+        # biases but its kaiming head init has the same tiny-sigma_x
+        # problem — it rides it out with long low-lr ramps on real data).
+        bias = (0.0, 1.0) if self.out_channels == 2 else ()
+        y = ShiftConv(self.out_channels, kernel=1, blindspot=False,
+                      zero_init=self.zero_output_weights, bias_init=bias,
+                      dtype=self.dtype)(y)
         # the gaussian noise-model loss (squares, logs, divisions) runs in
         # f32 regardless of the trunk compute dtype
         return y.astype(jnp.float32)

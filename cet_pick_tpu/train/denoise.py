@@ -83,14 +83,22 @@ def denoise_forward(models, params_dn, params_sigma, noisy):
     est = models["sigma"].apply({"params": params_sigma}, noisy)
     est = jnp.mean(est, axis=(1, 2), keepdims=True)
     noise_std = jax.nn.softplus(est - 4.0) + 1e-3
-    # Soft cap: the SSDN objective's -0.1*noise_std term is unbounded below
-    # once noise_std exceeds ~2/0.1 = 20, where d(log sigma_y)/d(ns) < 0.1 —
-    # Adam can jump the estimate past that restoring regime and diverge
-    # (the reference avoids this only via long low-lr ramps). The rational
-    # saturation keeps gradients nonzero (unlike a hard clip) so the data
-    # term can always pull the estimate back down.
+    # Straight-through cap: the SSDN objective's -0.1*noise_std term is
+    # unbounded below once noise_std exceeds ~2/0.1 = 20, where
+    # d(log sigma_y)/d(ns) < 0.1 — Adam can jump the estimate past that
+    # restoring regime and diverge (the reference avoids this only via long
+    # low-lr ramps). The cap clips the VALUE but passes the gradient through
+    # at full strength, so (a) below the cap the math is EXACTLY the
+    # reference's (the r3 rational saturation ns*c/(ns+c) warped every
+    # in-range value, e.g. 0.8 -> 0.76), and (b) at the cap the data term's
+    # downward pull isn't attenuated — the rational cap multiplied it by
+    # (c/(ns+c))^2, which froze TPU trajectories that overshot early in the
+    # ns=cap basin permanently (measured on the device quality gate; the
+    # same run on CPU never overshoots and converges to ns ~ 0).
     cap = 16.0
-    noise_std = noise_std * cap / (noise_std + cap)
+    noise_std = noise_std - jax.lax.stop_gradient(
+        noise_std - jnp.minimum(noise_std, cap)
+    )
     mu = net_out[..., 0:1]
     a_c = net_out[..., 1:2]
     sigma_x = a_c ** 2
