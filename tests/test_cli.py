@@ -648,3 +648,37 @@ def test_doctor_empiar_dry_run(tmp_path):
     assert report["best_f1"] > 0.5
     assert os.path.exists(report["pr_table"])
     assert os.path.exists(report["predictions"])
+
+
+@pytest.mark.slow
+def test_cli_vol_explore_and_embed_from_disk(tmp_path, rng):
+    """`explore --task simsiam --arch simsiam_18` (3D-subvolume mode) then
+    `embed` from a .rec on disk — the vol-mode user surface end to end
+    (reference moco_main.py --dataset simsiam via files)."""
+    from test_explore import make_explore_fixture
+
+    from cet_pick_tpu.io.mrc import write_mrc
+
+    rec, _, _ = make_explore_fixture(np.random.default_rng(6))
+    data = tmp_path / "data"
+    data.mkdir()
+    write_mrc(str(data / "syn.rec"), rec)
+    listing = f"image_name\trec_path\nsyn\t{data / 'syn.rec'}\n"
+    (data / "train_images.txt").write_text(listing)
+    (data / "test_images.txt").write_text(listing)
+    common = ["--task", "simsiam", "--arch", "simsiam_18", "--order", "zxy",
+              "--vol_size", "8", "32", "32", "--dog", "2", "4",
+              "--head_conv", "32", "--data_dir", str(data),
+              "--root_dir", str(tmp_path)]
+    main(["explore", *common, "--batch_size", "4", "--num_epochs", "1",
+          "--lr", "0.05", "--val_intervals", "-1"])
+    from cet_pick_tpu.config import Config as C
+
+    cfg = C(task="simsiam", root_dir=str(tmp_path)).finalize()
+    assert os.path.isdir(os.path.join(cfg.save_dir, "model_last"))
+
+    main(["embed", *common])
+    npz = np.load(os.path.join(cfg.save_dir, "all_output_info.npz"))
+    assert sorted(npz.files) == ["coords", "name", "pred", "proj", "subvol"]
+    assert npz["subvol"].shape[1:] == (8, 32, 32)
+    assert np.isfinite(npz["proj"]).all()
