@@ -439,7 +439,7 @@ def simsiam_augment_vol(vols, keys, mean, std, out_size, strong=True):
         x = jnp.where(jax.random.uniform(ks[4]) < 0.5, x + noise, x)
         theta = jax.random.uniform(ks[5], (), minval=0.0, maxval=60.0)
         x = jnp.where(jax.random.uniform(ks[6]) < 0.75,
-                      _rotate_vol_xy(x, theta * jnp.pi / 180.0), x)
+                      _rotate_vol_xy_shear(x, theta * jnp.pi / 180.0), x)
         x = x[(d - od) // 2 : (d - od) // 2 + od,
               (h - oh) // 2 : (h - oh) // 2 + oh,
               (w - ow) // 2 : (w - ow) // 2 + ow]
@@ -487,3 +487,56 @@ def vol_test_view(vols):
         v = -3.0 + (v - mn) / max(mx - mn, 1e-12) * 6.0
         out[i] = (v - v.mean()) / max(v.std(), 1e-6)
     return out
+
+
+def _shear_matrices(shift, n):
+    """(R, n, n) linear-interp shift operators: out[r, i] = (1-f) in[r, i-k]
+    + f in[r, i-k-1] for shift[r] = k + f; out-of-range taps are zero rows
+    (zero fill). Built from iota comparisons — no gather."""
+    k = jnp.floor(shift).astype(jnp.int32)
+    f = (shift - k)[:, None, None]
+    i = jnp.arange(n)[None, :, None]
+    j = jnp.arange(n)[None, None, :]
+    tap0 = (j == i - k[:, None, None]).astype(f.dtype)
+    tap1 = (j == i - k[:, None, None] - 1).astype(f.dtype)
+    return (1.0 - f) * tap0 + f * tap1
+
+
+def _rotate_vol_xy_shear(vol, theta):
+    """xy rotation of every z-slice by Paeth's 3-shear decomposition,
+    R(theta) = Sx(-tan(theta/2)) Sy(sin theta) Sx(-tan(theta/2)), with each
+    shear a per-row/column linear-interp SHIFT-MATRIX einsum.
+
+    TPU-first replacement for the gather-based `_rotate_vol_xy`: batched
+    2x2-tap gathers lower ~150x off bandwidth on this stack (measured
+    15.2 ms inside the vol pipeline at bs 128; per-tap and fused-crop
+    variants 16.9/11.1 ms — benchmarks note in PARITY.md), while the three
+    shear einsums are MXU matmuls over (W, W) operators. Angles beyond 45
+    degrees pre-compose a rot90 so every shear stays well-conditioned.
+    Interpolation is linear per pass (vs one bilinear resample): values
+    differ from the gather path at the ~1% level — the same family of
+    difference as tio's own spline interpolation, and the exploration augs
+    are distribution-level anyway. Zero fill like the gather path.
+    """
+    d, h, w = vol.shape
+    # theta > 45deg: rotate the grid 90deg first (transpose + flip = exact),
+    # leaving a residual in [-45, 0] for the shears
+    use90 = theta > jnp.pi / 4
+    # +theta in the sampling convention == rot90(k=-1) (see the 2D test
+    # test_rotate_90deg_matches_rot90)
+    vol = jnp.where(use90, jnp.rot90(vol, k=-1, axes=(1, 2)), vol)
+    th = jnp.where(use90, theta - jnp.pi / 2, theta)
+
+    a = -jnp.tan(th / 2.0)
+    b = jnp.sin(th)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    ys = jnp.arange(h) - cy
+    xs = jnp.arange(w) - cx
+    # x-shear: out(x) = in(x - a*y)  (per-row shift a*y)
+    sx = _shear_matrices(a * ys, w)          # (H, W, W)
+    # y-shear: out(y) = in(y - b*x)  (per-column shift b*x)
+    sy = _shear_matrices(b * xs, h)          # (W, H, H)
+
+    v = jnp.einsum("yij,dyj->dyi", sx, vol)
+    v = jnp.einsum("xij,djx->dix", sy, v)
+    return jnp.einsum("yij,dyj->dyi", sx, v)

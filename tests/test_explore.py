@@ -756,3 +756,18 @@ def test_vol_explore_no_collapse_and_separable(tmp_path):
     np.fill_diagonal(sim, -np.inf)
     agree = float((lab[sim.argmax(1)] == lab).mean())
     assert agree > 0.65, f"1-NN label agreement {agree:.3f} (chance ~0.5)"
+
+
+def test_vol_shear_rotation_matches_bilinear():
+    """The Paeth 3-shear rotation (MXU einsums — the vol pipeline's shipped
+    lowering) must track the bilinear-gather reference within interpolation
+    tolerance across the full 0-60 degree range, exactly at 0 and 90."""
+    yy, xx = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    smooth = np.sin(xx / 6.0) * np.cos(yy / 5.0)
+    vol = jnp.asarray(np.stack([smooth] * 8).astype(np.float32))
+    for deg, tol in ((0.0, 1e-6), (15.0, 0.02), (30.0, 0.02), (44.0, 0.02),
+                     (50.0, 0.02), (60.0, 0.02), (90.0, 1e-5)):
+        th = jnp.float32(deg * np.pi / 180)
+        a = np.asarray(A._rotate_vol_xy(vol, th))[:, 12:52, 12:52]
+        b = np.asarray(A._rotate_vol_xy_shear(vol, th))[:, 12:52, 12:52]
+        assert np.abs(a - b).max() < tol, f"{deg} deg: {np.abs(a-b).max()}"
