@@ -190,3 +190,62 @@ def test_mapped_entry_points_exist(mapping):
         mod, attr = modattr.split(":")
         m = importlib.import_module(mod)
         assert hasattr(m, attr), f"{key} -> {modattr}: attribute missing"
+
+
+# -- entry scripts (SURVEY §2.1): every reference top-level script maps to a
+#    CLI command or a documented exclusion ---------------------------------
+
+ENTRY_SCRIPT_MAP = {
+    "__init__.py": excluded("package marker"),
+    "opts.py": excluded("flag system -> config.py + cli/common.py "
+                        "(every flag audited by tests/test_config_audit.py)"),
+    "logger.py": excluded("support module -> utils/logger.py"),
+    "main.py": entry("cli", "train"),
+    "test.py": entry("cli", "test"),
+    "main_class.py": entry("cli", "classify"),
+    "test_class.py": entry("cli", "classify-test"),
+    "main_seq.py": entry("cli", "train  (freeze= fine-tune via "
+                         "create_train_state(freeze=))"),
+    "simsiam_main.py": entry("cli", "explore"),
+    "moco_main.py": entry("cli", "moco"),
+    "moco_single_main.py": excluded(
+        "standalone MoCoModel/MoCoTrainer variant "
+        "(trains/tomo_moco_small_trainer.py): not registered in the "
+        "reference's own train_factory; behaviorally covered by the shared "
+        "moco path (PARITY.md)"),
+    "simsiam_test_hm_2d3d.py": entry("cli", "embed"),
+    "simsiam_test_hm_3d.py": entry("cli", "embed"),
+    "moco_test.py": entry("cli", "embed"),
+    "moco_test_3d.py": entry("cli", "embed"),
+    "plot_2d.py": entry("cli", "plot2d"),
+    "phoenix_visualization.py": entry("cli", "phoenix"),
+    "interactive_to_training_coords.py": entry("cli", "to-coords"),
+    "select_sublabels.py": entry("cli", "sublabels"),
+    "visualize_3dhm.py": entry("cli", "visualize3d"),
+    "merge_output.py": entry("cli", "merge"),
+    "precision_recall_curve.py": entry("cli", "pr-curve"),
+    "remove_golds.py": entry("cli", "remove-golds"),
+}
+
+
+def test_every_reference_entry_script_is_mapped():
+    import glob
+
+    scripts = sorted(os.path.basename(p)
+                     for p in glob.glob(os.path.join(REFERENCE, "*.py")))
+    missing = [s for s in scripts if s not in ENTRY_SCRIPT_MAP]
+    assert not missing, (
+        f"reference entry scripts with no CLI mapping or documented "
+        f"exclusion: {missing}"
+    )
+
+
+def test_mapped_cli_commands_exist():
+    from cet_pick_tpu.__main__ import COMMANDS
+
+    for script, (kind, _, note) in ENTRY_SCRIPT_MAP.items():
+        if kind == "excluded":
+            assert note, f"{script}: exclusion needs a reason"
+            continue
+        cmd = note.split()[0]
+        assert cmd in COMMANDS, f"{script} -> CLI {cmd!r} does not exist"
