@@ -159,8 +159,25 @@ class VolTrunk(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         # x: (B, D, H, W, 1)
-        x = nn.Conv(64, (3, 7, 7), strides=(1, 2, 2), padding="SAME",
-                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        b, d, h, w, _ = x.shape
+        if h % 2 == 0 and w % 2 == 0:
+            # stem as xy space-to-depth (2x2 phases -> 4 channels) + k(3,4,4)
+            # s1 conv: the single-channel k7 s(1,2,2) conv is the worst MXU
+            # lane shape in the trunk (input lane fill 1/128); folding the
+            # stride's pixel phases into channels quadruples the lane
+            # occupancy at the same downsampled output grid (the same move
+            # as the 2D detector's _Stem, which A/B'd 1.46x on v5e). This is
+            # the ARCHITECTURE here — VolTrunk has no reference checkpoint
+            # to stay weight-compatible with.
+            x = x.reshape(b, d, h // 2, 2, w // 2, 2)
+            x = x.transpose(0, 1, 2, 4, 3, 5).reshape(b, d, h // 2, w // 2, 4)
+            x = nn.Conv(64, (3, 4, 4), padding="SAME", use_bias=False,
+                        dtype=self.dtype, name="conv1")(x)
+        else:  # odd extents: direct strided conv (same param name/shape
+            # family is NOT required across the two paths — a model is
+            # built for one static vol_size)
+            x = nn.Conv(64, (3, 7, 7), strides=(1, 2, 2), padding="SAME",
+                        use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                          name="bn1")(x, use_running_average=not train)
         x = nn.relu(x)
