@@ -210,13 +210,30 @@ def color_jitter(img, key, brightness=0.5, contrast=0.2):
     )
 
 
+def _interp_matrix(src, n):
+    """(m, n) linear-interp operator with edge clamping: row i holds the
+    two bilinear tap weights for source position src[i] (exactly
+    _bilinear_sample_clamped's 1D semantics — clip, floor, blend). Built
+    from iota comparisons: matmul-friendly, no gather."""
+    s = jnp.clip(src, 0.0, n - 1.0)
+    i0 = jnp.floor(s).astype(jnp.int32)
+    f = (s - i0)[:, None]
+    j = jnp.arange(n)[None, :]
+    t0 = (j == i0[:, None]).astype(s.dtype)
+    t1 = (j == jnp.minimum(i0 + 1, n - 1)[:, None]).astype(s.dtype)
+    return (1.0 - f) * t0 + f * t1
+
+
 def random_resized_crop(img, key, out_size, scale=(0.8, 1.0)):
     """torchvision RandomResizedCrop(out, scale, ratio=(1,1)) semantics:
     crop a square covering an area fraction ~U[scale] at a uniform-random
-    location, bilinear-resize to (out_size, out_size). Implemented as one
-    bilinear gather over the source grid (crop+resize fused) so the traced
-    shape stays static; top/left/side are continuous rather than
-    torchvision's integer sampling — same distribution family."""
+    location, bilinear-resize to (out_size, out_size). Crop+resize are
+    axis-SEPARABLE, so the whole op is two small interp-matrix matmuls
+    (out = Ry · img · Rx^T) — value-identical to the fused bilinear gather
+    it replaces (same clamp/floor/blend math; the batched 2x2-tap gather
+    lowers far off bandwidth on TPU, see _rotate_vol_xy_shear). top/left/
+    side are continuous rather than torchvision's integer sampling — same
+    distribution family."""
     c, h, w = img.shape
     ka, ki, kj = jax.random.split(key, 3)
     area_frac = jax.random.uniform(ka, (), minval=scale[0], maxval=scale[1])
@@ -229,10 +246,9 @@ def random_resized_crop(img, key, out_size, scale=(0.8, 1.0)):
     # (pixel centers at top + (i + 0.5) * side/out - 0.5)
     step = side / out_size
     idx = (jnp.arange(out_size) + 0.5) * step - 0.5
-    ys = top + idx
-    xs = left + idx
-    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
-    return _bilinear_sample_clamped(img, yy, xx)
+    ry = _interp_matrix(top + idx, h)     # (out, H)
+    rx = _interp_matrix(left + idx, w)    # (out, W)
+    return jnp.einsum("ir,crw,jw->cij", ry, img, rx)
 
 
 def _bilinear_sample_clamped(img, ys, xs):
