@@ -542,6 +542,11 @@ def _rotate_vol_xy_shear(vol, theta):
     are distribution-level anyway. Zero fill like the gather path.
     """
     d, h, w = vol.shape
+    if h != w:
+        # the >45deg rot90 pre-compose changes (h, w) on non-square slices;
+        # non-square inputs take the gather rotation (static branch — every
+        # in-tree caller is square)
+        return _rotate_vol_xy(vol, theta)
     # theta > 45deg: rotate the grid 90deg first (transpose + flip = exact),
     # leaving a residual in [-45, 0] for the shears
     use90 = theta > jnp.pi / 4
