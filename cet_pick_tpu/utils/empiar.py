@@ -125,7 +125,9 @@ def run_empiar_validation(data_dir: str, recipe: str = "globular",
 
     log_fn("[empiar] stage 3/3: pr-curve (F1 vs validation coordinates)")
     out_dir = os.path.join(save_dir, "empiar_val")
-    merged = os.path.join(out_dir, "merged_predictions.txt")
+    # .tsv, NOT .txt: merge_output globs *.txt, so a .txt name would merge
+    # the previous run's merged table into itself on a re-run
+    merged = os.path.join(out_dir, "merged_predictions.tsv")
     merge_output(out_dir, merged)
     targets = pd.read_csv(os.path.join(data_dir, val_coord), sep="\t")
     predicts = pd.read_csv(merged, sep="\t", comment="#")
