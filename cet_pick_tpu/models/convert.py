@@ -251,6 +251,13 @@ def load_simsiam_torch(path, state, log_fn=print):
         # the whole MoCo module; encoder_k is its EMA copy)
         sd = {k[len("encoder_q."):]: v for k, v in sd.items()
               if k.startswith("encoder_q.")}
+    elif any(k.startswith("backbone.") for k in sd):
+        # reference SCAN ClusteringModel (simsiam_model_2d3d.py:847-877):
+        # take the SimSiam backbone; the linear cluster_head.{i} layers are
+        # retrained by the scan stage here (their best-head selection is a
+        # training-time concern, trains/tomo_scan_trainer.py)
+        sd = {k[len("backbone."):]: v for k, v in sd.items()
+              if k.startswith("backbone.")}
     if any(k.startswith("proj.") for k in sd):
         params, stats = simsiam_state_dict_to_flax(sd)
         # heads absent from the checkpoint (e.g. pred in a MoCo encoder)

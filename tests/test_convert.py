@@ -548,3 +548,48 @@ def test_res3dref_detector_infers(torch_res3d_and_outputs, tmp_path):
     assert zs.size and zs.max() < 16 and np.all(zs == np.round(zs))
     # written coordinate file exists in the frozen x\tz\ty format
     assert (tmp_path / "out" / "syn.txt").exists()
+
+
+def test_scan_clustering_model_pth_imports_backbone(tmp_path, rng):
+    """A reference SCAN ClusteringModel checkpoint (backbone.* +
+    cluster_head.*) imports its SimSiam backbone through load_simsiam_torch
+    (and hence `import-torch` / every exploration --load_model path) — the
+    pretext handoff a reference SCAN user needs to continue here."""
+    import jax
+    import torch
+
+    from cet_pick_tpu.config import Config
+    from cet_pick_tpu.models.convert import (
+        load_simsiam_torch, simsiam_flax_to_torch_state_dict,
+    )
+    from cet_pick_tpu.models.simsiam import create_simsiam
+    from cet_pick_tpu.train.explore import (
+        create_simsiam_state, dummy_explore_batch,
+    )
+
+    cfg = Config(task="simsiam2d3d", arch="simsiam2d3d_18",
+                 head_conv=32, bbox=16).finalize()
+    model = create_simsiam(cfg)
+    state = create_simsiam_state(model, cfg, jax.random.PRNGKey(0),
+                                 dummy_explore_batch(cfg, model.mode))
+    # synthesize the reference layout from a full-scale-random flax state
+    leaves, treedef = jax.tree_util.tree_flatten(state.params)
+    keys = jax.random.split(jax.random.PRNGKey(1), len(leaves))
+    leaves = [0.05 * jax.random.normal(k, l.shape, l.dtype)
+              for k, l in zip(keys, leaves)]
+    params = jax.tree_util.tree_unflatten(treedef, leaves)
+    sd = simsiam_flax_to_torch_state_dict(
+        jax.tree_util.tree_map(np.asarray, params),
+        jax.tree_util.tree_map(np.asarray, state.batch_stats))
+    pth = tmp_path / "scan_model.pth"
+    torch.save({"epoch": 3, "state_dict": {
+        **{"backbone." + k: torch.from_numpy(np.ascontiguousarray(v))
+           for k, v in sd.items()},
+        "cluster_head.0.weight": torch.zeros(3, 32),
+        "cluster_head.0.bias": torch.zeros(3),
+    }}, pth)
+
+    loaded = load_simsiam_torch(str(pth), state, log_fn=lambda *_: None)
+    got = np.asarray(loaded.params["trunk"]["conv1"]["kernel"])
+    want = np.asarray(params["trunk"]["conv1"]["kernel"])
+    np.testing.assert_allclose(got, want, atol=1e-6)
