@@ -192,7 +192,8 @@ class TomoDetector:
         }
         if out_dir is not None:
             self.save_detection(hm, z_groups, out_dir, name,
-                                hm_shape=hm_shape)
+                                hm_shape=hm_shape,
+                                z_dim_tot=hm_shape[0] * self.z_ratio)
             ret["times"]["save"] = time.time() - t_post
         ret["times"]["tot"] = time.time() - t0
         return ret
@@ -200,15 +201,15 @@ class TomoDetector:
     # -- output writers ------------------------------------------------------
 
     def save_detection(self, hm: Optional[np.ndarray], z_groups: Dict,
-                       path: str, name: str, hm_shape=None):
+                       path: str, name: str, hm_shape=None, z_dim_tot=None):
         """Write ``{name}_hm.mrc`` + filtered ``{name}.txt`` (tomo_det.py:53-95)."""
         rows = (c for _, rs in z_groups.items() for c in rs)
         return write_detection_outputs(self.config, hm, rows, path, name,
-                                       hm_shape=hm_shape)
+                                       hm_shape=hm_shape, z_dim_tot=z_dim_tot)
 
 
 def write_detection_outputs(cfg, hm: Optional[np.ndarray], rows, path: str,
-                            name: str, hm_shape=None):
+                            name: str, hm_shape=None, z_dim_tot=None):
     """Shared reference-format detection writer (tomo_det.py:53-95 ==
     tomo_det_classify.py:172-216): ``{name}_hm.mrc`` with y/z axes swapped +
     ``{name}.txt`` after the frozen score / cutoff_z / 20-px-border filters
@@ -216,11 +217,18 @@ def write_detection_outputs(cfg, hm: Optional[np.ndarray], rows, path: str,
 
     rows: iterable of (x, y, z, score) with xy already at input resolution.
     hm may be None under --no-write_hm (pass hm_shape for the filters).
+    z_dim_tot: input-resolution z extent for the cutoff_z filter. Required
+    when rows' z was rescaled past the heatmap depth (res3dref decodes at
+    D/2 and post_process multiplies z by z_ratio=2 — filtering those rows
+    against the half-resolution hm depth would silently drop every pick in
+    the upper half of the volume). Defaults to the heatmap depth.
     """
     os.makedirs(path, exist_ok=True)
 
     max_z, max_y, max_x = hm.shape if hm is not None else hm_shape
     max_x, max_y = max_x * cfg.down_ratio, max_y * cfg.down_ratio
+    if z_dim_tot is not None:
+        max_z = z_dim_tot
     if hm is not None:
         # NaN fail-fast runs whenever the heatmap is available, even under
         # --no-write_hm (the classify path always fetches it for host NMS;

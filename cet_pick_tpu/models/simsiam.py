@@ -105,7 +105,17 @@ def explore_mode(config) -> str:
     if "2d3d" in config.arch or "2d3d" in config.task:
         return "2d3d"
     stem = config.arch.split("_")[0]
-    if stem in ("simsiam", "moco3d") or config.task == "simsiam":
+    if stem in ("simsiam", "moco3d"):
+        return "vol"
+    if config.task == "simsiam":
+        if stem in ("simsiam2d", "moco"):
+            # an explicitly 2D arch must not be silently overridden into a
+            # VolTrunk by the vol task string — make the conflict loud
+            raise ValueError(
+                f"--task simsiam (3D-subvolume exploration) conflicts with "
+                f"2D arch '{config.arch}'; use --arch simsiam_18|moco3d_18 "
+                f"for vol mode or --task simsiam3d for 2D patches"
+            )
         return "vol"
     return "2d"
 

@@ -537,17 +537,31 @@ def test_res3dref_detector_infers(torch_res3d_and_outputs, tmp_path):
     from cet_pick_tpu.models.convert import res3d_state_dict_to_flax
 
     state_dict, _, _ = torch_res3d_and_outputs
-    cfg = Config(task="semi3d", arch="res3dref_18", head_conv=16, K=10,
-                 out_thresh=0.0, root_dir=str(tmp_path)).finalize()
+    cfg = Config(task="semi3d", arch="res3dref_18", head_conv=16, K=64,
+                 out_thresh=-1.0, cutoff_z=0, root_dir=str(tmp_path)).finalize()
     params, stats = res3d_state_dict_to_flax(state_dict, cfg.heads)
+    # the fixture's full-scale weights drive every logit past the sigmoid
+    # clamp (all scores 0.9999 -> top-k tie-breaks onto the z=0 plane);
+    # shrink the hm head so scores vary and picks spread across z
+    import jax
+    params = dict(params)
+    params["hm"] = jax.tree_util.tree_map(lambda a: a * 0.02, params["hm"])
     det = TomoDetector(cfg, params=params, batch_stats=stats)
-    vol = np.random.default_rng(5).standard_normal((16, 32, 32)).astype(np.float32)
+    vol = np.random.default_rng(5).standard_normal((16, 96, 96)).astype(np.float32)
     res = det.run(vol, name="syn", out_dir=str(tmp_path / "out"))
-    assert res["hm"].shape == (8, 16, 16)  # z at D/2 like the reference
+    assert res["hm"].shape == (8, 48, 48)  # z at D/2 like the reference
     zs = np.array([r[2] for rows in res["z_groups"].values() for r in rows])
     assert zs.size and zs.max() < 16 and np.all(zs == np.round(zs))
-    # written coordinate file exists in the frozen x\tz\ty format
-    assert (tmp_path / "out" / "syn.txt").exists()
+    # written coordinate file exists in the frozen x\tz\ty format and the
+    # deliberate deviation from the reference holds: z is written at INPUT
+    # resolution (z*2 vs the reference's heatmap-space z, tomo_det.py:44),
+    # so the writer's z filter must not clip the upper half of the volume
+    out = np.loadtxt(tmp_path / "out" / "syn.txt", ndmin=2)  # x z y
+    assert out.size, "every pick was filtered out"
+    assert out[:, 1].max() > 8, (
+        "upper-half-z picks were dropped by a heatmap-depth z bound"
+    )
+    assert out[:, 1].max() < 16
 
 
 def test_scan_clustering_model_pth_imports_backbone(tmp_path, rng):

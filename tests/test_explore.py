@@ -575,6 +575,12 @@ def test_explore_mode_resolution():
     assert explore_mode(Config(task="simsiam3d", arch="simsiam2d_18")) == "2d"
     assert explore_mode(Config(task="simsiam", arch="simsiam_18")) == "vol"
     assert explore_mode(Config(task="moco", arch="moco3d_18")) == "vol"
+    # task simsiam with unnamed/default arch still resolves vol, but an
+    # explicitly 2D arch must not be silently overridden into a VolTrunk
+    with pytest.raises(ValueError, match="conflicts"):
+        explore_mode(Config(task="simsiam", arch="simsiam2d_18"))
+    with pytest.raises(ValueError, match="conflicts"):
+        explore_mode(Config(task="simsiam", arch="moco_18"))
 
 
 def test_vol_dataset_crops_match_direct_slicing(rng):

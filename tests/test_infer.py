@@ -458,6 +458,31 @@ def test_nan_failfast_survives_no_write_hm(tmp_path):
     assert not (tmp_path / "nanvol_hm.mrc").exists()  # flag still honored
 
 
+def test_z_filter_uses_input_depth_for_rescaled_rows(tmp_path):
+    """res3dref decodes z at D/2 and post_process rescales z by z_ratio=2
+    back to input resolution; the writer's cutoff_z filter must bound z by
+    the INPUT depth (z_dim_tot), not the half-resolution heatmap depth —
+    otherwise every pick in the upper half of the volume is silently
+    dropped (tomo_det.py:74's filter runs at the heatmap's own resolution
+    in the reference; here rescaled rows need the rescaled bound)."""
+    from cet_pick_tpu.infer.detector import write_detection_outputs
+
+    cfg = Config(task="semi3d", arch="res3dref_18", head_conv=16,
+                 out_thresh=0.0, cutoff_z=2, with_score=True).finalize()
+    hm_shape = (16, 64, 64)  # heatmap at D/2: input depth is 32
+    rows = [(30, 30, z, 0.9) for z in (1, 2, 15, 28, 30, 31)]
+    write_detection_outputs(cfg, None, rows, str(tmp_path), "up",
+                            hm_shape=hm_shape, z_dim_tot=32)
+    out = np.loadtxt(tmp_path / "up.txt", ndmin=2)  # x z y score
+    assert set(out[:, 1].astype(int)) == {2, 15, 28, 30}
+    # without z_dim_tot the bound falls back to the heatmap depth (legacy
+    # unet-family behavior where rows' z IS heatmap z)
+    write_detection_outputs(cfg, None, rows, str(tmp_path), "hmres",
+                            hm_shape=hm_shape)
+    out = np.loadtxt(tmp_path / "hmres.txt", ndmin=2)
+    assert set(out[:, 1].astype(int)) == {2}
+
+
 def test_classify_warm_skips_host_nms(small_setup, monkeypatch):
     """TomoClassDetector.warm must only warm the device forward: on a zeros
     dummy the clamped-sigmoid heatmap is a near-constant > out_thresh, so
