@@ -752,10 +752,13 @@ def cmd_import_torch(argv):
 
     stem = cfg.arch.split("_")[0]
     if stem in ("simsiam", "moco3d"):
-        print("3D-subvolume encoders (simsiam_N/moco3d_N) have no torch "
-              "conversion (no reference structural counterpart)")
+        print("the TPU-native 3D-subvolume encoders (simsiam_N/moco3d_N, "
+              "VolTrunk) are not weight-compatible with reference .pth "
+              "files; import those with the reference-structural arches "
+              "--arch simsiamref_18 (simsiam_model.py) or --arch "
+              "moco3dref_18 (moco_encoder_3d.py)")
         return 2
-    if cfg.arch.startswith("simsiam"):
+    if cfg.arch.startswith(("simsiam", "moco")):
         from cet_pick_tpu.models.convert import load_simsiam_torch
         from cet_pick_tpu.models.simsiam import create_simsiam
         from cet_pick_tpu.train.explore import (
@@ -826,13 +829,15 @@ def cmd_export_torch(argv):
               "only checkpoints written by this package can be exported")
         return 2
     cfg = Config.load(opt_json)
-    if (not cfg.arch.startswith(("unet", "simsiam", "res3dref"))
-            or cfg.arch.split("_")[0] in ("simsiam", "moco3d")):
+    if (not cfg.arch.startswith(("unet", "simsiam", "res3dref", "moco3dref"))
+            or cfg.arch.split("_")[0] in ("simsiam", "moco3d", "unetw")):
         print(f"export-torch supports the reference TomoConvUNet (unet_N), "
-              f"patch-exploration (simsiam2d*/simsiam2d3d*), and res3dref "
+              f"patch-exploration (simsiam2d*/simsiam2d3d*), subvolume "
+              f"migration encoders (simsiamref_N/moco3dref_N), and res3dref "
               f"(TomoRes3DNet) families; checkpoint has arch {cfg.arch!r} "
-              f"(3D-subvolume VolTrunk encoders have no reference "
-              f"structural counterpart)")
+              f"(the TPU-native VolTrunk encoders simsiam_N/moco3d_N have "
+              f"no reference structural counterpart — train with the *ref "
+              f"arches if round-tripping to torch matters)")
         return 2
     state_path = os.path.join(a.load_model, "state.msgpack")
     moco_path = os.path.join(a.load_model, "moco_state.msgpack")
@@ -855,6 +860,16 @@ def cmd_export_torch(argv):
         from cet_pick_tpu.models.convert import res3d_flax_to_torch_state_dict
 
         sd = res3d_flax_to_torch_state_dict(params, cfg.heads)
+    elif cfg.arch.split("_")[0] in ("simsiamref", "moco3dref"):
+        from cet_pick_tpu.models.convert import (
+            moco_ref3d_flax_to_torch_state_dict,
+            simsiam_ref3d_flax_to_torch_state_dict,
+        )
+
+        fn = (simsiam_ref3d_flax_to_torch_state_dict
+              if cfg.arch.startswith("simsiamref")
+              else moco_ref3d_flax_to_torch_state_dict)
+        sd = fn(params, stats)
     elif cfg.arch.startswith("simsiam") and "backbone" in params:
         # SCAN ClusteringModel: backbone.* + cluster_head.{i}.{weight,bias}
         sd = {

@@ -152,6 +152,13 @@ class Config:
     def finalize(self) -> "Config":
         """Derive heads / dirs, mirroring opts.parse + update_dataset_info
         (opts.py:193-331)."""
+        if self.arch.startswith("unetw"):
+            # the lane-filling TPU-first detector (models/detector.
+            # TomoPickNetW): its output grid IS H/4 (a structural constant,
+            # not a knob), and the head defaults to the 128-lane width
+            self.down_ratio = 4
+            if self.head_conv == -1:
+                self.head_conv = 128
         if self.head_conv == -1:
             # scan/scan2d3d inherit the simsiam encoder default (128): the
             # SCAN workflow always loads an exploration checkpoint, and a

@@ -42,22 +42,26 @@ Z_HALO = 3  # z receptive-field radius of the 3D head (unet_small.py:39-61)
 # full-volume forward and exactness dies.
 
 
-def xy_align(n_blocks: int) -> int:
-    """Total xy downsample stride: stem(2) x pool(2)^(n_blocks-1)."""
-    return 2 ** n_blocks
+def xy_align(n_blocks: int, stem_stride: int = 2) -> int:
+    """Total xy downsample stride: stem x pool(2)^(n_blocks-1)."""
+    return stem_stride * 2 ** (n_blocks - 1)
 
 
-def xy_halo(n_blocks: int) -> int:
+def xy_halo(n_blocks: int, stem_stride: int = 2) -> int:
     """Architectural xy receptive-field radius in INPUT pixels, rounded up
-    to the pooling grid. One-sided analytic bound at the stride-2 UNet grid,
-    summing (kernel reach) x (dilation x stride) per layer: down-path k3
-    convs 2*(2^n - 1), up-path k3 convs 2*(2^(n-1) - 1), ceil-mode k2 pools
-    2^(n-1) - 1, k2s2 transposed convs 2^(n-1) - 1, two dil-4 k3 head convs
-    8 — total 2^(n+2) + 2; doubled to input pixels plus the k7s2 stem's 6.
-    An abs-weights impulse probe measures 108 for n_blocks=4 against this
-    bound's 144 (tests/test_infer.py::test_xy_tiled_matches_full)."""
-    raw = 2 * (2 ** (n_blocks + 2) + 2) + 6
-    a = xy_align(n_blocks)
+    to the pooling grid. One-sided analytic bound at the UNet grid (=
+    input / stem_stride), summing (kernel reach) x (dilation x stride) per
+    layer: down-path k3 convs 2*(2^n - 1), up-path k3 convs 2*(2^(n-1) -
+    1), ceil-mode k2 pools 2^(n-1) - 1, k2s2 transposed convs 2^(n-1) - 1,
+    two dil-4 k3 head convs 8 — total 2^(n+2) + 2; scaled to input pixels
+    by the stem stride, plus the stem's own reach (k7s2: 6 input px for
+    the parity arch; patchify + k3 mix conv: one UNet-grid cell =
+    stem_stride px for unetw). An abs-weights impulse probe measures 108
+    for n_blocks=4 against this bound's 144
+    (tests/test_infer.py::test_xy_tiled_matches_full)."""
+    raw = stem_stride * (2 ** (n_blocks + 2) + 2)
+    raw += 6 if stem_stride == 2 else stem_stride
+    a = xy_align(n_blocks, stem_stride)
     return -(-raw // a) * a
 
 
@@ -93,8 +97,15 @@ class TiledHeatmapInference:
         self.tile_xy = tuple(int(t) for t in tile_xy) if tile_xy else None
         self.auto_xy_budget = float(self.AUTO_XY_BUDGET)
         n_blocks = int(getattr(model, "n_blocks", 4))
-        self.xy_halo = xy_halo(n_blocks)
-        self.xy_align = xy_align(n_blocks)
+        # output stride / stem downsample (2 for the parity family, 4 for
+        # the unetw TPU-first arch); drives window alignment, core slicing
+        # and the TTA grid constraint
+        self.xy_down = int(getattr(model, "stem_stride", 2))
+        self.xy_halo = xy_halo(n_blocks, self.xy_down)
+        self.xy_align = xy_align(n_blocks, self.xy_down)
+        self.bytes_per_voxel = float(
+            getattr(model, "bytes_per_voxel", self.BYTES_PER_VOXEL)
+        )
         # multi-chip sharding (--mesh_shape on test/watch): params
         # replicated, every forward's H axis partitioned over the mesh's
         # trailing ("space") axis with XLA-inserted conv halo exchanges;
@@ -158,10 +169,11 @@ class TiledHeatmapInference:
     def _check_tta_shape(self, h, w):
         """Flip-TTA's output un-flip mapping needs even xy extents (odd
         extents put the two grids half a cell apart)."""
-        if self.tta and (h % 2 or w % 2):
+        dn = self.xy_down
+        if self.tta and (h % dn or w % dn):
             raise ValueError(
-                f"--tta needs even H and W (got {h}x{w}); pad/crop the "
-                f"volume or drop --tta"
+                f"--tta needs H and W divisible by the output stride {dn} "
+                f"(got {h}x{w}); pad/crop the volume or drop --tta"
             )
 
     def _put_volume(self, volume):
@@ -227,12 +239,12 @@ class TiledHeatmapInference:
         import math
 
         views = 4 if self.tta else 1  # flip-TTA rides the conv batch
-        est = views * n_windows * win_d * h * w * self.BYTES_PER_VOXEL
+        est = views * n_windows * win_d * h * w * self.bytes_per_voxel
         if est <= self.auto_xy_budget:
             return None
         a, halo = self.xy_align, self.xy_halo
         max_win_area = self.auto_xy_budget / (
-            views * n_windows * win_d * self.BYTES_PER_VOXEL
+            views * n_windows * win_d * self.bytes_per_voxel
         )
         side = int(math.floor(math.sqrt(max_win_area))) - 2 * halo
         tile = max(a, side - side % a)
@@ -277,7 +289,8 @@ class TiledHeatmapInference:
             if entry is None:
                 return 0, slice(None)
             s, a0, a1 = entry
-            return s, slice((a0 - s) // 2, (a1 - s) // 2)
+            dn = self.xy_down
+            return s, slice((a0 - s) // dn, (a1 - s) // dn)
 
         volume = self._put_volume(volume)
         rows = []

@@ -153,6 +153,117 @@ def simsiam_state_dict_to_flax(state_dict: Dict, stage_sizes=(2, 2, 2)):
     return params, stats
 
 
+def _head_mlps_to_flax(sd, dense, bn):
+    """proj (Sequential 0,1/3,4/6,7 — final BN affine-free) and optional
+    pred (0,1/3) head conversion, shared by every SimSiam/MoCo family
+    (simsiam_model_2d3d.py:590-605 == simsiam_model.py:196-210 ==
+    moco_encoder_3d.py:227-243 modulo dims)."""
+    if "fc.weight" in sd:
+        dense("fc", ("fc",))
+    if "proj.0.weight" in sd:
+        dense("proj.0", ("proj", "fc0"), bias=False)
+        bn("proj.1", ("proj", "bn0"))
+        dense("proj.3", ("proj", "fc1"), bias=False)
+        bn("proj.4", ("proj", "bn1"))
+        dense("proj.6", ("proj", "fc2"), bias=False)
+        bn("proj.7", ("proj", "bn2"), affine=False)
+    if "pred.0.weight" in sd:
+        dense("pred.0", ("pred", "fc0"), bias=False)
+        bn("pred.1", ("pred", "bn0"))
+        dense("pred.3", ("pred", "fc1"))
+
+
+def simsiam_ref3d_state_dict_to_flax(state_dict: Dict):
+    """Reference ``simsiam``/``simsiam3d`` 3D-subvolume encoder
+    (TomoResClassifier, simsiam_model.py:159-366) state_dict ->
+    (params, batch_stats) for SimSiamEncoder(trunk_kind='ref2d') — arch
+    ``simsiamref_18``. Trunk: k7s2 conv1/bn1 + maxpool + layer{1..3}
+    BasicBlocks with CONV-ONLY downsamples (:256-263), then the Conv3d
+    ``feature_3d`` aggregation (:182-185); heads: fc(256), proj/pred(256)."""
+    sd = {
+        (k[7:] if k.startswith("module.") else k): np.asarray(v)
+        for k, v in state_dict.items()
+    }
+    params: Dict = {}
+    stats: Dict = {}
+
+    def bn(src, dst, affine=True):
+        if affine:
+            _set(params, dst + ("scale",), sd[src + ".weight"])
+            _set(params, dst + ("bias",), sd[src + ".bias"])
+        _set(stats, dst + ("mean",), sd[src + ".running_mean"])
+        _set(stats, dst + ("var",), sd[src + ".running_var"])
+
+    def conv(src, dst, fn=_conv2d):
+        _set(params, dst + ("kernel",), fn(sd[src + ".weight"]))
+
+    def dense(src, dst, bias=True):
+        _set(params, dst + ("kernel",), _linear(sd[src + ".weight"]))
+        if bias and src + ".bias" in sd:
+            _set(params, dst + ("bias",), sd[src + ".bias"])
+
+    conv("conv1", ("trunk", "conv1"))
+    bn("bn1", ("trunk", "bn1"))
+    for stage in range(3):
+        for b in range(2):
+            src = f"layer{stage + 1}.{b}"
+            dst = ("trunk", f"layer{stage + 1}_{b}")
+            conv(src + ".conv1", dst + ("conv1",))
+            bn(src + ".bn1", dst + ("bn1",))
+            conv(src + ".conv2", dst + ("conv2",))
+            bn(src + ".bn2", dst + ("bn2",))
+            if src + ".downsample.0.weight" in sd:
+                conv(src + ".downsample.0", dst + ("downsample_conv",))
+    conv("feature_3d.0", ("trunk", "f3d_conv"), fn=_conv3d)
+    bn("feature_3d.1", ("trunk", "f3d_bn"))
+    _head_mlps_to_flax(sd, dense, bn)
+    return params, stats
+
+
+def moco_ref3d_state_dict_to_flax(state_dict: Dict):
+    """Reference ``moco3d`` 3D-subvolume encoder (TomoResClassifier3D,
+    moco_encoder_3d.py:156-420) state_dict -> (params, batch_stats) for
+    SimSiamEncoder(trunk_kind='ref3d') — arch ``moco3dref_18``. Trunk:
+    Conv3d k7s2 conv1/bn1 + maxpool3d + BN-LESS BasicBlocks (:55-84) with
+    conv-only downsamples, Conv3d feature_3d; heads: fc(128), proj(128)."""
+    sd = {
+        (k[7:] if k.startswith("module.") else k): np.asarray(v)
+        for k, v in state_dict.items()
+    }
+    params: Dict = {}
+    stats: Dict = {}
+
+    def bn(src, dst, affine=True):
+        if affine:
+            _set(params, dst + ("scale",), sd[src + ".weight"])
+            _set(params, dst + ("bias",), sd[src + ".bias"])
+        _set(stats, dst + ("mean",), sd[src + ".running_mean"])
+        _set(stats, dst + ("var",), sd[src + ".running_var"])
+
+    def conv(src, dst):
+        _set(params, dst + ("kernel",), _conv3d(sd[src + ".weight"]))
+
+    def dense(src, dst, bias=True):
+        _set(params, dst + ("kernel",), _linear(sd[src + ".weight"]))
+        if bias and src + ".bias" in sd:
+            _set(params, dst + ("bias",), sd[src + ".bias"])
+
+    conv("conv1", ("trunk", "conv1"))
+    bn("bn1", ("trunk", "bn1"))
+    for stage in range(3):
+        for b in range(2):
+            src = f"layer{stage + 1}.{b}"
+            dst = ("trunk", f"layer{stage + 1}_{b}")
+            conv(src + ".conv1", dst + ("conv1",))
+            conv(src + ".conv2", dst + ("conv2",))
+            if src + ".downsample.0.weight" in sd:
+                conv(src + ".downsample.0", dst + ("downsample_conv",))
+    conv("feature_3d.0", ("trunk", "f3d_conv"))
+    bn("feature_3d.1", ("trunk", "f3d_bn"))
+    _head_mlps_to_flax(sd, dense, bn)
+    return params, stats
+
+
 def _walk_resnet_trunk(sd, stage_sizes, conv, bn):
     """Shared trunk traversal: conv1/bn1 + layer{s}.{b} BasicBlocks with
     optional downsamples, mapped onto SimSiam ``ResNetTrunk`` module names.
@@ -259,7 +370,27 @@ def load_simsiam_torch(path, state, log_fn=print):
         sd = {k[len("backbone."):]: v for k, v in sd.items()
               if k.startswith("backbone.")}
     if any(k.startswith("proj.") for k in sd):
-        params, stats = simsiam_state_dict_to_flax(sd)
+        # family detection: the 3D-subvolume encoders both carry the Conv3d
+        # feature_3d aggregation; a 5-D conv1 is the Conv3d trunk (moco3d),
+        # a 4-D one the slice trunk (simsiam/simsiam3d). Patch encoders
+        # (2d/2d3d) have no feature_3d.
+        if "feature_3d.0.weight" in sd:
+            if np.ndim(sd["conv1.weight"]) == 5:
+                family, convert = "moco3dref", moco_ref3d_state_dict_to_flax
+            else:
+                family, convert = "simsiamref", simsiam_ref3d_state_dict_to_flax
+        else:
+            family, convert = "simsiam2d/2d3d", simsiam_state_dict_to_flax
+        params, stats = convert(sd)
+        want = np.shape(_get(state.params, ("trunk", "conv1", "kernel")))
+        got = np.shape(params["trunk"]["conv1"]["kernel"])
+        if want != got:
+            raise ValueError(
+                f"checkpoint is a reference {family} encoder (trunk conv1 "
+                f"{got}) but the model was built with an incompatible arch "
+                f"(conv1 {want}); pass the matching migration arch (e.g. "
+                f"--arch {family.split('/')[0]}_18)"
+            )
         # heads absent from the checkpoint (e.g. pred in a MoCo encoder)
         # keep their fresh init so the model's parameter tree stays complete
         for tree, fresh in ((params, _to_mutable(state.params)),
@@ -408,6 +539,78 @@ def simsiam_flax_to_torch_state_dict(params, batch_stats,
     return sd
 
 
+def _ref_vol_flax_to_torch(params, batch_stats, kind: str):
+    """Shared inverse for the two reference-structural 3D-subvolume
+    encoders: kind 'ref2d' -> TomoResClassifier (simsiam_model.py, 2D
+    slice trunk WITH block BNs, conv-only downsample), kind 'ref3d' ->
+    TomoResClassifier3D (moco_encoder_3d.py, Conv3d trunk with BN-LESS
+    blocks). Heads (fc/proj/pred) export whatever is present."""
+    sd: Dict = {}
+    conv_tr = (lambda w: np.transpose(w, (3, 2, 0, 1))) if kind == "ref2d" \
+        else (lambda w: np.transpose(w, (4, 3, 0, 1, 2)))
+
+    def bn(dst, src, affine=True):
+        if affine:
+            sd[dst + ".weight"] = _get(params, src + ("scale",))
+            sd[dst + ".bias"] = _get(params, src + ("bias",))
+        sd[dst + ".running_mean"] = _get(batch_stats, src + ("mean",))
+        sd[dst + ".running_var"] = _get(batch_stats, src + ("var",))
+
+    def conv(dst, src):
+        sd[dst + ".weight"] = conv_tr(_get(params, src + ("kernel",)))
+
+    def dense(dst, src, bias=True):
+        sd[dst + ".weight"] = np.transpose(_get(params, src + ("kernel",)),
+                                           (1, 0))
+        if bias:
+            sd[dst + ".bias"] = _get(params, src + ("bias",))
+
+    conv("conv1", ("trunk", "conv1"))
+    bn("bn1", ("trunk", "bn1"))
+    for stage in range(3):
+        for b in range(2):
+            dst = f"layer{stage + 1}.{b}"
+            src = ("trunk", f"layer{stage + 1}_{b}")
+            conv(dst + ".conv1", src + ("conv1",))
+            conv(dst + ".conv2", src + ("conv2",))
+            if kind == "ref2d":
+                bn(dst + ".bn1", src + ("bn1",))
+                bn(dst + ".bn2", src + ("bn2",))
+            if "downsample_conv" in params["trunk"][f"layer{stage + 1}_{b}"]:
+                conv(dst + ".downsample.0", src + ("downsample_conv",))
+    # feature_3d is Conv3d in BOTH families (aggregation over slices)
+    sd["feature_3d.0.weight"] = np.transpose(
+        _get(params, ("trunk", "f3d_conv", "kernel")), (4, 3, 0, 1, 2))
+    bn("feature_3d.1", ("trunk", "f3d_bn"))
+    if "fc" in params:
+        dense("fc", ("fc",))
+    if "proj" in params:
+        dense("proj.0", ("proj", "fc0"), bias=False)
+        bn("proj.1", ("proj", "bn0"))
+        dense("proj.3", ("proj", "fc1"), bias=False)
+        bn("proj.4", ("proj", "bn1"))
+        dense("proj.6", ("proj", "fc2"), bias=False)
+        bn("proj.7", ("proj", "bn2"), affine=False)
+    if "pred" in params and kind == "ref2d":
+        dense("pred.0", ("pred", "fc0"), bias=False)
+        bn("pred.1", ("pred", "bn0"))
+        dense("pred.3", ("pred", "fc1"))
+    return sd
+
+
+def simsiam_ref3d_flax_to_torch_state_dict(params, batch_stats):
+    """Inverse of ``simsiam_ref3d_state_dict_to_flax`` (arch simsiamref_N
+    -> reference TomoResClassifier .pth)."""
+    return _ref_vol_flax_to_torch(params, batch_stats, "ref2d")
+
+
+def moco_ref3d_flax_to_torch_state_dict(params, batch_stats):
+    """Inverse of ``moco_ref3d_state_dict_to_flax`` (arch moco3dref_N ->
+    reference TomoResClassifier3D .pth). The reference moco3d encoder has
+    no pred head, so any pred params stay framework-side."""
+    return _ref_vol_flax_to_torch(params, batch_stats, "ref3d")
+
+
 def _deconv3d(w):
     """torch ConvTranspose3d (in, out, kd, kh, kw) -> flax ConvTranspose
     (kd, kh, kw, in, out) with all three spatial axes flipped (same
@@ -515,6 +718,12 @@ def load_reference_checkpoint(path: str, config):
             "--arch res3dref_18 (the structural migration target — arch "
             f"{config.arch!r} is the TPU-native redesign and is not "
             "weight-compatible)"
+        )
+    if config.arch.startswith("unetw"):
+        raise ValueError(
+            "arch unetw_N is the TPU-first redesign and has no reference "
+            "torch counterpart; load reference .pth checkpoints with the "
+            "parity arch (--arch unet_N) or train unetw from scratch"
         )
     n_blocks = int(config.arch.split("_")[1]) if "_" in config.arch else 4
     return torch_state_dict_to_flax(state_dict, n_blocks, config.heads)

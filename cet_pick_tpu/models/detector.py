@@ -153,6 +153,121 @@ class FeatureHead3D(nn.Module):
         return x
 
 
+class _PatchStem(nn.Module):
+    """4x4 space-to-depth patchify + 1x1 channel embed + k3 mixing conv.
+
+    The TPU-first stem of ``unetw_N``: a 4x4 input patch becomes one
+    position with 16 channels (pure reshape, no FLOPs), a 1x1 conv embeds
+    16 -> features (a (16, F) matmul — the only narrow-lane op left, and it
+    is ~0.1% of the model's FLOPs), then one k3 conv mixes neighbors at
+    full width. Compare the parity stem (_Stem): a 49-tap conv on ONE input
+    channel, the worst MXU shape in that model (PARITY.md roofline). Inputs
+    with H or W not divisible by 4 are zero-padded up and the output grid
+    cropped to (H//4, W//4) — this arch has no reference checkpoint to stay
+    bit-compatible with, so the padded border definition IS the arch.
+    """
+
+    features: int = 128
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        n, h, w, _ = x.shape
+        ph, pw = (-h) % 4, (-w) % 4
+        if ph or pw:
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        hh, ww = (h + ph) // 4, (w + pw) // 4
+        x = x.reshape(n, hh, 4, ww, 4, 1)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(n, hh, ww, 16)
+        x = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="embed")(x)
+        x = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype, name="mix")(x)
+        # crop any ceil-grid rows that are mostly padding so the output grid
+        # is exactly (H//4, W//4) — the heatmap target convention
+        return x[:, : h // 4, : w // 4, :]
+
+
+class TomoPickNetW(nn.Module):
+    """``unetw_N`` — the lane-filling TPU-first detector.
+
+    Same capability as TomoPickNet (slice-wise 2D trunk + dilated z-context
+    head + per-task heads; reference role anchor unet_small.py:30-113) but
+    REDESIGNED to the v5e's measured MXU sweet spot instead of the
+    reference's 16/32-channel widths (PARITY.md roofline: 128->128 convs
+    run at 105 TF/s = 53.6% MFU vs ~20 TF/s at 16/32-out — output-lane
+    fill is the binding constraint of the whole parity family):
+
+      * output grid H/4 (config.down_ratio = 4): the heatmap lives on the
+        quarter-res grid, so every conv both runs 16x fewer positions per
+        slice AND carries 128 channels — the two levers the roofline says
+        matter. Sub-pixel accuracy is preserved by peak quantization only
+        (<= 2 px xy at input resolution, well under the particle radii the
+        eval distance cutoffs use).
+      * _PatchStem: zero-FLOP space-to-depth patchify instead of a 1-channel
+        k7 conv (input lane fill 16/128 for one cheap 1x1 embed, then full
+        width).
+      * UNet2D trunk at start_filts=128 (128/256/... per level — every conv
+        at or above the full 128 MXU lane width).
+      * FeatureHead3D(128): the z-tap lowering emits ONE 128 -> 384 dilated
+        conv per layer (3 full output-lane groups).
+
+    No torch conversion by design — this is the "re-designed tpu-first"
+    half of the framework's bar; checkpoint migration users keep unet_N.
+    """
+
+    heads: Dict[str, int]
+    n_blocks: int = 3
+    head_conv: int = 128
+    width: int = 128
+    stem_stride: int = 4           # read by infer/tiled for xy geometry
+    bytes_per_voxel: float = 256.0  # f32 activation bytes/input voxel for
+    # the auto-xy HBM envelope: ~8 level-0 tensors x 128 ch x 4 B at 1/16
+    # the input positions, vs the parity arch's 128 (infer/tiled.py)
+    normalization: str = "batch"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True, active_heads=None):
+        b, d, h, w = x.shape
+        x = x.reshape(b * d, h, w, 1).astype(self.dtype)
+        x = _PatchStem(self.width, dtype=self.dtype, name="stem")(x)
+        if self.normalization == "batch":
+            x = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                             name="stem_bn")(x, use_running_average=not train)
+        else:
+            x = nn.GroupNorm(num_groups=8, dtype=self.dtype,
+                             name="stem_gn")(x)
+        x = nn.relu(x)
+        x = UNet2D(
+            n_blocks=self.n_blocks,
+            start_filts=self.width,
+            out_channels=self.width,
+            normalization=self.normalization,
+            dtype=self.dtype,
+            name="unet",
+        )(x, train)
+        hh, ww = x.shape[1], x.shape[2]
+        x = x.reshape(b, d, hh, ww, self.width)
+        x = FeatureHead3D(self.head_conv, dtype=self.dtype,
+                          name="feature_head")(x)
+        out = {}
+        for head, classes in self.heads.items():
+            if active_heads is not None and head not in active_heads:
+                continue
+            y = nn.Conv(
+                classes, kernel_size=(3, 1, 1), padding="SAME",
+                use_bias=False, dtype=self.dtype, name=head,
+            )(x)
+            y = y.astype(jnp.float32)
+            if "proj" in head:
+                y = y / jnp.maximum(
+                    jnp.linalg.norm(y, axis=-1, keepdims=True), 1e-12
+                )
+            out[head] = y
+        return out
+
+
 class TomoPickNet(nn.Module):
     """Slice-wise 2D UNet + dilated 3D head heatmap detector."""
 
@@ -240,6 +355,13 @@ def create_detector(config, dtype=None):
         return TomoPickNet3D(
             heads=dict(config.heads),
             n_blocks=n_blocks,
+            head_conv=config.head_conv,
+            dtype=dtype,
+        )
+    if arch.startswith("unetw"):
+        return TomoPickNetW(
+            heads=dict(config.heads),
+            n_blocks=n_blocks if "_" in arch else 3,
             head_conv=config.head_conv,
             dtype=dtype,
         )

@@ -105,7 +105,7 @@ def explore_mode(config) -> str:
     if "2d3d" in config.arch or "2d3d" in config.task:
         return "2d3d"
     stem = config.arch.split("_")[0]
-    if stem in ("simsiam", "moco3d"):
+    if stem in ("simsiam", "moco3d", "simsiamref", "moco3dref"):
         return "vol"
     if config.task == "simsiam":
         if stem in ("simsiam2d", "moco"):
@@ -202,6 +202,147 @@ class VolTrunk(nn.Module):
         return jnp.mean(x, axis=(1, 2, 3))  # global average pool -> (B, 256)
 
 
+class RefBlock2D(nn.Module):
+    """Reference BasicBlock of the 3D-subvolume slice trunk
+    (simsiam_model.py:44-74): conv/bn x2 with a CONV-ONLY 1x1 downsample —
+    unlike the 2d3d family's block, the downsample has no BatchNorm
+    (simsiam_model.py:256-263 comments it out). Explicit (1,1) padding for
+    torch stride-2 parity on even sizes (the simsiam2d export lesson)."""
+
+    features: int
+    strides: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        conv = lambda f, s, name: nn.Conv(
+            f, (3, 3), strides=(s, s), padding=((1, 1), (1, 1)),
+            use_bias=False, dtype=self.dtype, name=name,
+        )
+        bn = lambda name: nn.BatchNorm(
+            momentum=0.9, epsilon=1e-5, dtype=self.dtype, name=name
+        )
+        residual = x
+        y = conv(self.features, self.strides, "conv1")(x)
+        y = bn("bn1")(y, use_running_average=not train)
+        y = nn.relu(y)
+        y = conv(self.features, 1, "conv2")(y)
+        y = bn("bn2")(y, use_running_average=not train)
+        if residual.shape[-1] != self.features or self.strides != 1:
+            residual = nn.Conv(
+                self.features, (1, 1), strides=(self.strides, self.strides),
+                use_bias=False, dtype=self.dtype, name="downsample_conv",
+            )(x)
+        return nn.relu(y + residual)
+
+
+class SliceTrunkRef(nn.Module):
+    """Reference-structural trunk of the ``simsiam``/``simsiam3d`` 3D-
+    subvolume encoder (TomoResClassifier, simsiam_model.py:159-366):
+    every z slice of the subvolume runs a ResNet18-style 2D trunk (conv1
+    1->64 k7 s2 p3 + bn + maxpool k3 s2 p1 + layers [2,2,2] @ 64/128/256,
+    slices folded into batch exactly like the reference's b>1 reshape,
+    :377-382), the per-slice maps stack back into a (B, D, h, w, 256)
+    volume for the Conv3d ``feature_3d`` aggregation (:182-185), global
+    average pool -> (B, 256).
+
+    Structure-matched for lossless .pth migration (simsiam_ref3d_state_dict_
+    to_flax) — the TPU-native production trunk remains VolTrunk."""
+
+    stage_sizes: Sequence[int] = (2, 2, 2)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        # x: (B, D, H, W, 1) -> slices as batch (B*D, H, W, 1)
+        b, d, h, w, c = x.shape
+        x = x.reshape(b * d, h, w, c)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                         name="bn1")(x, use_running_average=not train)
+        x = nn.relu(x)
+        # torch MaxPool2d(k3, s2, p1) pads with -inf; flax max_pool matches
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        for stage, (blocks, feats) in enumerate(
+            zip(self.stage_sizes, (64, 128, 256))
+        ):
+            for blk in range(blocks):
+                strides = 2 if (stage > 0 and blk == 0) else 1
+                x = RefBlock2D(feats, strides, dtype=self.dtype,
+                               name=f"layer{stage + 1}_{blk}")(x, train)
+        hh, ww = x.shape[1], x.shape[2]
+        x = x.reshape(b, d, hh, ww, x.shape[-1])  # (B, D, h, w, 256)
+        x = nn.Conv(256, (3, 3, 3), padding=((1, 1),) * 3, use_bias=False,
+                    dtype=self.dtype, name="f3d_conv")(x)
+        x = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                         name="f3d_bn")(x, use_running_average=not train)
+        x = nn.relu(x)
+        return jnp.mean(x, axis=(1, 2, 3))  # AdaptiveAvgPool3d((1,1,1))
+
+
+class RefBlock3D(nn.Module):
+    """Reference 3D BasicBlock of the ``moco3d`` encoder
+    (moco_encoder_3d.py:55-84): conv/relu/conv with NO BatchNorm (the
+    reference comments both bn layers out) and a conv-only 1x1x1
+    downsample (:296-303)."""
+
+    features: int
+    strides: tuple = (1, 1, 1)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        residual = x
+        y = nn.Conv(self.features, (3, 3, 3), strides=self.strides,
+                    padding=((1, 1),) * 3, use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3, 3), padding=((1, 1),) * 3,
+                    use_bias=False, dtype=self.dtype, name="conv2")(y)
+        if residual.shape[-1] != self.features or self.strides != (1, 1, 1):
+            residual = nn.Conv(self.features, (1, 1, 1), strides=self.strides,
+                               use_bias=False, dtype=self.dtype,
+                               name="downsample_conv")(x)
+        return nn.relu(y + residual)
+
+
+class VolTrunkRef(nn.Module):
+    """Reference-structural trunk of the ``moco3d`` 3D-subvolume encoder
+    (TomoResClassifier3D, moco_encoder_3d.py:156-420): Conv3d 1->64 k7 s2
+    p3 + BN + maxpool3d k3 s2 p1, BN-less residual stages [2,2,2] @
+    64/128/256, Conv3d ``feature_3d`` + BN + relu, global average pool ->
+    (B, 256). Structure-matched for lossless .pth migration — the
+    TPU-native production trunk remains VolTrunk."""
+
+    stage_sizes: Sequence[int] = (2, 2, 2)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        # x: (B, D, H, W, 1)
+        x = nn.Conv(64, (7, 7, 7), strides=(2, 2, 2), padding=((3, 3),) * 3,
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                         name="bn1")(x, use_running_average=not train)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3, 3), strides=(2, 2, 2),
+                        padding=((1, 1),) * 3)
+        for stage, (blocks, feats) in enumerate(
+            zip(self.stage_sizes, (64, 128, 256))
+        ):
+            for blk in range(blocks):
+                strides = (2, 2, 2) if (stage > 0 and blk == 0) else (1, 1, 1)
+                x = RefBlock3D(feats, strides, dtype=self.dtype,
+                               name=f"layer{stage + 1}_{blk}")(x, train)
+        x = nn.Conv(256, (3, 3, 3), padding=((1, 1),) * 3, use_bias=False,
+                    dtype=self.dtype, name="f3d_conv")(x)
+        x = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                         name="f3d_bn")(x, use_running_average=not train)
+        x = nn.relu(x)
+        return jnp.mean(x, axis=(1, 2, 3))
+
+
 class ProjMLP(nn.Module):
     """3-layer projection MLP, final BN affine-free (simsiam_model_2d3d.py:590-598)."""
 
@@ -248,11 +389,19 @@ class SimSiamEncoder(nn.Module):
 
     head_conv: int = 128
     mode: str = "2d3d"
+    trunk_kind: str = ""  # "" (production), "ref2d" / "ref3d" (migration)
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.trunk = (VolTrunk(dtype=self.dtype) if self.mode == "vol"
-                      else ResNetTrunk(dtype=self.dtype))
+        if self.mode == "vol":
+            # production trunk is the TPU-first VolTrunk; the two reference-
+            # structural trunks exist for lossless .pth migration (arches
+            # simsiamref_N / moco3dref_N)
+            self.trunk = {
+                "": VolTrunk, "ref2d": SliceTrunkRef, "ref3d": VolTrunkRef,
+            }[self.trunk_kind](dtype=self.dtype)
+        else:
+            self.trunk = ResNetTrunk(dtype=self.dtype)
         self.fc = nn.Dense(self.head_conv, dtype=self.dtype)
         self.proj = ProjMLP(self.head_conv, dtype=self.dtype)
         self.pred = PredMLP(self.head_conv, dtype=self.dtype)
@@ -291,10 +440,18 @@ class SimSiamEncoder(nn.Module):
 def create_simsiam(config, dtype=None):
     """arch 'simsiam2d3d_18' / 'simsiam2d_18' / 'simsiam_18' / 'moco3d_18'
     -> SimSiamEncoder (reference models/model.py:32-70 arch parsing; the
-    last two select the 3D-subvolume VolTrunk)."""
+    last two select the 3D-subvolume VolTrunk). Arches 'simsiamref_18' /
+    'moco3dref_18' select the reference-STRUCTURAL subvolume encoders
+    (TomoResClassifier / TomoResClassifier3D) for lossless .pth migration;
+    their head widths are pinned to the reference's fixed dims (fc/proj 256
+    for simsiam_model.py:188-204, 128 for moco_encoder_3d.py:227-243)."""
     mode = explore_mode(config)
     dtype = dtype or {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[config.dtype]
-    return SimSiamEncoder(head_conv=config.head_conv, mode=mode, dtype=dtype)
+    stem = config.arch.split("_")[0]
+    trunk_kind = {"simsiamref": "ref2d", "moco3dref": "ref3d"}.get(stem, "")
+    head_conv = {"ref2d": 256, "ref3d": 128}.get(trunk_kind, config.head_conv)
+    return SimSiamEncoder(head_conv=head_conv, mode=mode,
+                          trunk_kind=trunk_kind, dtype=dtype)
 
 
 class ScanClusteringModel(nn.Module):

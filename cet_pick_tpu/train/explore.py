@@ -203,13 +203,17 @@ def prepare_explore(config, log_fn=print, warm=True):
     state = create_simsiam_state(model, config, init_rng, dummy)
     if config.load_model:
         if config.load_model.endswith((".pth", ".pt")):
-            if model.mode == "vol":
+            if model.mode == "vol" and not model.trunk_kind:
                 raise ValueError(
-                    "3D-subvolume encoders (arch simsiam_N/moco3d_N) have no "
-                    "torch conversion: the reference's subvolume arches "
-                    "(simsiam_model.py slice-wise trunk, moco_encoder_3d.py) "
-                    "are structurally different from the Conv3D VolTrunk. "
-                    "Train from scratch or load a framework checkpoint."
+                    "the TPU-native 3D-subvolume encoders (arch simsiam_N/"
+                    "moco3d_N, Conv3D VolTrunk) have no torch conversion — "
+                    "they are structurally different from the reference's "
+                    "subvolume arches. To continue from a reference .pth use "
+                    "the reference-structural migration arches: --arch "
+                    "simsiamref_18 (simsiam_model.py slice-wise trunk) or "
+                    "--arch moco3dref_18 (moco_encoder_3d.py Conv3d trunk). "
+                    "Otherwise train from scratch or load a framework "
+                    "checkpoint."
                 )
             # torch checkpoint: trained reference exploration ckpt converts
             # fully; a standard torchvision resnet18 becomes the reference's

@@ -69,8 +69,13 @@ def create_moco_state(model, config, rng, sample_batch, r=1024, lr=None):
     )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", core.FrozenDict())
+    # model.head_conv, not config.head_conv: the reference-structural
+    # migration arches (simsiamref/moco3dref) pin their head widths to the
+    # reference's fixed dims regardless of the flag (models/simsiam.py
+    # create_simsiam)
+    dim = getattr(model, "head_conv", config.head_conv)
     queue = jax.random.normal(jax.random.fold_in(rng, 1),
-                              (r, config.head_conv), jnp.float32)
+                              (r, dim), jnp.float32)
     queue = queue / jnp.linalg.norm(queue, axis=1, keepdims=True)
     return MoCoState(
         step=0, epoch=0,
@@ -250,10 +255,12 @@ def prepare_moco(config, r=1024, log_fn=print, warm=True):
     state = create_moco_state(model, config, init_rng, dummy, r=r)
     if config.load_model:
         if config.load_model.endswith((".pth", ".pt")):
-            if model.mode == "vol":
+            if model.mode == "vol" and not model.trunk_kind:
                 raise ValueError(
-                    "3D-subvolume encoders (arch simsiam_N/moco3d_N) have no "
-                    "torch conversion (see train/explore.prepare_explore)"
+                    "the TPU-native 3D-subvolume encoders (arch simsiam_N/"
+                    "moco3d_N) have no torch conversion; use --arch "
+                    "moco3dref_18 / simsiamref_18 for reference .pth "
+                    "migration (see train/explore.prepare_explore)"
                 )
             # torch checkpoint: trained reference ckpt or torchvision
             # imagenet resnet18 (simsiam_model_2d3d.py:809-838). The key

@@ -564,6 +564,259 @@ def test_res3dref_detector_infers(torch_res3d_and_outputs, tmp_path):
     assert out[:, 1].max() < 16
 
 
+def _randomize_torch(model, seed=7):
+    """Full-scale re-randomization of every parameter AND BatchNorm running
+    stat (keep goldens sensitive — the fill_fc_weights std=0.001 lesson)."""
+    import torch
+
+    torch.manual_seed(seed)
+    with torch.no_grad():
+        for p in model.parameters():
+            p.normal_(0, 0.05)
+    for m in model.modules():
+        if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d,
+                          torch.nn.BatchNorm3d)):
+            m.running_mean.normal_(0, 0.05)
+            m.running_var.uniform_(0.5, 1.5)
+    model.eval()
+    return model
+
+
+@pytest.fixture(scope="module")
+def torch_simsiam_ref3d():
+    """The ACTUAL reference 3D-subvolume SimSiam encoder (TomoResClassifier,
+    simsiam_model.py:159 — reference arches ``simsiam``/``simsiam3d``) at
+    full-scale random weights. Instantiated directly: get_simsiam_net_small's
+    init_weights hard-requires a pretrained-resnet file."""
+    sys.path.insert(0, REFERENCE)
+    from cet_pick.models.networks.simsiam_model import (
+        BasicBlock, TomoResClassifier,
+    )
+
+    heads = {"proj": 256, "pred": 256}
+    return _randomize_torch(
+        TomoResClassifier(BasicBlock, [2, 2, 2, 2], heads, head_conv=0),
+        seed=7,
+    )
+
+
+@pytest.fixture(scope="module")
+def torch_moco_ref3d():
+    """The ACTUAL reference moco3d subvolume encoder (TomoResClassifier3D,
+    moco_encoder_3d.py:156) at full-scale random weights (direct
+    instantiation — get_moco_net_small_3d loads a hard-coded hpc path)."""
+    sys.path.insert(0, REFERENCE)
+    from cet_pick.models.networks.moco_encoder_3d import (
+        BasicBlock, TomoResClassifier3D,
+    )
+
+    heads = {"proj": 128}
+    return _randomize_torch(
+        TomoResClassifier3D(BasicBlock, [2, 2, 2, 2], heads, head_conv=0),
+        seed=8,
+    )
+
+
+def _ref_vol_cfg(arch, tmp=None):
+    from cet_pick_tpu.config import Config
+
+    kw = dict(task="simsiam", arch=arch, vol_size=(8, 32, 32))
+    if tmp is not None:
+        kw["root_dir"] = str(tmp)
+    return Config(**kw).finalize()
+
+
+def test_simsiam_ref3d_import_outputs_match(torch_simsiam_ref3d):
+    """Reference simsiam (3D-subvolume, slice trunk) .pth -> arch
+    simsiamref_18: identical proj/pred on identical subvolumes."""
+    import torch
+
+    from cet_pick_tpu.models.convert import simsiam_ref3d_state_dict_to_flax
+    from cet_pick_tpu.models.simsiam import create_simsiam
+
+    tm = torch_simsiam_ref3d
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 8, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        t_out = tm.forward_test(torch.from_numpy(x))
+
+    cfg = _ref_vol_cfg("simsiamref_18")
+    model = create_simsiam(cfg)
+    assert model.mode == "vol" and model.trunk_kind == "ref2d"
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params, stats = simsiam_ref3d_state_dict_to_flax(sd)
+    out = model.apply({"params": params, "batch_stats": stats},
+                      x[..., None], None, method=model.forward_test)
+    np.testing.assert_allclose(np.asarray(out["proj"]),
+                               t_out["proj"].numpy(), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(out["pred"]),
+                               t_out["pred"].numpy(), atol=3e-4)
+
+
+def test_moco_ref3d_import_outputs_match(torch_moco_ref3d):
+    """Reference moco3d (Conv3d subvolume) .pth -> arch moco3dref_18:
+    identical proj embeddings."""
+    import torch
+
+    from cet_pick_tpu.models.convert import moco_ref3d_state_dict_to_flax
+    from cet_pick_tpu.models.simsiam import create_simsiam
+
+    tm = torch_moco_ref3d
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((2, 16, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        t_out = tm.forward_test(torch.from_numpy(x[:, None]))
+
+    cfg = _ref_vol_cfg("moco3dref_18")
+    model = create_simsiam(cfg)
+    assert model.mode == "vol" and model.trunk_kind == "ref3d"
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params, stats = moco_ref3d_state_dict_to_flax(sd)
+    # the reference encoder has no pred head; graft a fresh one so the
+    # apply tree is complete (load_simsiam_torch does the same)
+    import jax
+
+    fresh = model.init(jax.random.PRNGKey(0), x[..., None], None,
+                       method=model.forward_test)
+    params["pred"] = fresh["params"]["pred"]
+    stats["pred"] = fresh["batch_stats"]["pred"]
+    out = model.apply({"params": params, "batch_stats": stats},
+                      x[..., None], None, method=model.forward_test)
+    np.testing.assert_allclose(np.asarray(out["proj"]),
+                               t_out["proj"].numpy(), atol=3e-4)
+
+
+def test_simsiam_ref3d_export_roundtrip(torch_simsiam_ref3d):
+    """Import then export: every reference tensor survives bit-exactly."""
+    from cet_pick_tpu.models.convert import (
+        simsiam_ref3d_flax_to_torch_state_dict,
+        simsiam_ref3d_state_dict_to_flax,
+    )
+
+    sd = {k: v.numpy() for k, v in torch_simsiam_ref3d.state_dict().items()}
+    params, stats = simsiam_ref3d_state_dict_to_flax(sd)
+    back = simsiam_ref3d_flax_to_torch_state_dict(params, stats)
+    want = {k for k in sd if not k.endswith("num_batches_tracked")}
+    assert set(back) == want
+    for k in back:
+        np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
+
+
+def test_moco_ref3d_export_matches_torch(torch_moco_ref3d):
+    """flax -> torch export: a full-scale-random moco3dref encoder exported
+    to the reference state_dict produces identical proj in the actual
+    reference TomoResClassifier3D."""
+    import jax
+    import torch
+
+    from cet_pick_tpu.models.convert import moco_ref3d_flax_to_torch_state_dict
+    from cet_pick_tpu.models.simsiam import create_simsiam
+
+    cfg = _ref_vol_cfg("moco3dref_18")
+    model = create_simsiam(cfg)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 16, 32, 32, 1)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(1), x, None,
+                           method=model.forward_test)
+    leaves, treedef = jax.tree_util.tree_flatten(variables["params"])
+    keys = jax.random.split(jax.random.PRNGKey(2), len(leaves))
+    leaves = [0.05 * jax.random.normal(k, l.shape, l.dtype)
+              for k, l in zip(keys, leaves)]
+    params = jax.tree_util.tree_unflatten(treedef, leaves)
+    stats = variables["batch_stats"]
+    ours = model.apply({"params": params, "batch_stats": stats}, x, None,
+                       method=model.forward_test)
+
+    sd = moco_ref3d_flax_to_torch_state_dict(
+        jax.tree_util.tree_map(np.asarray, params),
+        jax.tree_util.tree_map(np.asarray, stats))
+    tm = torch_moco_ref3d
+    missing, unexpected = tm.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=False,
+    )
+    assert not unexpected, unexpected
+    assert all(k.endswith("num_batches_tracked") for k in missing), missing
+    tm.eval()
+    with torch.no_grad():
+        t_out = tm.forward_test(torch.from_numpy(
+            np.transpose(x, (0, 4, 1, 2, 3))))
+    np.testing.assert_allclose(np.asarray(ours["proj"]),
+                               t_out["proj"].numpy(), atol=3e-4)
+
+
+def test_vol_ref_import_torch_cli_and_embed(torch_simsiam_ref3d, tmp_path):
+    """import-torch persists a reference 3D-subvolume simsiam .pth as a
+    framework checkpoint, and embed-style extraction runs from it (the
+    migrated-ckpt embed smoke: a reference --task simsiam user continues
+    mid-workflow here)."""
+    import torch
+
+    from cet_pick_tpu.__main__ import main
+    from cet_pick_tpu.config import Config
+    from cet_pick_tpu.data.explore_dataset import ExploreDataset
+    from cet_pick_tpu.infer.embed import extract_embeddings
+    from cet_pick_tpu.train.state import load_checkpoint
+
+    pth = tmp_path / "ref_simsiam_vol.pth"
+    torch.save({"epoch": 5, "state_dict": torch_simsiam_ref3d.state_dict()},
+               pth)
+    ckpt_dir = tmp_path / "imported"
+    main(["import-torch", "--task", "simsiam", "--arch", "simsiamref_18",
+          "--vol_size", "8", "32", "32", "--load_model", str(pth),
+          "--out", str(ckpt_dir), "--root_dir", str(tmp_path)])
+    assert (ckpt_dir / "state.msgpack").exists()
+
+    # embed from the migrated checkpoint on a synthetic tomogram
+    import jax
+
+    from cet_pick_tpu.models.simsiam import create_simsiam
+    from cet_pick_tpu.train.explore import (
+        create_simsiam_state, dummy_explore_batch,
+    )
+
+    cfg = Config(task="simsiam", arch="simsiamref_18", vol_size=(8, 32, 32),
+                 batch_size=4, root_dir=str(tmp_path)).finalize()
+    model = create_simsiam(cfg)
+    state = create_simsiam_state(model, cfg, jax.random.PRNGKey(0),
+                                 dummy_explore_batch(cfg, model.mode))
+    state = load_checkpoint(str(ckpt_dir), state)
+    rng = np.random.default_rng(11)
+    rec = rng.standard_normal((24, 64, 64)).astype(np.float32) * 0.3
+    rec[8:14, 28:36, 28:36] -= 4.0
+    ds = ExploreDataset(cfg, "test", images={"syn": rec})
+    assert len(ds) > 0
+    res = extract_embeddings(cfg, ds, state.params, state.batch_stats,
+                             batch_size=4)
+    assert res["proj"].shape[1] == 256  # reference's pinned head width
+    assert np.all(np.isfinite(res["proj"]))
+
+
+def test_vol_ref_arch_mismatch_raises(torch_simsiam_ref3d, tmp_path):
+    """Loading a reference subvolume .pth under the WRONG arch fails loudly
+    with the migration-arch hint instead of silently grafting."""
+    import jax
+    import torch
+
+    from cet_pick_tpu.config import Config
+    from cet_pick_tpu.models.convert import load_simsiam_torch
+    from cet_pick_tpu.models.simsiam import create_simsiam
+    from cet_pick_tpu.train.explore import (
+        create_simsiam_state, dummy_explore_batch,
+    )
+
+    pth = tmp_path / "ref_simsiam_vol.pth"
+    torch.save({"epoch": 5, "state_dict": torch_simsiam_ref3d.state_dict()},
+               pth)
+    cfg = Config(task="simsiam2d3d", arch="simsiam2d3d_18",
+                 head_conv=32, bbox=16).finalize()
+    model = create_simsiam(cfg)
+    state = create_simsiam_state(model, cfg, jax.random.PRNGKey(0),
+                                 dummy_explore_batch(cfg, model.mode))
+    with pytest.raises(ValueError, match="simsiamref"):
+        load_simsiam_torch(str(pth), state, log_fn=lambda *_: None)
+
+
 def test_scan_clustering_model_pth_imports_backbone(tmp_path, rng):
     """A reference SCAN ClusteringModel checkpoint (backbone.* +
     cluster_head.*) imports its SimSiam backbone through load_simsiam_torch
