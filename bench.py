@@ -149,6 +149,11 @@ def main():
         "value": round(e2e_vps, 1),
         "unit": "voxel/s",
         "vs_baseline": round(e2e_vps / target, 3),
+        # the chip-only ratio: compute-resident voxel rate over the same
+        # target. The e2e ratio above rides the 28-77 MB/s axon tunnel
+        # (~89% of e2e time is the host link, VERDICT r4 weak #2), so this
+        # field separates chip progress from tunnel weather round to round.
+        "vs_baseline_compute": round(compute_vps / target, 3),
         "compute_voxels_per_sec": round(compute_vps, 1),
         "compute_tflops": round(tflops, 2),
         "mfu_pct": round(mfu, 2),

@@ -17,9 +17,11 @@ ship silently (VERDICT r3 weak #6). Families:
 * ``denoise``  — SSDN on noisy sinusoids: PSNR(denoised, clean) must beat
   PSNR(noisy, clean) (the CPU test checks stability only; the chip run has
   the budget for an actual PSNR win).
+* ``vol``      — 3D-subvolume exploration (SimSiam vol AND MoCo vol) on
+  the two-class fixture: no collapse + 1-NN label agreement > 0.65.
 
 Run from the repo root (TPU attached):
-    python benchmarks/quality_tpu.py [--families gram,scan,fewshot,denoise]
+    python benchmarks/quality_tpu.py [--families gram,scan,fewshot,denoise,vol]
 Prints one table row per family + PASS/FAIL; exit 1 on any failure.
 """
 
@@ -144,16 +146,18 @@ def run_fewshot():
 
 
 def run_denoise():
-    """PSNR of the learned PRIOR MEAN mu against the clean signal.
+    """Staged SSDN training until the POSTERIOR MEAN beats the prior mean.
 
-    The full posterior-mean output blends mu with the noisy input by the
-    sigma-net's noise estimate, whose softplus(est - 4) parameterization
-    (identical to the reference, base_trainer.py:40-41 — verified
-    line-for-line) has a ~0.018 gradient at init: at gate-scale budgets the
-    estimate stays at the floor and pme == noisy input in BOTH frameworks
-    (measured: ns 0.019 -> 0.001 over 2.5k iters on the synthetic fixture).
-    mu is the quantity the network actually learns at this budget, so the
-    device gate scores it."""
+    The posterior blend pme = (y*sigma_x + mu*sigma_n)/(sigma_x + sigma_n)
+    (reference base_trainer.py:40-50) only departs from the noisy input
+    once the sigma net's noise estimate leaves its softplus(est-4) floor
+    (~0.018 at init) and approaches the true noise std. Earlier rounds
+    gated the prior mean mu only, documenting that the floor regime holds
+    at 2k iters in BOTH frameworks (r4). This gate extends the budget in
+    stages (warm-restart LR ramps, train_denoise(state=...)) until
+    PSNR(pme) > PSNR(mu) ON CHIP, and reports the crossover iteration —
+    the full user-facing output path, not just the prior (VERDICT r4 weak
+    #4)."""
     import jax.numpy as jnp
 
     from cet_pick_tpu.config import Config
@@ -164,36 +168,100 @@ def run_denoise():
     rng = np.random.default_rng(317)
     yy, xx = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
     clean = (np.sin(xx / 8.0) + np.cos(yy / 10.0)).astype(np.float32)
+    noise_sigma = 0.8
     noisy = np.stack([
-        clean + rng.standard_normal((64, 64)).astype(np.float32) * 0.8
+        clean + rng.standard_normal((64, 64)).astype(np.float32) * noise_sigma
         for _ in range(12)
     ])
     cfg = Config(task="denoise", arch="unet_4", lr=1e-3, batch_size=4,
                  dtype="bfloat16").finalize()
     ds = DenoiseDataset({"v": noisy}, crop=32, exclude=0)
-    t0 = time.perf_counter()
-    state, models, hist = train_denoise(cfg, ds, num_iters=2000, crop=32,
-                                        log_fn=lambda *_: None)
-    mu, _, _, ns = denoise_forward(
-        models, state.params_dn, state.params_sigma,
-        jnp.asarray(noisy)[..., None],
-    )
-    mu = np.asarray(mu)[..., 0]
 
     def psnr(x):
         mse = float(np.mean((x - clean[None]) ** 2))
         rng_ = float(clean.max() - clean.min())
         return 10.0 * np.log10(rng_ ** 2 / mse)
 
-    gain = psnr(mu) - psnr(noisy)
-    print(f"denoise: {time.perf_counter() - t0:.1f} s  "
-          f"PSNR noisy {psnr(noisy):.2f} dB -> mu {psnr(mu):.2f} dB "
-          f"(ns {float(np.mean(np.asarray(ns))):.4f})", flush=True)
-    return gain, 0.0, "denoise prior-mean PSNR gain (dB)"
+    t0 = time.perf_counter()
+    state = models = None
+    total, crossover = 0, None
+    p_mu = p_pme = -1e9
+    for budget in (2000, 2000, 4000, 8000):
+        state, models, _ = train_denoise(cfg, ds, num_iters=budget, crop=32,
+                                         log_fn=lambda *_: None,
+                                         state=state, models=models)
+        total += budget
+        mu, pme, _, ns = denoise_forward(
+            models, state.params_dn, state.params_sigma,
+            jnp.asarray(noisy)[..., None],
+        )
+        mu_h = np.asarray(mu)[..., 0]
+        pme_h = np.asarray(pme)[..., 0]
+        p_mu, p_pme = psnr(mu_h), psnr(pme_h)
+        ns_v = float(np.mean(np.asarray(ns)))
+        print(f"denoise @{total} iters: noisy {psnr(noisy):.2f} dB  "
+              f"mu {p_mu:.2f} dB  pme {p_pme:.2f} dB  "
+              f"noise_std est {ns_v:.4f} (true {noise_sigma})", flush=True)
+        if p_pme > p_mu and crossover is None:
+            crossover = total
+            break
+    print(f"denoise: {time.perf_counter() - t0:.1f} s total  "
+          f"posterior crossover at "
+          f"{crossover if crossover else f'>{total} (NOT reached)'} iters",
+          flush=True)
+    # gate BOTH: the prior mean must beat the noisy input, and the full
+    # posterior output must beat (or at this budget at least match) the
+    # prior it blends from
+    gain = min(p_mu - psnr(noisy), p_pme - p_mu)
+    return gain, 0.0, "denoise min(mu-noisy, pme-mu) PSNR margin (dB)"
+
+
+def run_vol():
+    """Both 3D-subvolume exploration paths (SimSiam vol + MoCo vol) on the
+    two-class separability fixture: no collapse and 1-NN label agreement
+    above chance, ON CHIP (VERDICT r4 weak #3 — a device-specific
+    regression in the newest modality must not ship silently the way the
+    fewshot precision bug almost did)."""
+    import tempfile
+
+    from cet_pick_tpu.config import Config
+    from cet_pick_tpu.data.explore_dataset import ExploreDataset
+    from cet_pick_tpu.train.explore import train_explore
+    from cet_pick_tpu.train.moco import train_moco
+    from tests.test_explore import make_two_class_vol_fixture, vol_knn_agreement
+
+    rec, centers, labels = make_two_class_vol_fixture()
+    agrees = {}
+    with tempfile.TemporaryDirectory() as tmp:
+        for arch in ("simsiam_18", "moco3d_18"):
+            cfg = Config(task="simsiam" if arch.startswith("simsiam")
+                         else "moco",
+                         arch=arch, vol_size=(8, 32, 32), batch_size=8,
+                         lr=0.1, num_epochs=20, val_intervals=-1,
+                         dog=(2, 4), cosine=True, head_conv=64,
+                         root_dir=tmp).finalize()
+            ds = ExploreDataset(cfg, "train", images={"syn": rec})
+            t0 = time.perf_counter()
+            if arch.startswith("simsiam"):
+                state, hist = train_explore(cfg, ds, log_fn=lambda *_: None)
+                stds = [e["std"] for e in hist]
+                assert min(stds) > 0.05, f"collapsed: stds={stds}"
+            else:
+                state, hist = train_moco(cfg, ds, r=64,
+                                         log_fn=lambda *_: None)
+            agree, emb_std = vol_knn_agreement(cfg, state, rec, centers,
+                                               labels)
+            assert emb_std > 0.01, f"{arch}: embeddings collapsed"
+            agrees[arch] = agree
+            print(f"vol/{arch}: {time.perf_counter() - t0:.1f} s  "
+                  f"1-NN agreement {agree:.4f}  emb std {emb_std:.4f}",
+                  flush=True)
+    worst = min(agrees.values())
+    return worst, 0.65, f"vol 1-NN label agreement (worst {worst:.4f})"
 
 
 FAMILIES = {"gram": run_gram, "scan": run_scan, "fewshot": run_fewshot,
-            "denoise": run_denoise}
+            "denoise": run_denoise, "vol": run_vol}
 
 
 def main():
@@ -202,7 +270,7 @@ def main():
     import jax
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--families", default="gram,scan,fewshot,denoise")
+    ap.add_argument("--families", default="gram,scan,fewshot,denoise,vol")
     a = ap.parse_args()
     print(f"devices: {jax.devices()}", flush=True)
     failures = []

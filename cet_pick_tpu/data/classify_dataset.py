@@ -35,7 +35,9 @@ import math
 
 import numpy as np
 
-from cet_pick_tpu.data.refine_dataset import CROP_D, CROP_HALF_XY, CROP_HM_HALF
+from cet_pick_tpu.data.refine_dataset import (
+    CROP_D, CROP_HALF_XY, crop_hm_half,
+)
 from cet_pick_tpu.data.sampler import StratifiedCoordinateSampler
 from cet_pick_tpu.io.coords import (
     match_coordinates_to_images,
@@ -161,8 +163,9 @@ class SemiClassDataset:
 
     def _clip_center(self, x, y, z, shape):
         depth, height, width = shape
-        x = int(np.clip(x, CROP_HM_HALF + 1, width // self.config.down_ratio - CROP_HM_HALF - 1))
-        y = int(np.clip(y, CROP_HM_HALF + 1, height // self.config.down_ratio - CROP_HM_HALF - 1))
+        hh = crop_hm_half(self.config.down_ratio)
+        x = int(np.clip(x, hh + 1, width // self.config.down_ratio - hh - 1))
+        y = int(np.clip(y, hh + 1, height // self.config.down_ratio - hh - 1))
         z = int(np.clip(z, CROP_D // 2, depth - CROP_D // 2))
         return x, y, z
 
@@ -186,9 +189,9 @@ class SemiClassDataset:
         ct = tomo[zc - CROP_D // 2 : zc + CROP_D // 2,
                   uy - CROP_HALF_XY : uy + CROP_HALF_XY,
                   ux - CROP_HALF_XY : ux + CROP_HALF_XY]
+        hh = crop_hm_half(dr)
         ch = hm[zc - CROP_D // 2 : zc + CROP_D // 2,
-                yc - CROP_HM_HALF : yc + CROP_HM_HALF,
-                xc - CROP_HM_HALF : xc + CROP_HM_HALF]
+                yc - hh : yc + hh, xc - hh : xc + hh]
 
         flip_prob = rng.random()
         # the flipped aug view is synthesized on device in the shared refine

@@ -32,6 +32,13 @@ from cet_pick_tpu.ops.heatmap import build_heatmap
 CROP_D, CROP_HALF_XY, CROP_HM_HALF = 6, 32, 16  # particle_moco.py:132-137
 
 
+def crop_hm_half(down_ratio: int) -> int:
+    """Heatmap-crop half-width pairing the fixed 64-px input crop with the
+    model's output stride: 16 at the reference down_ratio 2
+    (CROP_HM_HALF), 8 at the unetw arch's quarter-res grid."""
+    return CROP_HALF_XY // int(down_ratio)
+
+
 class RefineDataset:
     """Annotation-indexed crop sampler over preloaded tomograms."""
 
@@ -101,11 +108,11 @@ class RefineDataset:
     def _crop_pair(self, tomo, hm, xc, yc, zc):
         """6-slice crops at heatmap coords (xc, yc) (particle_moco.py:129-137)."""
         dr = self.config.down_ratio
+        hh = crop_hm_half(dr)
         ux, uy = xc * dr, yc * dr
         ct = tomo[zc - 3 : zc + 3, uy - CROP_HALF_XY : uy + CROP_HALF_XY,
                   ux - CROP_HALF_XY : ux + CROP_HALF_XY]
-        ch = hm[zc - 3 : zc + 3, yc - CROP_HM_HALF : yc + CROP_HM_HALF,
-                xc - CROP_HM_HALF : xc + CROP_HM_HALF]
+        ch = hm[zc - 3 : zc + 3, yc - hh : yc + hh, xc - hh : xc + hh]
         return ct, ch
 
     def _clip_center(self, x, y, z, shape):
@@ -114,7 +121,7 @@ class RefineDataset:
         # `width // 2 - 17` silently broke any down_ratio other than 2)
         depth, height, width = shape
         dr = self.config.down_ratio
-        m = CROP_HM_HALF + 1
+        m = crop_hm_half(dr) + 1
         x = int(np.clip(x, m, width // dr - m))
         y = int(np.clip(y, m, height // dr - m))
         z = int(np.clip(z, 3, depth - 3))

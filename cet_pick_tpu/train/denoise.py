@@ -176,12 +176,19 @@ class DenoiseDataset:
 
 
 def train_denoise(config, dataset, num_iters=200, crop=128,
-                  ramp_up=0.1, ramp_down=0.3, log_every=50, log_fn=print):
+                  ramp_up=0.1, ramp_down=0.3, log_every=50, log_fn=print,
+                  state=None, models=None):
     """Iteration-based denoise training with ramped LR
-    (base_trainer.py:345-444 run_epoch_denoise)."""
+    (base_trainer.py:345-444 run_epoch_denoise).
+
+    Pass a previous run's (state, models) to EXTEND training — used by the
+    on-chip posterior-convergence gate (benchmarks/quality_tpu.py), which
+    stages budget until the sigma net leaves its softplus floor. The LR
+    ramp restarts per call (a warm-restart schedule)."""
     rng = np.random.default_rng(config.seed)
-    state, models = create_denoise_state(config, jax.random.PRNGKey(config.seed),
-                                         crop=crop)
+    if state is None or models is None:
+        state, models = create_denoise_state(
+            config, jax.random.PRNGKey(config.seed), crop=crop)
     from cet_pick_tpu.parallel.mesh import auto_dp_step
 
     # DP over the mesh like every other loop: the SSDN loss is per-crop

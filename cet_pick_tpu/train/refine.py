@@ -230,9 +230,9 @@ def dummy_refine_batch(config, pairs=2, label=False):
     from cet_pick_tpu.data.refine_dataset import CROP_D
 
     b = config.batch_size
-    from cet_pick_tpu.data.refine_dataset import CROP_HALF_XY, CROP_HM_HALF
+    from cet_pick_tpu.data.refine_dataset import CROP_HALF_XY, crop_hm_half
 
-    s, hs = 2 * CROP_HALF_XY, 2 * CROP_HM_HALF
+    s, hs = 2 * CROP_HALF_XY, 2 * crop_hm_half(config.down_ratio)
     out = {
         "input": np.zeros((b, pairs, CROP_D, s, s), np.float32),
         "hm": np.zeros((b, pairs, CROP_D, hs, hs), np.float32),

@@ -704,14 +704,12 @@ def test_vol_torch_load_rejected(tmp_path):
         prepare_explore(cfg, log_fn=lambda *_: None, warm=False)
 
 
-@pytest.mark.slow
-def test_vol_explore_no_collapse_and_separable(tmp_path):
-    """Long(er)-run quality gate for the vol (3D-subvolume) mode — the same
-    treatment as the 2d patch mode's separability test: no collapse over the
-    run, and the learned subvolume embeddings separate two synthetic
-    particle classes better than chance under 1-NN label agreement
-    (VERDICT r3 item 1's 'collapse/separability quality gate')."""
-    rng = np.random.default_rng(42)
+def make_two_class_vol_fixture(seed=42):
+    """Synthetic tomogram with two particle classes (small-dense vs
+    large-diffuse) at known centers — the vol-mode separability fixture,
+    shared with the on-chip gate (benchmarks/quality_tpu.py --families vol).
+    Returns (rec, centers, labels)."""
+    rng = np.random.default_rng(seed)
     d, h, w = 40, 96, 96
     rec = rng.standard_normal((d, h, w)).astype(np.float32) * 0.3
     zz, yy, xx = np.meshgrid(np.arange(d), np.arange(h), np.arange(w),
@@ -733,19 +731,13 @@ def test_vol_explore_no_collapse_and_separable(tmp_path):
                 centers.append((x, y, z))
                 labels.append(cls)
                 i += 1
+    return rec, centers, labels
 
-    cfg = Config(task="simsiam", arch="simsiam_18", vol_size=(8, 32, 32),
-                 batch_size=8, lr=0.1, num_epochs=20, val_intervals=-1,
-                 dog=(2, 4), cosine=True, head_conv=64,
-                 mesh_shape=(1,)).finalize()
-    cfg.save_dir = str(tmp_path)
-    ds = ExploreDataset(cfg, "train", images={"syn": rec})
-    assert len(ds) >= 8, "DoG mining found too few candidates"
 
-    state, hist = train_explore(cfg, ds, log_fn=lambda *_: None)
-    stds = [e["std"] for e in hist]
-    assert min(stds) > 0.05, f"representation collapsed: stds={stds}"
-
+def vol_knn_agreement(cfg, state, rec, centers, labels):
+    """Embed the mined test candidates and score 1-NN label agreement of
+    the candidates near planted centers (chance ~0.5). Returns (agreement,
+    embedding std)."""
     ds_test = ExploreDataset(cfg, "test", images={"syn": rec})
     res = extract_embeddings(cfg, ds_test, state.params, state.batch_stats,
                              batch_size=32)
@@ -761,6 +753,31 @@ def test_vol_explore_no_collapse_and_separable(tmp_path):
     sim = e @ e.T
     np.fill_diagonal(sim, -np.inf)
     agree = float((lab[sim.argmax(1)] == lab).mean())
+    return agree, float(emb.std())
+
+
+@pytest.mark.slow
+def test_vol_explore_no_collapse_and_separable(tmp_path):
+    """Long(er)-run quality gate for the vol (3D-subvolume) mode — the same
+    treatment as the 2d patch mode's separability test: no collapse over the
+    run, and the learned subvolume embeddings separate two synthetic
+    particle classes better than chance under 1-NN label agreement
+    (VERDICT r3 item 1's 'collapse/separability quality gate')."""
+    rec, centers, labels = make_two_class_vol_fixture()
+
+    cfg = Config(task="simsiam", arch="simsiam_18", vol_size=(8, 32, 32),
+                 batch_size=8, lr=0.1, num_epochs=20, val_intervals=-1,
+                 dog=(2, 4), cosine=True, head_conv=64,
+                 mesh_shape=(1,)).finalize()
+    cfg.save_dir = str(tmp_path)
+    ds = ExploreDataset(cfg, "train", images={"syn": rec})
+    assert len(ds) >= 8, "DoG mining found too few candidates"
+
+    state, hist = train_explore(cfg, ds, log_fn=lambda *_: None)
+    stds = [e["std"] for e in hist]
+    assert min(stds) > 0.05, f"representation collapsed: stds={stds}"
+
+    agree, _ = vol_knn_agreement(cfg, state, rec, centers, labels)
     assert agree > 0.65, f"1-NN label agreement {agree:.3f} (chance ~0.5)"
 
 

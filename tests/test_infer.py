@@ -47,6 +47,88 @@ def test_tiled_matches_full_volume(small_setup, rng):
     np.testing.assert_allclose(hm_tiled, hm_full, rtol=0, atol=1e-6)
 
 
+@pytest.fixture(scope="module")
+def unetw_setup():
+    """The lane-filling TPU-first arch (models/detector.TomoPickNetW):
+    output stride 4, patchify stem, 128-wide trunk."""
+    config = Config(task="semi", arch="unetw_2", K=50, nms=3,
+                    out_thresh=0.0, cutoff_z=0).finalize()
+    model = create_detector(config)
+    state = create_train_state(
+        model, config, jax.random.PRNGKey(0),
+        np.zeros((1, 8, 64, 64), np.float32)
+    )
+    return config, model, state
+
+
+def test_unetw_tiled_matches_full_volume(unetw_setup, rng):
+    """z-tiling stays bit-identical for the stride-4 arch."""
+    config, model, state = unetw_setup
+    vol = rng.standard_normal((20, 64, 64)).astype(np.float32)
+    tiled = TiledHeatmapInference(model, state.params, state.batch_stats,
+                                  tile_z=6)
+    hm_tiled = np.asarray(tiled(vol))
+    out = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        vol[None], train=False, active_heads=("hm",),
+    )
+    hm_full = np.asarray(sigmoid_clamped(out["hm"][0, ..., 0]))
+    assert hm_tiled.shape == hm_full.shape == (20, 16, 16)
+    np.testing.assert_allclose(hm_tiled, hm_full, rtol=0, atol=1e-6)
+
+
+def test_unetw_xy_tiled_matches_full(unetw_setup, rng):
+    """xy tiling with the stride-4 halo/alignment geometry (infer/tiled.
+    xy_halo(n, stem_stride=4)) is bit-identical to the full forward on
+    both the streamed and fused paths, shifted border windows included."""
+    config, model, state = unetw_setup
+    vol = rng.standard_normal((8, 256, 256)).astype(np.float32)
+    out = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        vol[None], train=False, active_heads=("hm",),
+    )
+    hm_full = np.asarray(sigmoid_clamped(out["hm"][0, ..., 0]))
+    tiled = TiledHeatmapInference(
+        model, state.params, state.batch_stats, tile_z=64, tile_xy=(64, 64)
+    )
+    assert tiled.xy_down == 4 and tiled.xy_align == 8
+    assert tiled._xy_plan(256, 64) is not None, "fixture must actually tile"
+    hm_tiled = np.asarray(tiled(vol))
+    assert hm_tiled.shape == hm_full.shape == (8, 64, 64)
+    np.testing.assert_allclose(hm_tiled, hm_full, rtol=0, atol=1e-6)
+    hm_fused = np.asarray(tiled.fused(vol))
+    np.testing.assert_allclose(hm_fused, hm_full, rtol=0, atol=1e-6)
+
+
+def test_unetw_halo_covers_receptive_field(unetw_setup):
+    """Abs-weights impulse probe: the measured one-sided xy reach of
+    unetw_2 must sit inside the analytic xy_halo bound the tiler uses
+    (the same validation the parity arch's bound carries)."""
+    from cet_pick_tpu.infer.tiled import xy_halo
+
+    config, model, state = unetw_setup
+    absed = jax.tree_util.tree_map(jax.numpy.abs, state.params)
+    vol = np.zeros((1, 6, 256, 256), np.float32)
+    vol[0, 3, 128, 128] = 1.0
+    out = model.apply(
+        {"params": absed, "batch_stats": state.batch_stats},
+        vol, train=False, active_heads=("hm",),
+    )
+    hm = np.abs(np.asarray(out["hm"][0, 3, :, :, 0]))
+    base = model.apply(
+        {"params": absed, "batch_stats": state.batch_stats},
+        np.zeros_like(vol), train=False, active_heads=("hm",),
+    )
+    diff = np.abs(hm - np.abs(np.asarray(base["hm"][0, 3, :, :, 0])))
+    ys, xs = np.nonzero(diff > 1e-6)
+    # one-sided reach in INPUT pixels = output-cell distance * stride 4
+    reach = max(np.abs(ys - 32).max(), np.abs(xs - 32).max()) * 4
+    assert reach <= xy_halo(model.n_blocks, 4), (
+        f"measured reach {reach} exceeds analytic halo "
+        f"{xy_halo(model.n_blocks, 4)}"
+    )
+
+
 def test_active_heads_skips_proj(small_setup):
     config, model, state = small_setup
     x = np.zeros((1, 6, 32, 32), np.float32)
@@ -596,5 +678,5 @@ def test_tta_rejects_odd_xy(small_setup, rng):
     config, model, state = small_setup
     tta = TiledHeatmapInference(model, state.params, state.batch_stats,
                                 tta=True)
-    with pytest.raises(ValueError, match="even H and W"):
+    with pytest.raises(ValueError, match="divisible by the output stride"):
         tta(rng.standard_normal((6, 63, 64)).astype(np.float32))

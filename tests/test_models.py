@@ -115,6 +115,58 @@ class TestTomoPickNet:
         assert all(l.dtype == jnp.float32 for l in p)
 
 
+class TestTomoPickNetW:
+    """The lane-filling TPU-first arch (unetw_N): quarter-res output grid,
+    patchify stem, 128-wide trunk (PARITY.md roofline redesign)."""
+
+    def test_shapes_and_config(self, rng):
+        import jax
+
+        c = Config(task="semi", arch="unetw_2").finalize()
+        assert c.down_ratio == 4 and c.head_conv == 128
+        model = create_detector(c)
+        assert model.stem_stride == 4 and model.n_blocks == 2
+        x = jnp.asarray(rng.standard_normal((1, 4, 64, 64)).astype(np.float32))
+        vars_ = model.init(jax.random.PRNGKey(0), x, train=False)
+        out = model.apply(vars_, x, train=False)
+        assert out["hm"].shape == (1, 4, 16, 16, 1)
+        assert out["proj"].shape == (1, 4, 16, 16, 128)
+        # proj is channel-L2-normalized like the parity family
+        n = np.linalg.norm(np.asarray(out["proj"]), axis=-1)
+        np.testing.assert_allclose(n, 1.0, atol=1e-4)
+
+    def test_odd_extents_floor_grid(self, rng):
+        import jax
+
+        c = Config(task="semi", arch="unetw_2").finalize()
+        model = create_detector(c)
+        x = jnp.asarray(rng.standard_normal((1, 4, 62, 61)).astype(np.float32))
+        vars_ = model.init(jax.random.PRNGKey(0), x, train=False)
+        out = model.apply(vars_, x, train=False)
+        # output grid is floor(H/4) — the heatmap-target convention
+        assert out["hm"].shape == (1, 4, 15, 15, 1)
+
+    def test_gradients_flow(self, rng):
+        import jax
+
+        c = Config(task="semi", arch="unetw_2").finalize()
+        model = create_detector(c)
+        x = jnp.asarray(rng.standard_normal((1, 4, 32, 32)).astype(np.float32))
+        vars_ = model.init(jax.random.PRNGKey(0), x, train=True)
+
+        def loss_fn(params):
+            out = model.apply(
+                {"params": params, "batch_stats": vars_["batch_stats"]},
+                x, train=True, mutable=["batch_stats"],
+            )[0]
+            return jnp.sum(out["hm"] ** 2)
+
+        g = jax.grad(loss_fn)(vars_["params"])
+        gnorm = sum(np.abs(np.asarray(l)).sum()
+                    for l in jax.tree_util.tree_leaves(g))
+        assert np.isfinite(gnorm) and gnorm > 0
+
+
 def test_detector3d_shapes(rng):
     import jax
     from cet_pick_tpu.config import Config
