@@ -253,8 +253,14 @@ def test_train_pick_f1_fiber(tmp_path, rng):
     was tested piecewise but had no train->pick gate). The v5e wall-clock
     variant is benchmarks/flagship_e2e.py --recipe tubular."""
     vol, df, curve_pts = make_fiber_synthetic(rng)
+    # contrastive off for the CPU gate only: the blocked-gram loss is
+    # ~4 min/epoch on this 1-core box (cf. the 24-min bf16-contrastive
+    # globular variant) and is orthogonal to the fiber machinery this test
+    # gates (ring-soft-negative targets, separable NMS, curvature-gated
+    # postprocess). The v5e flagship (benchmarks/flagship_e2e.py --recipe
+    # tubular) trains the full tutorial recipe, contrastive included.
     cfg = Config(
-        task="semi", arch="unet_2", contrastive=True, fiber=True,
+        task="semi", arch="unet_2", contrastive=False, fiber=True,
         batch_size=4, lr=5e-4, num_epochs=6, val_intervals=-1, bbox=12,
         K=300, out_thresh=0.25, cutoff_z=2, nms=3, thresh=0.3,
         cr_weight=1.0, with_score=True, curvature_cutoff=0.03,
