@@ -159,6 +159,10 @@ FLAG_GROUPS = (
         "nclusters": "number of SCAN clusters",
         "nheads": "independent SCAN cluster heads; the lowest-loss head is "
                   "kept (written as best_loss_head)",
+        "moco_symmetric": "bidirectional MoCo InfoNCE: both views strongly "
+                          "augmented, loss both directions, both keys "
+                          "enqueued (the reference's standalone "
+                          "moco_single_main variant)",
     }),
 )
 

@@ -128,6 +128,11 @@ class Config:
     # independent SCAN cluster heads; the lowest-loss one is kept
     # (reference --nheads, tomo_scan_trainer.py:66-76 + model.py:79-89)
     nheads: int = 1
+    # symmetric bidirectional MoCo InfoNCE: both views strongly augmented,
+    # loss in both directions, both key embeddings enqueued (the standalone
+    # MoCoModel/MoCoTrainer variant, moco_single_main.py +
+    # trains/tomo_moco_small_trainer.py:135-161)
+    moco_symmetric: bool = False
 
     # -- TPU-native additions (no reference equivalent)
     profile_dir: str = ""           # write jax.profiler xplane traces here

@@ -95,7 +95,14 @@ class TiledHeatmapInference:
         self.tta = bool(tta)
         # (tile_h, tile_w) in input pixels, 0/None = never tile that axis
         self.tile_xy = tuple(int(t) for t in tile_xy) if tile_xy else None
-        self.auto_xy_budget = float(self.AUTO_XY_BUDGET)
+        # CET_XY_BUDGET: test/ops escape hatch to force the auto-xy HBM
+        # envelope at small scales (CI drives the engaged path end-to-end
+        # through the real CLI; benchmarks/giant_volume.py proves it at
+        # OOM scale on the chip)
+        import os as _os
+
+        self.auto_xy_budget = float(
+            _os.environ.get("CET_XY_BUDGET", self.AUTO_XY_BUDGET))
         n_blocks = int(getattr(model, "n_blocks", 4))
         # output stride / stem downsample (2 for the parity family, 4 for
         # the unetw TPU-first arch); drives window alignment, core slicing

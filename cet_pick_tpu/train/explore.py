@@ -241,11 +241,16 @@ def prepare_explore(config, log_fn=print, warm=True):
 
 
 def train_explore(config, dataset, num_epochs=None, log_fn=print,
-                  prepared=None):
+                  prepared=None, epoch_hook=None):
     """Full exploration training loop (simsiam_main.py:108-166).
 
     ``prepared``: the result of :func:`prepare_explore`, when the caller
-    overlapped device setup with the dataset build (cmd_explore)."""
+    overlapped device setup with the dataset build (cmd_explore).
+    ``epoch_hook(epoch, state, means)``: optional callback after each
+    epoch's checkpoint (means = that epoch's averaged metrics) — used by
+    the recommended-budget quality-trend run (benchmarks/flagship_explore.py
+    --trend) to score separability mid-run without disturbing the LR
+    schedule."""
     from cet_pick_tpu.train.state import (
         AsyncCheckpointer, checkpoint_payload, set_learning_rate,
     )
@@ -332,4 +337,6 @@ def train_explore(config, dataset, num_epochs=None, log_fn=print,
                     and epoch % config.val_intervals == 0):
                 ckpt.save(os.path.join(config.save_dir, f"model_{epoch}"),
                           snap, config, snapshotted=True)
+            if epoch_hook is not None:
+                epoch_hook(epoch, state, means)
     return state, history

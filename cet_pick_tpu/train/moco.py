@@ -144,13 +144,30 @@ def moco_step_fn(model, config, mode: str, m=0.999, temperature=0.1):
         acc = jnp.mean(jnp.argmax(logits, axis=1) == 0)
         return loss, (new_bs, {"loss": loss, "acc": acc})
 
+    # --moco_symmetric: the standalone MoCoModel/MoCoTrainer variant
+    # (moco_single_main.py + trains/tomo_moco_small_trainer.py:135-161):
+    # both views are strongly augmented, the InfoNCE runs in BOTH
+    # directions (loss_12 + loss_21), and BOTH key embeddings enqueue (2B
+    # keys/step). Expressed here as the asymmetric step on a doubled
+    # batch: queries [v1, v2] against keys [k2, k1] — identical logits, a
+    # single fused conv batch instead of two. (Our mean over 2B rows is
+    # (loss_12+loss_21)/2, a constant factor the LR absorbs. The
+    # standalone's single-GPU batch-shuffle BN trick is subsumed by the
+    # running-stats key forward below, the same leakage answer the shared
+    # path already uses.)
+    symmetric = bool(getattr(config, "moco_symmetric", False))
+
     def train_step(state: MoCoState, batch, rng_key):
         k1, k2 = jax.random.split(rng_key)
         mnorm, snorm = batch["norm_mean"], batch["norm_std"]
         keys1 = jax.random.split(k1, batch["anchor"].shape[0])
         keys2 = jax.random.split(k2, batch["aug"].shape[0])
         v_q = augment(batch["anchor"], keys1, mnorm, snorm, out_size, strong=True)
-        v_k = augment(batch["aug"], keys2, mnorm, snorm, out_size, strong=False)
+        v_k = augment(batch["aug"], keys2, mnorm, snorm, out_size,
+                      strong=symmetric)
+        if symmetric:
+            v_q, v_k = (jnp.concatenate([v_q, v_k], axis=0),
+                        jnp.concatenate([v_k, v_q], axis=0))
 
         # momentum update BEFORE the key forward (moco.py:118-121)
         new_key_params = jax.tree_util.tree_map(
@@ -251,7 +268,12 @@ def prepare_moco(config, r=1024, log_fn=print, warm=True):
     init_rng = jax.random.PRNGKey(config.seed)
     dummy = dummy_explore_batch(config, model.mode)
     # queue size must divide evenly by batch (moco.py:46 assert)
-    r = max(config.batch_size, r - r % config.batch_size)
+    # queue size must divide evenly by the per-step enqueue block: B, or 2B
+    # under --moco_symmetric (both directions' keys enqueue,
+    # tomo_moco_small_trainer.py:155-157)
+    blk = config.batch_size * (
+        2 if getattr(config, "moco_symmetric", False) else 1)
+    r = max(blk, r - r % blk)
     state = create_moco_state(model, config, init_rng, dummy, r=r)
     if config.load_model:
         if config.load_model.endswith((".pth", ".pt")):

@@ -175,6 +175,61 @@ def test_cli_train_then_test_from_disk(tmp_path, rng):
 
 
 @pytest.mark.slow
+def test_cli_test_with_forced_xy_envelope_matches(tmp_path, rng,
+                                                  monkeypatch):
+    """The auto-xy HBM envelope driven END TO END through the real `test`
+    CLI (run_test streaming, uint8 path, writers): with CET_XY_BUDGET
+    forced small the envelope must engage and the written coordinate file
+    must be byte-identical to the unforced run (the CI half of the
+    giant-volume scale proof, benchmarks/giant_volume.py)."""
+    from test_e2e import make_synthetic
+
+    from cet_pick_tpu.io.mrc import write_mrc
+
+    vol, df = make_synthetic(np.random.default_rng(3), h=192, w=192)
+    data = tmp_path / "data"
+    data.mkdir()
+    write_mrc(str(data / "syn0.rec"), vol)
+    listing = f"image_name\trec_path\nsyn0\t{data / 'syn0.rec'}\n"
+    (data / "train_images.txt").write_text(listing)
+    (data / "test_images.txt").write_text(listing)
+    df.to_csv(data / "train_coords.txt", sep="\t", index=False)
+
+    common = ["--task", "semi", "--arch", "unet_2", "--order", "zxy",
+              "--K", "60", "--data_dir", str(data),
+              "--root_dir", str(tmp_path)]
+    main(["train", *common, "--no-contrastive", "--batch_size", "4",
+          "--num_epochs", "1", "--bbox", "8", "--val_intervals", "-1"])
+
+    main(["test", *common, "--out_thresh", "0.0", "--cutoff_z", "2",
+          "--nms", "5", "--tile", "64", "0", "0"])
+    from cet_pick_tpu.config import Config as C
+
+    cfg = C(task="semi", root_dir=str(tmp_path)).finalize()
+    base = open(os.path.join(cfg.out_path, "syn0.txt"), "rb").read()
+    assert base
+
+    monkeypatch.setenv("CET_XY_BUDGET", "30e6")
+    from cet_pick_tpu.infer.tiled import TiledHeatmapInference
+
+    engaged = []
+    orig = TiledHeatmapInference._auto_xy
+
+    def spy(self, *a):
+        t = orig(self, *a)
+        engaged.append(t)
+        return t
+
+    monkeypatch.setattr(TiledHeatmapInference, "_auto_xy", spy)
+    main(["test", *common, "--out_thresh", "0.0", "--cutoff_z", "2",
+          "--nms", "5", "--tile", "64", "0", "0", "--out_id", "out_env"])
+    assert any(t is not None for t in engaged), "envelope never engaged"
+    cfg2 = C(task="semi", root_dir=str(tmp_path), out_id="out_env").finalize()
+    forced = open(os.path.join(cfg2.out_path, "syn0.txt"), "rb").read()
+    assert forced == base
+
+
+@pytest.mark.slow
 def test_cli_train_resume_from_disk(tmp_path, rng):
     """`train --resume` must pick up model_last automatically
     (config.py mirrors opts.py:265-268), restore optimizer state + epoch

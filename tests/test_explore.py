@@ -506,6 +506,40 @@ def test_moco_train(tmp_path, rng):
     assert not np.allclose(np.asarray(leaf_q), np.asarray(leaf_k))
 
 
+def test_moco_symmetric_step(rng):
+    """--moco_symmetric (the standalone MoCoModel/MoCoTrainer variant,
+    tomo_moco_small_trainer.py:135-161): the step runs the bidirectional
+    InfoNCE on the doubled batch and enqueues BOTH views' keys (queue
+    pointer advances 2B; all enqueued rows unit-norm), and prepare_moco
+    rounds the queue to the doubled enqueue block."""
+    import jax
+    from cet_pick_tpu.models.simsiam import create_simsiam
+    from cet_pick_tpu.train.moco import create_moco_state, make_moco_train_step
+
+    batch = {
+        "anchor": rng.standard_normal((2, 1, 24, 24)).astype(np.float32),
+        "aug": rng.standard_normal((2, 1, 24, 24)).astype(np.float32),
+        "norm_mean": np.zeros(1, np.float32),
+        "norm_std": np.ones(1, np.float32),
+    }
+    cfg = Config(task="moco", arch="simsiam2d_18", bbox=24, head_conv=32,
+                 batch_size=2, moco_symmetric=True).finalize()
+    model = create_simsiam(cfg)
+    state = create_moco_state(model, cfg, jax.random.PRNGKey(0), batch, r=8)
+    step = make_moco_train_step(model, cfg, "2d")
+    s1, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(s1.queue_ptr) == 4  # 2B keys enqueued
+    norms = np.linalg.norm(np.asarray(s1.queue[:4]), axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-3)
+
+    # prepare_moco rounds the queue to the 2B block under the flag
+    from cet_pick_tpu.train.moco import prepare_moco
+
+    prep = prepare_moco(cfg, r=9, log_fn=lambda *_: None, warm=False)
+    assert prep["state"].queue.shape[0] % 4 == 0
+
+
 def test_moco_step_bfloat16(rng):
     """Regression: bf16 activations produce bf16 keys, which must cast into
     the float32 queue (dynamic_update_slice requires matching dtypes — this

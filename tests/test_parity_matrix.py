@@ -208,11 +208,14 @@ ENTRY_SCRIPT_MAP = {
                          "create_train_state(freeze=))"),
     "simsiam_main.py": entry("cli", "explore"),
     "moco_main.py": entry("cli", "moco"),
-    "moco_single_main.py": excluded(
-        "standalone MoCoModel/MoCoTrainer variant "
-        "(trains/tomo_moco_small_trainer.py): not registered in the "
-        "reference's own train_factory; behaviorally covered by the shared "
-        "moco path (PARITY.md)"),
+    "moco_single_main.py": entry(
+        "cli", "moco --moco_symmetric  (r5: the standalone MoCoModel/"
+        "MoCoTrainer's distinguishing behavior — bidirectional InfoNCE, "
+        "both keys enqueued, tomo_moco_small_trainer.py:135-161 — is a "
+        "flag on the shared moco path; its single-GPU batch-shuffle-BN "
+        "trick is subsumed by the running-stats key forward, and its "
+        "EMA/queue/InfoNCE mechanics were always the shared ones. The "
+        "loop itself is not registered in the reference's train_factory)"),
     "simsiam_test_hm_2d3d.py": entry("cli", "embed"),
     "simsiam_test_hm_3d.py": entry("cli", "embed"),
     "moco_test.py": entry("cli", "embed"),

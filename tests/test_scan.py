@@ -191,7 +191,7 @@ def test_load_pretext_backbone(rng):
     from cet_pick_tpu.train.scan import create_scan_state, load_pretext_backbone
 
     cfg = _scan_cfg()
-    enc = create_simsiam(Config(task="simsiam", arch="simsiam2d_18",
+    enc = create_simsiam(Config(task="simsiam3d", arch="simsiam2d_18",
                                 head_conv=128).finalize())
     sample = {"anchor": np.zeros((1, 1, 24, 24), np.float32)}
     enc_state = create_simsiam_state(enc, cfg, jax.random.PRNGKey(1), sample)
