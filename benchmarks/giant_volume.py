@@ -74,9 +74,13 @@ def main():
     state = create_train_state(model, cfg, jax.random.PRNGKey(0),
                                np.zeros((1, 8, 64, 64), np.float32))
     # a random-init detector is a fine oracle subject: picks are arbitrary
-    # but DETERMINISTIC, and the planted-particle recovery check below uses
-    # a blob-matched prior: shrink the hm head so scores vary (see
+    # but DETERMINISTIC. Shrink the hm head so logits stay inside the
+    # clamped sigmoid's linear range and scores VARY — otherwise every
+    # voxel saturates at 0.9999 and top-k tie-breaks by index (see
     # tests/test_convert.py::test_res3dref_detector_infers)
+    params = dict(state.params)
+    params["hm"] = jax.tree_util.tree_map(lambda p: p * 0.02, params["hm"])
+    state = state.replace(params=params)
     det = TomoDetector(cfg, params=state.params,
                        batch_stats=state.batch_stats)
     est_bytes = (det.infer.bytes_per_voxel

@@ -186,11 +186,19 @@ def run_denoise():
     state = models = None
     total, crossover = 0, None
     p_mu = p_pme = -1e9
-    for budget in (2000, 2000, 4000, 8000):
-        state, models, _ = train_denoise(cfg, ds, num_iters=budget, crop=32,
-                                         log_fn=lambda *_: None,
-                                         state=state, models=models)
-        total += budget
+    # ONE global LR schedule across the whole budget (it_offset /
+    # total_iters): per-stage warm restarts wipe the sigma estimate back
+    # to the softplus floor (see train_denoise docstring). The noise
+    # estimate converges during the final anneal, so checkpoints before
+    # the last are progress reports, not verdicts.
+    STAGES = (5000, 10000, 20000, 40000)
+    for target in STAGES:
+        state, models, _ = train_denoise(
+            cfg, ds, num_iters=target - total, crop=32,
+            log_fn=lambda *_: None, state=state, models=models,
+            it_offset=total, total_iters=STAGES[-1],
+        )
+        total = target
         mu, pme, _, ns = denoise_forward(
             models, state.params_dn, state.params_sigma,
             jnp.asarray(noisy)[..., None],
@@ -203,8 +211,8 @@ def run_denoise():
               f"mu {p_mu:.2f} dB  pme {p_pme:.2f} dB  "
               f"noise_std est {ns_v:.4f} (true {noise_sigma})", flush=True)
         if p_pme > p_mu and crossover is None:
-            crossover = total
-            break
+            crossover = total  # recorded; the schedule still runs to the
+            # end — the final-anneal state is the artifact of record
     print(f"denoise: {time.perf_counter() - t0:.1f} s total  "
           f"posterior crossover at "
           f"{crossover if crossover else f'>{total} (NOT reached)'} iters",
