@@ -32,6 +32,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=50000)
     ap.add_argument("--stage", type=int, default=2500)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--mode", default="restarts",
+                    choices=("restarts", "global"))
+    ap.add_argument("--decay", type=float, default=0.2,
+                    help="per-stage peak-LR decay in restarts mode")
     a = ap.parse_args()
 
     rng = np.random.default_rng(317)
@@ -42,7 +47,7 @@ def main():
         clean + rng.standard_normal((64, 64)).astype(np.float32) * sigma
         for _ in range(12)
     ])
-    cfg = Config(task="denoise", arch="unet_4", lr=1e-3, batch_size=4,
+    cfg = Config(task="denoise", arch="unet_4", lr=a.lr, batch_size=4,
                  dtype="bfloat16").finalize()
     ds = DenoiseDataset({"v": noisy}, crop=32, exclude=0)
 
@@ -54,12 +59,28 @@ def main():
     state = models = None
     total = 0
     t0 = time.perf_counter()
+    stage_lr = a.lr
     while total < a.iters:
-        state, models, _ = train_denoise(cfg, ds, num_iters=a.stage,
-                                         crop=32, log_fn=lambda *_: None,
-                                         state=state, models=models,
-                                         it_offset=total,
-                                         total_iters=a.iters)
+        if a.mode == "global":
+            state, models, _ = train_denoise(cfg, ds, num_iters=a.stage,
+                                             crop=32, log_fn=lambda *_: None,
+                                             state=state, models=models,
+                                             it_offset=total,
+                                             total_iters=a.iters)
+        else:
+            # decayed restarts: each stage runs its own short ramp
+            # (0.1, 0.3) at a peak LR a.decay x lower than the last —
+            # the one shape measured to leave the softplus floor (stage 1
+            # at 1e-3: ns 0.65, mu 18.7, pme 17.8); full-LR restarts and
+            # long single ramps both diverge mu (denoise_long*.log)
+            import dataclasses
+            scfg = dataclasses.replace(cfg, lr=stage_lr)
+            state, models, _ = train_denoise(scfg, ds, num_iters=a.stage,
+                                             crop=32, ramp_up=0.1,
+                                             ramp_down=0.3,
+                                             log_fn=lambda *_: None,
+                                             state=state, models=models)
+            stage_lr *= a.decay
         total += a.stage
         mu, pme, _, ns = denoise_forward(
             models, state.params_dn, state.params_sigma,

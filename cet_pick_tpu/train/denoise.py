@@ -188,7 +188,7 @@ class DenoiseDataset:
 
 
 def train_denoise(config, dataset, num_iters=200, crop=128,
-                  ramp_up=0.1, ramp_down=0.3, log_every=50, log_fn=print,
+                  ramp_up=0.2, ramp_down=0.7, log_every=50, log_fn=print,
                   state=None, models=None, it_offset=0, total_iters=None):
     """Iteration-based denoise training with ramped LR
     (base_trainer.py:345-444 run_epoch_denoise).
@@ -201,7 +201,13 @@ def train_denoise(config, dataset, num_iters=200, crop=128,
     the small steady -0.1*noise_std drift under much larger per-batch NLL
     noise), and a fresh high-LR ramp wipes it back to the softplus floor
     (measured on chip: ns 0.6466 after one annealed stage, 0.0010 after
-    the next restart — benchmarks/denoise_longrun.py)."""
+    the next restart — benchmarks/denoise_longrun.py).
+
+    Ramp defaults (0.2, 0.7) are the reference's own denoise constants
+    (base_trainer.py:376 adjust_lr_denoise(..., 0.2, 0.7, ...)): only
+    ~10% of the schedule sits at peak LR. The earlier (0.1, 0.3) spent
+    60% at peak, where the NLL's 1/sigma_y gradients eventually diverge
+    mu even under the global-norm clip (measured at iters ~900-5000)."""
     rng = np.random.default_rng(config.seed + it_offset)
     if total_iters is None:
         total_iters = it_offset + num_iters
