@@ -70,10 +70,14 @@ class TiledHeatmapInference:
     params."""
 
     # auto-xy-tiling envelope: rough activation bytes per input voxel of the
-    # batched fused forward (f32 trunk activations + skips at the half-res
-    # grid), and the HBM budget those may occupy before fused() tiles xy on
-    # its own (v5e has 16 GB; leave headroom for params/heatmap/workspace).
-    BYTES_PER_VOXEL = 128.0
+    # batched fused forward, and the HBM budget those may occupy before
+    # fused() tiles xy on its own (v5e has 16 GB; leave headroom for
+    # params/volume/heatmap/workspace). 224 B/voxel is calibrated against a
+    # real 512x1024x1024 unet_5 run: the z-tap head's (D, H/2, W/2, 96)
+    # f32 intermediate alone is 96 B/voxel and two can coexist across the
+    # head convs — the earlier 128 B/voxel estimate let a 9.4 GB-estimated
+    # streamed window through that RESOURCE_EXHAUSTED the chip.
+    BYTES_PER_VOXEL = 224.0
     AUTO_XY_BUDGET = 12e9
 
     def __init__(self, model, params, batch_stats, tile_z: int = 64,
@@ -257,6 +261,22 @@ class TiledHeatmapInference:
         tile = max(a, side - side % a)
         return (tile, tile)
 
+    def _window_batch_est(self, n_windows, win_d, h, w, tile_xy):
+        """Activation estimate of the fused window batch AFTER xy tiling at
+        ``tile_xy`` (per-axis window extent = clamped tile + 2*halo, or the
+        full extent where that axis is untiled/opted out)."""
+        views = 4 if self.tta else 1
+        a, halo = self.xy_align, self.xy_halo
+
+        def extent(t, dim):
+            if not t:
+                return dim
+            t = max(t - t % a, a)
+            return min(dim, t + 2 * halo)
+
+        wh, ww = extent(tile_xy[0], h), extent(tile_xy[1], w)
+        return views * n_windows * win_d * wh * ww * self.bytes_per_voxel
+
     def _effective_xy(self, n_windows, win_d, h, w):
         """Merge the explicit ``--tile H W`` with the auto HBM envelope: the
         smaller tile wins per axis, so the always-set default-config tile
@@ -334,6 +354,16 @@ class TiledHeatmapInference:
             plan, win_d = self._window_plan(d)
             n_win = len(plan)
         txy = self._effective_xy(n_win, win_d, h, w)
+        if txy is not None and n_win > 1 and self._window_batch_est(
+                n_win, win_d, h, w, txy) > self.auto_xy_budget:
+            # even at the clamped tile the fused batch (ALL z windows live)
+            # cannot fit the budget — the envelope's tile floor is the
+            # alignment, and with a halo-dominated window (deep volume x
+            # large halo) the floored window still blows HBM (observed: a
+            # 512x1024x1024 run allocated a 22.7 GB head intermediate).
+            # Stream the z windows instead: __call__ keeps ONE window live
+            # and re-derives its own (much larger) tile. Bit-identical.
+            return self(volume, lo=lo, hi=hi)
         tiled = self._xy_tiled(
             volume, lo, hi, lambda win_: self.fused(win_, lo=lo, hi=hi),
             tile_xy=txy,

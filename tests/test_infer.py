@@ -61,6 +61,34 @@ def unetw_setup():
     return config, model, state
 
 
+def test_fused_streams_when_min_tile_busts_budget(small_setup, rng):
+    """When even the alignment-floored xy tile leaves the fused window
+    batch (ALL z windows live) over the HBM budget, fused() must fall back
+    to streaming z windows (one live at a time) — and stay bit-identical.
+    Caught at 512x1024x1024 on the v5e: the envelope floored the tile but
+    the halo-dominated window still allocated a 22.7 GB head
+    intermediate."""
+    config, model, state = small_setup
+    vol = rng.standard_normal((20, 192, 192)).astype(np.float32)
+    out = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        vol[None], train=False, active_heads=("hm",),
+    )
+    hm_full = np.asarray(sigmoid_clamped(out["hm"][0, ..., 0]))
+    infer = TiledHeatmapInference(model, state.params, state.batch_stats,
+                                  tile_z=6)
+    infer.auto_xy_budget = 30e6
+    n_win = len(infer._window_plan(20)[0])
+    auto = infer._auto_xy(n_win, 12, 192, 192)
+    assert auto is not None
+    # precondition: the clamped fused batch still exceeds the budget, so
+    # the streamed fallback is what actually runs
+    assert infer._window_batch_est(n_win, 12, 192, 192, auto) \
+        > infer.auto_xy_budget
+    np.testing.assert_allclose(np.asarray(infer.fused(vol)), hm_full,
+                               rtol=0, atol=1e-6)
+
+
 def test_unetw_tiled_matches_full_volume(unetw_setup, rng):
     """z-tiling stays bit-identical for the stride-4 arch."""
     config, model, state = unetw_setup
